@@ -1,0 +1,250 @@
+"""Encoded block container — the engine's analog of a Parquet data page.
+
+A block is one column's encoded bytes for one partition chunk, playing
+the role of (page bytes + PageHeader) in the reference
+(/root/reference/src/metadata/page_header.rs:22-32).  Layout, all
+little-endian:
+
+    magic   "BSK1"                      (4 bytes)
+    codec   u8  (index into CODEC_IDS)
+    tag     u8  (physical type, index into types.ALL_TAGS)
+    flags   u8  (bit0: has_nulls, bit1: outer-compressed payload)
+    outer   u8  (index into OUTER_CODECS; 0 = none)
+    n_rows  u64
+    meta    u32 length + JSON bytes (codec-specific, like PageHeader fields)
+    [validity  u32 length + LSB-first bitmap, present iff has_nulls —
+     the def-level analog of rep_def_parser.rs:56-98]
+    payload u64 raw length + u64 stored length + u32 crc32(raw payload)
+            + bytes
+
+The CRC makes corruption loud: decode must raise, never return wrong
+data (the reference's corruption tests pin the same discipline,
+rle_bp.rs:169-186).
+
+Null handling mirrors Parquet/the reference: the payload encodes only
+the *dense* non-null values; decode scatters them back through the
+validity bitmap (plain_data_page_int32_v1.rs:223-233 does the same
+interleave).  Outer compression is layered after the lightweight codec,
+mirroring Parquet's encoding-then-compression split handled by the
+reference's decompressor (src/utils/decompressor.rs:26-170).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+import numpy as np
+
+from . import bitpack, dictionary, foref, fsst, rle, strings
+from .types import ALL_TAGS, BOOL, BYTES, dtype_of, tag_of
+from .varint import CorruptBlockError
+
+MAGIC = b"BSK1"
+
+CODEC_IDS = ("plain", "rle", "dict", "for", "bitpack", "fsst")
+OUTER_CODECS = ("none", "zstd", "gzip", "snappy", "lz4")
+
+_HDR = struct.Struct("<4sBBBBQ")
+
+
+# ---------------------------------------------------------------------------
+# per-codec encode/decode on dense values
+# ---------------------------------------------------------------------------
+
+
+def _encode_plain(values, tag):
+    if tag == BYTES:
+        return strings.encode_plain(values)
+    if tag == BOOL:
+        return bitpack.pack_bools(values), {}
+    return np.ascontiguousarray(values, dtype=dtype_of(tag)).tobytes(), {}
+
+
+def _decode_plain(payload, meta, n, tag):
+    if tag == BYTES:
+        return strings.decode_plain(payload, n)
+    if tag == BOOL:
+        return bitpack.unpack_bools(payload, n)
+    dt = dtype_of(tag)
+    if len(payload) < n * dt.itemsize:
+        raise CorruptBlockError("plain: truncated payload")
+    return np.frombuffer(payload, dtype=dt, count=n)
+
+
+def _encode_rle(values, tag):
+    if tag == BYTES:
+        raise TypeError("rle codec applies to fixed-width types; "
+                        "byte arrays get run compression via dict codes")
+    run_values, run_lengths = rle.runs_of(np.ascontiguousarray(values))
+    len_width = bitpack.min_bit_width(int(run_lengths.max()) if len(run_lengths) else 0)
+    vals_payload, _ = _encode_plain(run_values, tag)
+    payload = (
+        struct.pack("<QB", len(run_values), len_width)
+        + bitpack.pack(run_lengths.astype(np.uint64), len_width)
+        + vals_payload
+    )
+    return payload, {}
+
+
+def _decode_rle(payload, meta, n, tag):
+    if len(payload) < 9:
+        raise CorruptBlockError("rle: truncated header")
+    n_runs, len_width = struct.unpack_from("<QB", payload, 0)
+    pos = 9
+    nbytes = bitpack.packed_size(n_runs, len_width)
+    lengths = bitpack.unpack(payload[pos : pos + nbytes], len_width, n_runs)
+    pos += nbytes
+    run_values = _decode_plain(payload[pos:], meta, n_runs, tag)
+    if int(lengths.sum()) != n:
+        raise CorruptBlockError("rle: run lengths do not sum to row count")
+    return np.repeat(run_values, lengths.astype(np.int64))
+
+
+def _encode_bitpack(values, tag):
+    if tag not in ("i32", "i64"):
+        raise TypeError("bitpack codec applies to non-negative integers")
+    v = np.ascontiguousarray(values)
+    if len(v) and int(v.min()) < 0:
+        raise ValueError("bitpack codec requires non-negative values")
+    width = bitpack.min_bit_width(int(v.max()) if len(v) else 0)
+    return bitpack.pack(v.astype(np.uint64), width), {"width": width}
+
+
+def _decode_bitpack(payload, meta, n, tag):
+    vals = bitpack.unpack(payload, int(meta["width"]), n)
+    return vals.astype(dtype_of(tag))
+
+
+_CODECS = {
+    "plain": (_encode_plain, _decode_plain),
+    "rle": (_encode_rle, _decode_rle),
+    "dict": (dictionary.encode, dictionary.decode),
+    "for": (foref.encode, foref.decode),
+    "bitpack": (_encode_bitpack, _decode_bitpack),
+    "fsst": (fsst.encode, fsst.decode),
+}
+
+
+def encode_values(values, tag: str, codec: str) -> tuple[bytes, dict]:
+    """Encode dense values with one codec; returns (payload, meta)."""
+    enc, _ = _CODECS[codec]
+    if codec in ("dict", "for", "fsst"):
+        return enc(values, tag)
+    return enc(values, tag)
+
+
+def decode_values(payload: bytes, meta: dict, n: int, tag: str, codec: str):
+    _, dec = _CODECS[codec]
+    if codec in ("dict", "for", "fsst"):
+        return dec(payload, meta, n, tag)
+    return dec(payload, meta, n, tag)
+
+
+# ---------------------------------------------------------------------------
+# outer (block) compression — decompressor.rs analog
+# ---------------------------------------------------------------------------
+
+
+def _outer_compress(payload: bytes, outer: str) -> bytes:
+    import pyarrow as pa
+
+    return pa.Codec(outer).compress(payload, asbytes=True)
+
+
+def _outer_decompress(payload: bytes, outer: str, raw_len: int) -> bytes:
+    import pyarrow as pa
+
+    out = pa.Codec(outer).decompress(payload, raw_len, asbytes=True)
+    if len(out) != raw_len:
+        raise CorruptBlockError("outer: decompressed size mismatch")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# block assembly
+# ---------------------------------------------------------------------------
+
+
+def encode_block(values, tag: str, codec: str, validity: np.ndarray | None = None,
+                 outer: str | None = None) -> bytes:
+    """Assemble a full block. ``values`` must already be dense (non-null only);
+    ``validity`` is the full-length bool mask (None = no nulls)."""
+    n_rows = len(validity) if validity is not None else len(values)
+    payload, meta = encode_values(values, tag, codec)
+    raw_len = len(payload)
+    outer = outer or "none"
+    stored = payload
+    if outer != "none":
+        stored = _outer_compress(payload, outer)
+        if len(stored) >= raw_len:  # incompressible — keep raw
+            outer, stored = "none", payload
+    flags = (1 if validity is not None else 0) | (2 if outer != "none" else 0)
+    meta_bytes = json.dumps(meta, separators=(",", ":")).encode()
+    parts = [
+        _HDR.pack(MAGIC, CODEC_IDS.index(codec), ALL_TAGS.index(tag), flags,
+                  OUTER_CODECS.index(outer), n_rows),
+        struct.pack("<I", len(meta_bytes)), meta_bytes,
+    ]
+    if validity is not None:
+        bm = bitpack.pack_bools(validity)
+        parts += [struct.pack("<I", len(bm)), bm]
+    parts += [struct.pack("<QQI", raw_len, len(stored), zlib.crc32(payload)), stored]
+    return b"".join(parts)
+
+
+def decode_block(buf: bytes):
+    """Decode a block -> (dense_values, validity_or_None, tag, codec, n_rows)."""
+    if len(buf) < _HDR.size or buf[:4] != MAGIC:
+        raise CorruptBlockError("block: bad magic")
+    _, codec_id, tag_id, flags, outer_id, n_rows = _HDR.unpack_from(buf, 0)
+    if codec_id >= len(CODEC_IDS) or tag_id >= len(ALL_TAGS) or outer_id >= len(OUTER_CODECS):
+        raise CorruptBlockError("block: bad codec/tag/outer id")
+    codec, tag, outer = CODEC_IDS[codec_id], ALL_TAGS[tag_id], OUTER_CODECS[outer_id]
+    pos = _HDR.size
+    (meta_len,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    try:
+        meta = json.loads(buf[pos : pos + meta_len])
+    except ValueError as e:
+        raise CorruptBlockError(f"block: bad meta json: {e}") from None
+    pos += meta_len
+    validity = None
+    n_valid = n_rows
+    if flags & 1:
+        (bm_len,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        validity = bitpack.unpack_bools(buf[pos : pos + bm_len], n_rows)
+        pos += bm_len
+        n_valid = int(validity.sum())
+    raw_len, stored_len, crc = struct.unpack_from("<QQI", buf, pos)
+    pos += 20
+    stored = buf[pos : pos + stored_len]
+    if len(stored) != stored_len:
+        raise CorruptBlockError("block: truncated payload")
+    payload = _outer_decompress(stored, outer, raw_len) if flags & 2 else stored
+    if zlib.crc32(payload) != crc:
+        raise CorruptBlockError("block: payload crc mismatch")
+    values = decode_values(payload, meta, n_valid, tag, codec)
+    return values, validity, tag, codec, n_rows
+
+
+# ---------------------------------------------------------------------------
+# null scatter/strip helpers (rep_def_parser analog)
+# ---------------------------------------------------------------------------
+
+
+def strip_nulls(values, tag: str, validity: np.ndarray):
+    """Dense values at validity==True positions."""
+    idx = np.nonzero(validity)[0]
+    if tag == BYTES:
+        return strings.take(values, idx)
+    return np.ascontiguousarray(values)[idx]
+
+
+def scatter_nulls_fixed(dense: np.ndarray, validity: np.ndarray) -> np.ndarray:
+    """Re-interleave dense values with nulls (fill value 0) per validity."""
+    out = np.zeros(len(validity), dtype=dense.dtype)
+    out[validity] = dense
+    return out

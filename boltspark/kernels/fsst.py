@@ -1,0 +1,368 @@
+"""FSST-style symbol-table string compression, vectorized for numpy.
+
+Based on the public FSST paper (VLDB 2020: "FSST: Fast Random Access
+String Compression") — absent in the reference, required by the north
+rule.  Design choices that keep every hot loop array-wise ("no per-row
+Python"):
+
+* Symbol table: up to 255 symbols of 1..8 bytes, built on a small
+  sample with the paper's iterative re-parse/merge scheme (pure Python,
+  bounded sample, runs once per block).
+* Codes 0..254 are symbols; code 255 is a literal marker whose byte
+  lives in a separate literal stream (instead of FSST's inline escape),
+  so decode needs no sequential escape parsing — it is one vectorized
+  gather.  The size cost is identical (2 bytes per literal).
+* Encode is *priority-greedy* rather than left-to-right greedy: symbols
+  are applied in descending gain order over the concatenated blob, each
+  pass claiming all non-overlapping occurrences that touch only
+  unclaimed bytes and do not bridge a row boundary.  Symbols that
+  self-overlap (proper border) are excluded at build time so one
+  symbol's occurrences are pairwise disjoint and each pass is a pure
+  vector op.  This parses slightly differently from sequential FSST but
+  compresses comparably and is orders of magnitude faster in numpy.
+
+Round-trip is bit-exact for arbitrary bytes (escapes cover everything).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections import Counter
+
+import numpy as np
+
+from . import bitpack
+from .strings import StringColumn, gather_slices
+from .varint import CorruptBlockError
+
+MAX_SYMBOL_LEN = 8
+MAX_SYMBOLS = 255  # code 255 reserved for literal marker
+LITERAL = 255
+
+_DEFAULT_SAMPLE = 1 << 16
+_GENERATIONS = 3
+
+
+def _self_overlapping(sym: bytes) -> bool:
+    """True if sym has a proper border (prefix == suffix), i.e. two
+    occurrences may overlap."""
+    for p in range(1, len(sym)):
+        if sym[: len(sym) - p] == sym[p:]:
+            return True
+    return False
+
+
+def _gain(freq: int, length: int) -> int:
+    # literal encoding costs 2 output bytes/input byte; a symbol costs 1
+    # output byte for `length` input bytes -> savings = 2*length - 1 each
+    return freq * (2 * length - 1)
+
+
+def build_symbol_table(sample: bytes, generations: int = _GENERATIONS) -> list[bytes]:
+    """Iterative greedy symbol table construction on a sample (FSST paper §3)."""
+    if not sample:
+        return []
+    table: list[bytes] = []
+    for _ in range(generations):
+        lookup: dict[bytes, int] = {s: 1 for s in table}
+        counts: Counter[bytes] = Counter()
+        pos = 0
+        n = len(sample)
+        prev: bytes | None = None
+        while pos < n:
+            tok = None
+            for l in range(min(MAX_SYMBOL_LEN, n - pos), 0, -1):
+                cand = sample[pos : pos + l]
+                if cand in lookup:
+                    tok = cand
+                    break
+            if tok is None:
+                tok = sample[pos : pos + 1]
+            counts[tok] += 1
+            if prev is not None:
+                merged = (prev + tok)[:MAX_SYMBOL_LEN]
+                if len(merged) > len(prev):
+                    counts[merged] += 1
+            prev = tok
+            pos += len(tok)
+        ranked = sorted(
+            (c for c in counts if not _self_overlapping(c)),
+            key=lambda s: -_gain(counts[s], len(s)),
+        )
+        table = ranked[:MAX_SYMBOLS]
+    # longest-first makes priority order deterministic for equal gains
+    table.sort(key=lambda s: (-len(s), s))
+    return table
+
+
+def _sliding_windows(buf: np.ndarray) -> np.ndarray:
+    """uint64 little-endian 8-byte window starting at each position."""
+    n = len(buf)
+    padded = np.zeros(n + MAX_SYMBOL_LEN, dtype=np.uint8)
+    padded[:n] = buf
+    w = np.zeros(n, dtype=np.uint64)
+    for k in range(MAX_SYMBOL_LEN):
+        w |= padded[k : n + k].astype(np.uint64) << np.uint64(8 * k)
+    return w
+
+
+def _sym_value(sym: bytes) -> int:
+    return int.from_bytes(sym, "little")
+
+
+_HASH_BITS = 16
+_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD, 0x2545F4914F6CDD1D)
+
+
+def _build_hash_table(vals: np.ndarray):
+    """Injective multiply-shift hash table for ≤255 symbol values.
+    Returns (salt, slot_val, slot_code) or None if no salt works."""
+    for salt in _SALTS:
+        slots = ((vals * np.uint64(salt)) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
+        if len(np.unique(slots)) == len(vals):
+            slot_val = np.zeros(1 << _HASH_BITS, dtype=np.uint64)
+            slot_code = np.full(1 << _HASH_BITS, 255, dtype=np.uint8)
+            return salt, slots, slot_val, slot_code
+    return None
+
+
+def encode(col: StringColumn, tag: str = "bytes",
+           table: list[bytes] | None = None,
+           sample_bytes: int = _DEFAULT_SAMPLE) -> tuple[bytes, dict]:
+    if tag != "bytes":
+        raise TypeError("fsst applies to byte-array columns")
+    n_rows = len(col)
+    buf = np.frombuffer(col.data, dtype=np.uint8)
+    n = len(buf)
+    if table is None:
+        table = build_symbol_table(col.data[:sample_bytes]) if n else []
+
+    # --- locate matches: longest symbol per position ----------------------
+    claimed = np.zeros(n, dtype=bool)
+    # cumulative count of row-end bytes: claims may not bridge a row end
+    row_end = np.zeros(n + 1, dtype=np.int32)
+    nonempty_ends = col.offsets[1:][col.offsets[1:] > col.offsets[:-1]] - 1
+    row_end[nonempty_ends + 1] = 1
+    re_cum = np.cumsum(row_end)
+
+    claim_pos_parts: list[np.ndarray] = []
+    claim_code_parts: list[np.ndarray] = []
+
+    if table and n:
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for code, sym in enumerate(table):
+            by_len.setdefault(len(sym), []).append((_sym_value(sym), code))
+
+        # 2-byte prefix gate: only positions whose next two bytes prefix
+        # some multi-byte symbol enter the per-length match loop.  This is
+        # the vector analog of the FSST paper's first-bytes lookup.
+        padded = np.zeros(n + MAX_SYMBOL_LEN, dtype=np.uint8)
+        padded[:n] = buf
+        multi = [s for s in table if len(s) >= 2]
+        match_pos_parts: list[np.ndarray] = []
+        match_code_parts: list[np.ndarray] = []
+        if multi:
+            # per-prefix bitmask of symbol lengths: a candidate is only
+            # probed at lengths its own 2-byte prefix actually admits
+            plbits = np.zeros(1 << 16, dtype=np.uint8)
+            for s in multi:
+                plbits[int.from_bytes(s[:2], "little")] |= 1 << (len(s) - 2)
+            pref = padded[:n].astype(np.uint16) | (
+                padded[1 : n + 1].astype(np.uint16) << np.uint16(8))
+            cand_bits = plbits[pref]
+            cand = np.nonzero(cand_bits)[0]
+            cand_bits = cand_bits[cand]
+            del pref
+            # build 8-byte windows only at candidate positions
+            w_cand = np.zeros(len(cand), dtype=np.uint64)
+            for k in range(MAX_SYMBOL_LEN):
+                w_cand |= padded[cand + k].astype(np.uint64) << np.uint64(8 * k)
+            unmatched = np.ones(len(cand), dtype=bool)
+            for l in sorted(by_len, reverse=True):
+                if l < 2 or n - l + 1 <= 0:
+                    continue
+                syms = by_len[l]
+                vals = np.array([v for v, _ in sorted(syms)], dtype=np.uint64)
+                codes_for_val = np.array([c for _, c in sorted(syms)], dtype=np.uint8)
+                live = np.nonzero(
+                    unmatched & ((cand_bits >> np.uint8(l - 2)) & np.uint8(1)).astype(bool)
+                )[0]
+                if not len(live):
+                    continue
+                mask = np.uint64((1 << (8 * l)) - 1) if l < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+                wl = w_cand[live] & mask
+                ht = _build_hash_table(vals)
+                if ht is not None:  # O(1) multiply-shift lookup (fast path)
+                    salt, slots, slot_val, slot_code = ht
+                    slot_val[slots] = vals
+                    slot_code[slots] = codes_for_val
+                    h = ((wl * np.uint64(salt)) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
+                    mcodes = slot_code[h]
+                    hit = (mcodes != 255) & (slot_val[h] == wl)
+                else:  # collision fallback: binary search
+                    idx = np.searchsorted(vals, wl)
+                    idx[idx == len(vals)] = 0
+                    hit = vals[idx] == wl
+                    mcodes = codes_for_val[idx]
+                sel = live[hit]
+                p = cand[sel]
+                if not len(p):
+                    continue
+                codes_hit = mcodes[hit]
+                # drop matches that run past the buffer or bridge a row end
+                ok = (p + l <= n) & (re_cum[np.minimum(p + l - 1, n)] == re_cum[p])
+                p = p[ok]
+                if not len(p):
+                    continue
+                match_pos_parts.append(p)
+                match_code_parts.append(codes_hit[ok])
+                unmatched[sel[ok]] = False
+
+        # claim per symbol in table (gain) order; one symbol's matches are
+        # pairwise disjoint (no self-overlapping symbols), so each pass is
+        # a pure vector check+set against the claimed bitmap
+        if match_pos_parts:
+            mpos = np.concatenate(match_pos_parts)
+            mcode = np.concatenate(match_code_parts)
+            grp = np.argsort(mcode, kind="stable")
+            mpos, mcode = mpos[grp], mcode[grp]
+            starts_per_code = np.searchsorted(mcode, np.arange(len(table) + 1))
+            for code in range(len(table)):
+                p = mpos[starts_per_code[code] : starts_per_code[code + 1]]
+                if not len(p):
+                    continue
+                l = len(table[code])
+                ok = np.ones(len(p), dtype=bool)
+                for j in range(l):
+                    ok &= ~claimed[p + j]
+                p = p[ok]
+                if not len(p):
+                    continue
+                for j in range(l):
+                    claimed[p + j] = True
+                claim_pos_parts.append(p)
+                claim_code_parts.append(np.full(len(p), code, dtype=np.uint8))
+
+        # single-byte symbols: no intra-symbol overlap possible — claim all
+        # remaining matches in one vector pass
+        singles = [(s[0], c) for c, s in enumerate(table) if len(s) == 1]
+        if singles:
+            lut1 = np.full(256, 255, dtype=np.uint8)
+            for b, c in singles:
+                lut1[b] = c
+            c1 = lut1[buf]
+            hit1 = (c1 != 255) & ~claimed
+            p1 = np.nonzero(hit1)[0]
+            if len(p1):
+                claimed[p1] = True
+                claim_pos_parts.append(p1)
+                claim_code_parts.append(c1[p1])
+
+    # --- assemble token stream (scatter, no sorts) ------------------------
+    # code_at[p] = symbol code for claims; literals read as LITERAL marker
+    code_at = np.full(n, LITERAL, dtype=np.uint8)
+    token_start = ~claimed  # literal positions are token starts
+    for p, c in zip(claim_pos_parts, claim_code_parts):
+        code_at[p] = c
+        token_start[p] = True
+    codes_stream = code_at[token_start]
+    literals = buf[~claimed].tobytes()  # position-ordered by construction
+
+    # tokens per row: prefix-sum of token starts sampled at row offsets
+    ts_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(token_start, out=ts_cum[1:])
+    token_counts = (ts_cum[col.offsets[1:]] - ts_cum[col.offsets[:-1]]).astype(np.uint64)
+    tc_width = bitpack.min_bit_width(int(token_counts.max()) if n_rows else 0)
+
+    sym_blob = b"".join(table)
+    sym_lens = bytes(len(s) for s in table)
+    payload = b"".join([
+        struct.pack("<H", len(table)), sym_lens, sym_blob,
+        struct.pack("<Q", len(codes_stream)), codes_stream.tobytes(),
+        struct.pack("<Q", len(literals)), literals,
+        struct.pack("<B", tc_width), bitpack.pack(token_counts, tc_width),
+    ])
+    return payload, {}
+
+
+def decode(payload: bytes, meta: dict, n: int, tag: str = "bytes") -> StringColumn:
+    try:
+        return _decode(payload, n)
+    except (ValueError, struct.error) as e:
+        if isinstance(e, CorruptBlockError):
+            raise
+        raise CorruptBlockError(f"fsst: {e}") from None
+
+
+def _decode(payload: bytes, n: int) -> StringColumn:
+    pos = 0
+    if len(payload) < 2:
+        raise CorruptBlockError("fsst: truncated header")
+    (n_sym,) = struct.unpack_from("<H", payload, pos)
+    pos += 2
+    if n_sym > MAX_SYMBOLS:
+        raise CorruptBlockError("fsst: too many symbols")
+    sym_lens = np.frombuffer(payload, np.uint8, n_sym, pos).astype(np.int64)
+    pos += n_sym
+    blob_len = int(sym_lens.sum())
+    sym_blob = payload[pos : pos + blob_len]
+    if len(sym_blob) != blob_len:
+        raise CorruptBlockError("fsst: truncated symbol blob")
+    pos += blob_len
+    (n_tokens,) = struct.unpack_from("<Q", payload, pos)
+    pos += 8
+    codes = np.frombuffer(payload, np.uint8, n_tokens, pos)
+    pos += n_tokens
+    (n_lit,) = struct.unpack_from("<Q", payload, pos)
+    pos += 8
+    literals = payload[pos : pos + n_lit]
+    if len(literals) != n_lit:
+        raise CorruptBlockError("fsst: truncated literals")
+    pos += n_lit
+    (tc_width,) = struct.unpack_from("<B", payload, pos)
+    pos += 1
+    token_counts = bitpack.unpack(payload[pos:], tc_width, n).astype(np.int64)
+    if int(token_counts.sum()) != n_tokens:
+        raise CorruptBlockError("fsst: token counts do not sum to token stream")
+
+    is_lit = codes == LITERAL
+    if int(is_lit.sum()) != n_lit:
+        raise CorruptBlockError("fsst: literal count mismatch")
+    if not is_lit.all() and int(codes[~is_lit].max(initial=0)) >= n_sym:
+        raise CorruptBlockError("fsst: code out of range")
+
+    sym_offsets = np.zeros(n_sym + 1, dtype=np.int64)
+    np.cumsum(sym_lens, out=sym_offsets[1:])
+
+    # per-code lookup tables (256 entries; LITERAL maps to length 1)
+    lut_len = np.ones(256, dtype=np.int64)
+    lut_len[:n_sym] = sym_lens
+    lut_start = np.zeros(256, dtype=np.int64)
+    lut_start[:n_sym] = sym_offsets[:n_sym]
+
+    lens = lut_len[codes]
+    starts = lut_start[codes]
+    if n_lit:
+        starts[is_lit] = blob_len + np.cumsum(is_lit)[is_lit] - 1
+
+    # gather one u64 word per token from the combined padded source,
+    # then boolean-compress (n_tokens, 8) down to actual lengths
+    source = sym_blob + literals + b"\0" * MAX_SYMBOL_LEN
+    src = np.frombuffer(source, dtype=np.uint8)
+    win = np.zeros(len(src) - MAX_SYMBOL_LEN + 1, dtype=np.uint64)
+    for k in range(MAX_SYMBOL_LEN):
+        win |= src[k : len(win) + k].astype(np.uint64) << np.uint64(8 * k)
+    words = win[starts]
+    byte_mat = words.view(np.uint8).reshape(n_tokens, 8)
+    keep = np.arange(8, dtype=np.int64)[None, :] < lens[:, None]
+    data = byte_mat[keep].tobytes()
+
+    # rebuild row offsets: prefix sums of token lengths sampled at row bounds
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(token_counts, out=bounds[1:])
+    lens_cum = np.zeros(n_tokens + 1, dtype=np.int64)
+    np.cumsum(lens, out=lens_cum[1:])
+    offsets = lens_cum[bounds]
+    if offsets[-1] != len(data):
+        raise CorruptBlockError("fsst: reconstructed size mismatch")
+    return StringColumn(offsets, data)

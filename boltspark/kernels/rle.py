@@ -1,0 +1,147 @@
+"""Run-length encoding: hybrid RLE/bit-pack stream + vectorized array RLE.
+
+Two formats:
+
+1. ``encode_hybrid``/``decode_hybrid`` — the Parquet-style hybrid
+   RLE/bit-packing stream, capability parity with the reference's
+   decoder (/root/reference/src/utils/encoding/rle_bp.rs:30-98): each
+   segment starts with a varint header; LSB 0 => RLE run (``header >> 1``
+   repeats of one little-endian value in ``ceil(width/8)`` bytes),
+   LSB 1 => ``header >> 1`` bit-packed groups of 8 values.  The
+   reference only decodes (encode exists just in its tests); we
+   implement both directions.  Used for dictionary code streams.
+
+2. ``runs_of``/``encode_runs`` — plain (values, lengths) run
+   decomposition used by the standalone RLE codec: run values stored
+   as a typed plain sub-block, run lengths bit-packed.  Decode is a
+   single ``np.repeat`` — the fully vectorized path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bitpack, varint
+from .varint import CorruptBlockError
+
+# runs shorter than this are folded into bit-packed spans (Parquet uses 8)
+_MIN_RLE_RUN = 8
+
+
+def runs_of(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decompose an array into (run_values, run_lengths); vectorized."""
+    n = len(values)
+    if n == 0:
+        return values[:0], np.zeros(0, dtype=np.int64)
+    change = np.nonzero(values[1:] != values[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    bounds = np.concatenate((starts, [n]))
+    return values[starts], np.diff(bounds)
+
+
+def mean_run_length(values: np.ndarray) -> float:
+    n = len(values)
+    if n == 0:
+        return 0.0
+    n_runs = 1 + int(np.count_nonzero(values[1:] != values[:-1]))
+    return n / n_runs
+
+
+# ---------------------------------------------------------------------------
+# hybrid RLE / bit-packing (Parquet-compatible layout, rle_bp.rs parity)
+# ---------------------------------------------------------------------------
+
+
+def _value_bytes(width: int) -> int:
+    return (width + 7) // 8
+
+
+def encode_hybrid(values: np.ndarray, width: int) -> bytes:
+    """Encode non-negative ints < 2**width as a hybrid RLE/BP stream."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    if width == 0:
+        # single RLE run of the zero value, zero value bytes
+        return varint.encode_one(n << 1)
+    run_vals, run_lens = runs_of(v)
+    out = bytearray()
+    vb = _value_bytes(width)
+    n_runs = len(run_vals)
+
+    def flush_bp(lo: int, hi: int) -> None:
+        # [lo, hi) is 8-aligned in count except possibly at stream end,
+        # where the decoder trims the padding (it never reads past n)
+        span = v[lo:hi]
+        pad = (-len(span)) % 8
+        if pad:
+            assert hi == n, "bit-packed span must be 8-aligned mid-stream"
+            span = np.concatenate((span, np.full(pad, span[-1], np.uint64)))
+        groups = len(span) // 8
+        out.extend(varint.encode_one((groups << 1) | 1))
+        out.extend(bitpack.pack(span, width))
+
+    pos = 0  # absolute index of next unencoded value
+    bp_start = None  # start of the pending bit-packed span
+    i = 0
+    while i < n_runs:
+        length = int(run_lens[i])
+        if length >= _MIN_RLE_RUN:
+            if bp_start is not None:
+                # steal from this run's head to 8-align the pending span
+                steal = (-(pos - bp_start)) % 8
+                if length - steal >= _MIN_RLE_RUN:
+                    if pos + steal > bp_start:
+                        flush_bp(bp_start, pos + steal)
+                    bp_start = None
+                    pos += steal
+                    length -= steal
+                else:  # too short after stealing: absorb into the span
+                    pos += length
+                    i += 1
+                    continue
+            out += varint.encode_one(length << 1)
+            out += int(run_vals[i]).to_bytes(vb, "little")
+            pos += length
+        else:
+            if bp_start is None:
+                bp_start = pos
+            pos += length
+        i += 1
+    if bp_start is not None:
+        flush_bp(bp_start, pos)
+    return bytes(out)
+
+
+def decode_hybrid(buf: bytes, width: int, n: int) -> np.ndarray:
+    """Decode ``n`` values from a hybrid RLE/BP stream (rle_bp.rs:30-98)."""
+    out = np.empty(n, dtype=np.uint64)
+    filled = 0
+    pos = 0
+    vb = _value_bytes(width)
+    while filled < n:
+        header, pos = varint.decode_one(buf, pos)
+        if header & 1:
+            groups = header >> 1
+            count = groups * 8
+            nbytes = bitpack.packed_size(count, width)
+            vals = bitpack.unpack(buf[pos : pos + nbytes], width, count)
+            pos += nbytes
+            take = min(count, n - filled)
+            out[filled : filled + take] = vals[:take]
+            filled += take
+        else:
+            run = header >> 1
+            if run == 0:
+                raise CorruptBlockError("rle: zero-length run")
+            if pos + vb > len(buf):
+                raise CorruptBlockError("rle: truncated run value")
+            value = int.from_bytes(buf[pos : pos + vb], "little")
+            if width < 64 and value >> width:
+                raise CorruptBlockError("rle: run value exceeds bit width")
+            pos += vb
+            take = min(run, n - filled)
+            out[filled : filled + take] = value
+            filled += take
+    return out

@@ -1,0 +1,165 @@
+"""Sampled-statistics codec auto-selection.
+
+Absent in the reference (its decoder accepts whatever encoding the file
+declares — SURVEY.md §4 last row); required by the north rule.  Per
+(partition, column): compute cheap stats on a bounded sample
+(cardinality ratio, mean run length, byte entropy, value range), derive
+a candidate shortlist from a decision table, then *trial-encode the
+sample* with each candidate and pick the smallest — estimates never
+disagree with reality that way, and plain is always in the running so
+the selector can never lose to no-compression.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import block, rle, strings
+from .types import BOOL, BYTES
+
+SAMPLE_VALUES = 4096
+SAMPLE_BLOB_BYTES = 256 << 10
+DEFAULT_OUTER = "zstd"
+# outer compression must win by this factor on the sample to be applied
+OUTER_MIN_GAIN = 0.9
+
+
+@dataclass
+class ColumnStats:
+    n: int
+    n_distinct: int
+    distinct_ratio: float
+    mean_run_length: float
+    avg_len: float  # bytes columns only (0 otherwise)
+    entropy: float  # bytes columns only: bits/byte on sample
+    vmin: float | None = None
+    vmax: float | None = None
+
+
+@dataclass
+class CodecChoice:
+    codec: str
+    outer: str
+    stats: ColumnStats
+    est_ratio: float  # sample encoded bytes / sample raw bytes
+
+
+def _sample_fixed(values: np.ndarray) -> np.ndarray:
+    if len(values) <= SAMPLE_VALUES:
+        return values
+    step = len(values) // SAMPLE_VALUES
+    return values[::step][:SAMPLE_VALUES]
+
+
+def _sample_bytes(col: strings.StringColumn) -> strings.StringColumn:
+    n = len(col)
+    if n <= SAMPLE_VALUES and len(col.data) <= SAMPLE_BLOB_BYTES:
+        return col
+    step = max(1, n // SAMPLE_VALUES)
+    idx = np.arange(0, n, step, dtype=np.int64)[:SAMPLE_VALUES]
+    out = strings.take(col, idx)
+    if len(out.data) > SAMPLE_BLOB_BYTES:
+        # trim rows until blob bound holds
+        keep = int(np.searchsorted(out.offsets, SAMPLE_BLOB_BYTES))
+        keep = max(1, min(keep, len(out)))
+        out = strings.StringColumn(out.offsets[: keep + 1].copy(), out.data[: int(out.offsets[keep])])
+    return out
+
+
+def _entropy(buf: np.ndarray) -> float:
+    if len(buf) == 0:
+        return 0.0
+    counts = np.bincount(buf, minlength=256)
+    p = counts[counts > 0] / len(buf)
+    return float(-(p * np.log2(p)).sum())
+
+
+def compute_stats(values, tag: str) -> ColumnStats:
+    if tag == BYTES:
+        s = _sample_bytes(values)
+        lens = s.lengths()
+        # distinct on sampled rows via hashing the bytes
+        arr = strings.to_arrow(s)
+        import pyarrow.compute as pc
+
+        nd = len(pc.unique(arr))
+        n = len(s)
+        # run length over the sampled rows (consecutive equal values)
+        runs = 1
+        if n > 1:
+            eq = np.asarray(pc.equal(arr.slice(1), arr.slice(0, n - 1)).fill_null(False))
+            runs = 1 + int((~eq).sum())
+        return ColumnStats(
+            n=n, n_distinct=nd,
+            distinct_ratio=nd / n if n else 1.0,
+            mean_run_length=n / runs if runs else 0.0,
+            avg_len=float(lens.mean()) if n else 0.0,
+            entropy=_entropy(np.frombuffer(s.data, np.uint8)),
+        )
+    v = _sample_fixed(np.ascontiguousarray(values))
+    n = len(v)
+    nd = len(np.unique(v)) if n else 0
+    return ColumnStats(
+        n=n, n_distinct=nd,
+        distinct_ratio=nd / n if n else 1.0,
+        mean_run_length=rle.mean_run_length(v),
+        avg_len=0.0, entropy=0.0,
+        vmin=float(v.min()) if n else None,
+        vmax=float(v.max()) if n else None,
+    )
+
+
+def candidate_codecs(stats: ColumnStats, tag: str) -> list[str]:
+    cands = ["plain"]
+    if tag == BYTES:
+        if stats.distinct_ratio <= 0.6:
+            cands.append("dict")
+        if stats.avg_len >= 4 and stats.entropy <= 7.2:
+            cands.append("fsst")
+        return cands
+    if tag == BOOL:
+        if stats.mean_run_length >= 4:
+            cands.append("rle")
+        return cands
+    if stats.mean_run_length >= 3:
+        cands.append("rle")
+    if stats.distinct_ratio <= 0.5 and stats.n_distinct <= 1 << 18:
+        cands.append("dict")
+    if tag in ("i32", "i64"):
+        cands.append("for")
+        if stats.vmin is not None and stats.vmin >= 0:
+            cands.append("bitpack")
+    return cands
+
+
+def _raw_size(values, tag: str) -> int:
+    if tag == BYTES:
+        return len(values.data) + max(len(values), 1)  # blob + ~1B/len overhead
+    return np.ascontiguousarray(values).nbytes
+
+
+def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
+           stats: ColumnStats | None = None) -> CodecChoice:
+    """Pick (codec, outer) by trial-encoding a sample."""
+    if stats is None:
+        stats = compute_stats(values, tag)
+    sample = _sample_bytes(values) if tag == BYTES else _sample_fixed(
+        np.ascontiguousarray(values))
+    raw = max(_raw_size(sample, tag), 1)
+    best_codec, best_size, best_payload = "plain", None, None
+    for codec in candidate_codecs(stats, tag):
+        try:
+            payload, _ = block.encode_values(sample, tag, codec)
+        except (TypeError, ValueError):
+            continue
+        if best_size is None or len(payload) < best_size:
+            best_codec, best_size, best_payload = codec, len(payload), payload
+    chosen_outer = "none"
+    if outer and outer != "none" and best_payload:
+        comp = block._outer_compress(best_payload, outer)
+        if len(comp) < OUTER_MIN_GAIN * best_size:
+            chosen_outer = outer
+            best_size = len(comp)
+    return CodecChoice(best_codec, chosen_outer, stats, best_size / raw)

@@ -1,0 +1,52 @@
+"""Physical type tags for encoded blocks.
+
+Parity with the reference's ``PhysicalDataType``
+(/root/reference/src/column_reader/column_reader_base.rs:20-28):
+Boolean, Int32, Int64, Float32, Float64, ByteArray.  Strings are opaque
+byte arrays end-to-end (byte_array_bridge.rs:30) — the engine never
+routes ``content`` through Python ``str`` so round-trips stay
+bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# physical type tag -> numpy dtype (BYTES handled separately)
+BOOL = "bool"
+INT32 = "i32"
+INT64 = "i64"
+FLOAT32 = "f32"
+FLOAT64 = "f64"
+BYTES = "bytes"
+
+NUMPY_DTYPES = {
+    BOOL: np.dtype(np.bool_),
+    INT32: np.dtype("<i4"),
+    INT64: np.dtype("<i8"),
+    FLOAT32: np.dtype("<f4"),
+    FLOAT64: np.dtype("<f8"),
+}
+
+FIXED_TAGS = tuple(NUMPY_DTYPES)
+ALL_TAGS = FIXED_TAGS + (BYTES,)
+
+
+def tag_of(arr) -> str:
+    """Physical tag for a numpy array or a StringColumn."""
+    if hasattr(arr, "offsets"):  # StringColumn duck-type
+        return BYTES
+    dt = np.asarray(arr).dtype
+    for tag, np_dt in NUMPY_DTYPES.items():
+        if dt == np_dt:
+            return tag
+    raise TypeError(f"unsupported physical dtype {dt} "
+                    "(reference rejects INT96/FLBA the same way: "
+                    "primitive_column_reader.rs:450-455)")
+
+
+def dtype_of(tag: str) -> np.dtype:
+    try:
+        return NUMPY_DTYPES[tag]
+    except KeyError:
+        raise TypeError(f"unsupported physical tag {tag!r}") from None

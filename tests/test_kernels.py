@@ -1,0 +1,245 @@
+"""Codec kernel tests, mirroring the reference's test strategy (SURVEY.md §5):
+randomized round-trips at every bit width (rle_bp.rs:144-167), constant
+runs (rle_bp.rs:209-228), varint sweeps incl. 0/u64::MAX (varint.rs:83-131),
+corruption tests (rle_bp.rs:169-186, varint.rs:133-158), and dual-path
+pinning of vectorized kernels against slow pure-Python references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from boltspark.kernels import (
+    bitpack,
+    block,
+    dictionary,
+    foref,
+    fsst,
+    reference_impl as ref,
+    rle,
+    strings,
+    varint,
+)
+from boltspark.kernels.varint import CorruptBlockError
+
+# ---------------------------------------------------------------------------
+# varint
+# ---------------------------------------------------------------------------
+
+
+def test_varint_scalar_sweep():
+    # mirrors varint.rs:83-131: num << shift sweep, 0 and u64::MAX edges
+    values = [0, 1, 127, 128, 300, 2**32 - 1, 2**64 - 1]
+    for base in (1, 3, 127, 255, 12345):
+        for shift in range(0, 57, 7):
+            if (base << shift) < 2**64:
+                values.append(base << shift)
+    for v in values:
+        buf = varint.encode_one(v)
+        assert len(buf) <= varint.MAX_VARINT_LEN
+        out, pos = varint.decode_one(buf)
+        assert out == v and pos == len(buf)
+
+
+def test_varint_array_roundtrip_and_pinning(rng):
+    v = rng.integers(0, 2**63, 2000, dtype=np.uint64)
+    v[:10] = [0, 1, 127, 128, 2**64 - 1, 5, 300, 2**32, 7, 2**50]
+    buf = varint.encode_array(v)
+    assert buf == ref.varint_encode(v)  # dual-path pinning
+    out, consumed = varint.decode_array(buf, len(v))
+    assert consumed == len(buf)
+    np.testing.assert_array_equal(out, v)
+
+
+def test_varint_corruption():
+    # truncated
+    with pytest.raises(CorruptBlockError):
+        varint.decode_one(b"\x80\x80")
+    # >10 bytes (varint.rs too-long test)
+    with pytest.raises(CorruptBlockError):
+        varint.decode_one(b"\x80" * 11)
+    with pytest.raises(CorruptBlockError):
+        varint.decode_array(b"\x80\x80\x01\x80", 2)
+
+
+# ---------------------------------------------------------------------------
+# bitpack
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("width", [0, 1, 2, 3, 5, 7, 8, 13, 16, 20, 31, 32, 48, 63, 64])
+def test_bitpack_roundtrip_every_width(width, rng):
+    # mirrors rle_bp.rs:144-167: random values at every bit width
+    n = 257
+    hi = (1 << width) if width < 64 else 2**64
+    v = rng.integers(0, hi, n, dtype=np.uint64) if width else np.zeros(n, np.uint64)
+    buf = bitpack.pack(v, width)
+    assert len(buf) == bitpack.packed_size(n, width)
+    np.testing.assert_array_equal(bitpack.unpack(buf, width, n), v)
+    if width <= 16:  # slow-path pinning
+        assert buf == ref.bitpack_pack(v.tolist(), width)
+        assert ref.bitpack_unpack(buf, width, n) == v.tolist()
+
+
+def test_bitpack_chunk_boundary(rng):
+    # cross the internal 1Mi-value chunking boundary
+    n = (1 << 20) + 77
+    v = rng.integers(0, 1 << 5, n, dtype=np.uint64)
+    np.testing.assert_array_equal(bitpack.unpack(bitpack.pack(v, 5), 5, n), v)
+
+
+def test_bitpack_corruption():
+    with pytest.raises(CorruptBlockError):
+        bitpack.unpack(b"\x01", 8, 100)
+    with pytest.raises(CorruptBlockError):
+        bitpack.unpack(b"\x01" * 8, 65, 1)
+
+
+def test_bools_roundtrip(rng):
+    v = rng.integers(0, 2, 1001).astype(bool)
+    np.testing.assert_array_equal(bitpack.unpack_bools(bitpack.pack_bools(v), len(v)), v)
+
+
+# ---------------------------------------------------------------------------
+# hybrid RLE/BP (rle_bp.rs parity format)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("width", [1, 2, 7, 8, 12, 20, 32])
+def test_hybrid_random_roundtrip(width, rng):
+    v = rng.integers(0, 1 << min(width, 20), 3000, dtype=np.uint64)
+    buf = rle.encode_hybrid(v, width)
+    np.testing.assert_array_equal(rle.decode_hybrid(buf, width, len(v)), v)
+    assert ref.hybrid_decode(buf, width, len(v)) == v.tolist()  # pinning
+
+
+def test_hybrid_constant_runs(rng):
+    # mirrors rle_bp.rs:209-228: constant runs of length 1..100 at all widths
+    for width in (1, 4, 9, 16):
+        chunks = []
+        for run in range(1, 101):
+            chunks.append(np.full(run, run % (1 << min(width, 16)), np.uint64))
+        v = np.concatenate(chunks)
+        buf = rle.encode_hybrid(v, width)
+        np.testing.assert_array_equal(rle.decode_hybrid(buf, width, len(v)), v)
+
+
+def test_hybrid_all_same_is_tiny():
+    v = np.full(100_000, 7, np.uint64)
+    buf = rle.encode_hybrid(v, 3)
+    assert len(buf) < 8
+    np.testing.assert_array_equal(rle.decode_hybrid(buf, 3, len(v)), v)
+
+
+def test_hybrid_width_zero():
+    v = np.zeros(500, np.uint64)
+    buf = rle.encode_hybrid(v, 0)
+    np.testing.assert_array_equal(rle.decode_hybrid(buf, 0, 500), v)
+
+
+def test_hybrid_corruption(rng):
+    v = rng.integers(0, 1 << 8, 512, dtype=np.uint64)
+    buf = rle.encode_hybrid(v, 8)
+    with pytest.raises(CorruptBlockError):  # truncated (rle_bp.rs:169-186)
+        rle.decode_hybrid(buf[: len(buf) // 2], 8, 512)
+
+
+# ---------------------------------------------------------------------------
+# frame-of-reference
+# ---------------------------------------------------------------------------
+
+
+def test_foref_roundtrip(rng):
+    v = (10_000_000_000 + rng.integers(0, 4096, 5000)).astype(np.int64)
+    payload, meta = foref.encode(v, "i64")
+    assert meta["width"] <= 12
+    assert len(payload) < v.nbytes / 4
+    np.testing.assert_array_equal(foref.decode(payload, meta, len(v), "i64"), v)
+
+
+def test_foref_negative_and_constant(rng):
+    v = rng.integers(-500, -100, 1000).astype(np.int32)
+    payload, meta = foref.encode(v, "i32")
+    np.testing.assert_array_equal(foref.decode(payload, meta, len(v), "i32"), v)
+    c = np.full(777, -42, np.int64)
+    payload, meta = foref.encode(c, "i64")
+    assert meta["width"] == 0 and payload == b""
+    np.testing.assert_array_equal(foref.decode(payload, meta, 777, "i64"), c)
+
+
+# ---------------------------------------------------------------------------
+# strings / dictionary
+# ---------------------------------------------------------------------------
+
+
+def _random_strings(rng, n, max_len=40, card=None):
+    vocab = None
+    if card:
+        vocab = [rng.bytes(rng.integers(0, max_len)) for _ in range(card)]
+    vals = []
+    for _ in range(n):
+        if vocab is not None:
+            vals.append(vocab[int(rng.integers(0, card))])
+        else:
+            vals.append(rng.bytes(int(rng.integers(0, max_len))))
+    return vals
+
+
+def test_strings_plain_roundtrip(rng):
+    vals = _random_strings(rng, 500) + [b"", b"\x00\xff", "héllo→".encode()]
+    col = strings.from_pylist(vals)
+    payload, _ = strings.encode_plain(col)
+    out = strings.decode_plain(payload, len(vals))
+    assert out.to_pylist() == vals
+    assert ref.strings_plain_decode(payload, len(vals)).to_pylist() == vals
+
+
+def test_strings_arrow_roundtrip(rng):
+    import pyarrow as pa
+
+    vals = _random_strings(rng, 300)
+    col = strings.from_arrow(pa.array(vals, pa.binary()))
+    assert col.to_pylist() == vals
+    back = strings.to_arrow(col)
+    assert back.to_pylist() == vals
+
+
+def test_dict_bytes_roundtrip(rng):
+    # cardinality 1000 forcing dictionary encoding (test_utils.rs:303-318)
+    vals = [str(i % 1000).encode() for i in range(20_000)]
+    col = strings.from_pylist(vals)
+    payload, meta = dictionary.encode(col, "bytes")
+    assert meta["n_dict"] == 1000 and meta["sorted"]
+    assert len(payload) < col.nbytes / 2
+    out = dictionary.decode(payload, meta, len(vals), "bytes")
+    assert out.to_pylist() == vals
+
+
+@pytest.mark.parametrize("tag,dtype", [("i32", np.int32), ("i64", np.int64),
+                                       ("f64", np.float64)])
+def test_dict_fixed_roundtrip(tag, dtype):
+    v = (np.arange(15_000) % 1000).astype(dtype)
+    payload, meta = dictionary.encode(v, tag)
+    assert meta["n_dict"] == 1000
+    np.testing.assert_array_equal(dictionary.decode(payload, meta, len(v), tag), v)
+
+
+def test_dict_parts_expose_sorted_dictionary(rng):
+    vals = [b"kiwi", b"apple", b"pear"] * 100
+    payload, meta = dictionary.encode(strings.from_pylist(vals), "bytes")
+    uniques, codes = dictionary.decode_parts(payload, meta, len(vals), "bytes")
+    assert uniques.to_pylist() == [b"apple", b"kiwi", b"pear"]
+    # dictionary-level predicate eval: mask on uniques, map over codes
+    mask = np.array([u < b"l" for u in uniques.to_pylist()])
+    keep = mask[codes]
+    assert int(keep.sum()) == 200
+
+
+def test_dict_corruption(rng):
+    vals = [str(i % 50).encode() for i in range(500)]
+    payload, meta = dictionary.encode(strings.from_pylist(vals), "bytes")
+    with pytest.raises(CorruptBlockError):
+        dictionary.decode(payload[:10], meta, 500, "bytes")
+    bad = dict(meta, n_dict=10)  # codes out of range
+    with pytest.raises(CorruptBlockError):
+        dictionary.decode(payload, bad, 500, "bytes")
