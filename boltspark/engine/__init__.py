@@ -1,0 +1,14 @@
+"""Spark layer: salted partitioning, vectorized encode/decode jobs,
+checkpoint manifest + resume, and null-aware block-level predicates."""
+
+from .encode import encode_table
+from .decode import decode_table
+from .filters import BooleanPredicate, ConstPredicate, RangePredicate
+
+__all__ = [
+    "encode_table",
+    "decode_table",
+    "RangePredicate",
+    "BooleanPredicate",
+    "ConstPredicate",
+]

@@ -1,0 +1,262 @@
+"""Distributed encode: DataFrame -> blocks parquet + checkpoint manifest.
+
+Shape (SURVEY.md §7.0): deterministic salted repartition -> one
+``mapInArrow`` pass that encodes each partition's columns into bounded
+blocks -> blocks parquet (stored uncompressed: payloads already carry
+their own codec + outer compression, mirroring Parquet's
+encoding-then-compression layering) -> manifest parquet committed
+after the blocks write succeeds.
+
+Everything inside the Arrow iterator is vectorized numpy/pyarrow —
+no per-row Python.  The batch iterator bounds peak memory exactly the
+way the reference's StreamingByteBuffer bounds its read window
+(file_streaming_byte_buffer.rs:104-158).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import block as blockmod
+from ..kernels import fsst, selector, strings
+from . import manifest as manifestmod
+from .partitioner import (
+    DEFAULT_TARGET_PARTITION_BYTES,
+    PART_COL,
+    estimate_bytes,
+    num_partitions,
+    with_partition_id,
+)
+from .schema import BLOCKS_ARROW_SCHEMA, BLOCKS_SPARK_SCHEMA, PART_ID, tag_for_arrow_type
+
+DEFAULT_BLOCK_BYTES = 16 << 20
+DEFAULT_KEY_COLS = ("repo", "path", "commit")
+
+
+@dataclass
+class EncodeResult:
+    out_path: str
+    manifest_path: str
+    run_id: str
+    n_partitions: int
+    n_planned: int  # partitions encoded in this run (resume skips done ones)
+    total_raw_bytes: int
+    total_enc_bytes: int
+    wall_sec: float
+
+
+def _column_stats(values, tag: str, validity) -> str:
+    has_null = validity is not None and not bool(validity.all())
+    if tag == "bytes":
+        # prefix min/max keeps stats rows small but still zone-usable
+        n = len(values)
+        if n:
+            import pyarrow.compute as pc
+
+            arr = strings.to_arrow(values)
+            vmin = pc.min(arr).as_py() or b""
+            vmax = pc.max(arr).as_py() or b""
+            stats = {"vmin_pfx": vmin[:24].hex(), "vmax_pfx": vmax[:24].hex()}
+        else:
+            stats = {}
+    else:
+        stats = {}
+        if len(values):
+            stats["vmin"] = float(np.min(values)) if tag in ("f32", "f64") else int(np.min(values))
+            stats["vmax"] = float(np.max(values)) if tag in ("f32", "f64") else int(np.max(values))
+    stats["has_null"] = has_null
+    return json.dumps(stats, separators=(",", ":"))
+
+
+def _to_kernel(arr: pa.Array, tag: str):
+    """Arrow array -> (dense values, validity or None), zero-copy-ish."""
+    validity = None
+    if arr.null_count:
+        validity = np.asarray(arr.is_valid())
+        arr = arr.drop_null()
+    if tag == "bytes":
+        return strings.from_arrow(arr), validity
+    return arr.to_numpy(zero_copy_only=False), validity
+
+
+def _split_points(batch: pa.RecordBatch, columns: list[str], block_bytes: int) -> list[int]:
+    """Row indices where the batch is cut so each slice stays under
+    ``block_bytes`` of logical data (per-row byte weights from offsets)."""
+    n = batch.num_rows
+    weight = np.zeros(n, dtype=np.int64)
+    for name in columns:
+        arr = batch.column(batch.schema.get_field_index(name))
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            import pyarrow.compute as pc
+
+            weight += pc.binary_length(arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64) + 4
+        else:
+            weight += max(arr.type.bit_width // 8, 1)
+    cum = np.cumsum(weight)
+    cuts = [0]
+    while cuts[-1] < n:
+        base = cum[cuts[-1] - 1] if cuts[-1] else 0
+        end = int(np.searchsorted(cum, base + block_bytes, side="right"))
+        cuts.append(min(max(end, cuts[-1] + 1), n))
+    return cuts
+
+
+def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str | None):
+    """Build the mapInArrow function. State (codec choice, FSST symbol
+    table) is cached per (partition, column) so the table is built once
+    per partition, not once per block."""
+
+    def encode_stream(batches):
+        choice_cache: dict[tuple[int, str], selector.CodecChoice] = {}
+        fsst_tables: dict[tuple[int, str], list[bytes]] = {}
+        seqs: dict[int, int] = {}
+
+        def encode_slice(part_id: int, sl: pa.RecordBatch):
+            seq = seqs.get(part_id, 0)
+            seqs[part_id] = seq + 1
+            rows = {k: [] for k in ("column", "codec", "outer", "n_rows",
+                                    "raw_bytes", "enc_bytes", "enc_ms", "stats", "block")}
+            for name in columns:
+                arr = sl.column(sl.schema.get_field_index(name))
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                tag = tag_for_arrow_type(arr.type)
+                t0 = time.perf_counter()
+                values, validity = _to_kernel(arr, tag)
+                key = (part_id, name)
+                choice = choice_cache.get(key)
+                if choice is None:
+                    choice = selector.choose(values, tag, outer=outer)
+                    choice_cache[key] = choice
+                    if choice.codec == "fsst":
+                        sample = values.data[: fsst._DEFAULT_SAMPLE]
+                        fsst_tables[key] = fsst.build_symbol_table(sample)
+                try:
+                    blk = blockmod.encode_block(
+                        values, tag, choice.codec, validity=validity,
+                        outer=choice.outer, fsst_table=fsst_tables.get(key),
+                    )
+                except (TypeError, ValueError):
+                    # stale per-partition choice (e.g. negatives appeared
+                    # after a non-negative sample): fall back to plain
+                    choice_cache[key] = choice = selector.CodecChoice(
+                        "plain", choice.outer, choice.stats, 1.0)
+                    blk = blockmod.encode_block(
+                        values, tag, "plain", validity=validity,
+                        outer=choice.outer,
+                    )
+                dt = (time.perf_counter() - t0) * 1000
+                raw = values.nbytes if tag == "bytes" else np.asarray(values).nbytes
+                rows["column"].append(name)
+                rows["codec"].append(choice.codec)
+                rows["outer"].append(choice.outer)
+                rows["n_rows"].append(sl.num_rows)
+                rows["raw_bytes"].append(int(raw))
+                rows["enc_bytes"].append(len(blk))
+                rows["enc_ms"].append(dt)
+                rows["stats"].append(_column_stats(values, tag, validity))
+                rows["block"].append(blk)
+            k = len(rows["column"])
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([part_id] * k, pa.int64()),
+                    pa.array([run_id] * k, pa.string()),
+                    pa.array(rows["column"], pa.string()),
+                    pa.array([seq] * k, pa.int32()),
+                    pa.array(rows["codec"], pa.string()),
+                    pa.array(rows["outer"], pa.string()),
+                    pa.array(rows["n_rows"], pa.int64()),
+                    pa.array(rows["raw_bytes"], pa.int64()),
+                    pa.array(rows["enc_bytes"], pa.int64()),
+                    pa.array(rows["enc_ms"], pa.float64()),
+                    pa.array(rows["stats"], pa.string()),
+                    pa.array(rows["block"], pa.large_binary()),
+                ],
+                schema=BLOCKS_ARROW_SCHEMA,
+            )
+
+        for batch in batches:
+            part_ids = batch.column(batch.schema.get_field_index(PART_COL)).to_numpy(
+                zero_copy_only=False)
+            # rows arrive sorted by part id (sortWithinPartitions), so
+            # each partition is a contiguous segment of the stream
+            bounds = np.nonzero(np.diff(part_ids))[0] + 1
+            seg_starts = np.concatenate(([0], bounds, [len(part_ids)]))
+            for a, b in zip(seg_starts[:-1], seg_starts[1:]):
+                if a == b:
+                    continue
+                seg = batch.slice(int(a), int(b - a))
+                pid = int(part_ids[a])
+                for lo, hi in zip(*(lambda c: (c[:-1], c[1:]))(
+                        _split_points(seg, columns, block_bytes))):
+                    yield encode_slice(pid, seg.slice(lo, hi - lo))
+
+    return encode_stream
+
+
+def encode_table(
+    df,
+    out_path: str,
+    manifest_path: str,
+    columns: list[str] | None = None,
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+    target_partition_bytes: int = DEFAULT_TARGET_PARTITION_BYTES,
+    block_bytes: int = DEFAULT_BLOCK_BYTES,
+    outer: str | None = "zstd",
+    resume: bool = True,
+    n_parts: int | None = None,
+) -> EncodeResult:
+    """Encode ``columns`` of ``df`` into a blocks dataset + manifest.
+
+    Resumable: partitions already present in the manifest are skipped
+    via a broadcast left-anti join (the reference's ``skip`` analog —
+    local_file_reader.rs:126-171 hops whole row groups from footer
+    arithmetic alone; we hop whole partitions from the manifest alone).
+    """
+    t_start = time.time()
+    spark = df.sparkSession
+    columns = list(columns or df.columns)
+    run_id = uuid.uuid4().hex[:12]
+
+    total_bytes = estimate_bytes(df, columns)
+    if n_parts is None:
+        n_parts = num_partitions(total_bytes, target_partition_bytes,
+                                 min_parts=spark.sparkContext.defaultParallelism)
+
+    keyed = with_partition_id(df.select(*dict.fromkeys(list(key_cols) + columns)),
+                              key_cols, n_parts)
+
+    done: set[int] = set()
+    if resume:
+        done = manifestmod.completed_partitions(spark, manifest_path)
+        if done:
+            from pyspark.sql import functions as F
+
+            keyed = keyed.filter(~F.col(PART_COL).isin(list(done)))
+    n_planned = n_parts - len(done)
+
+    blocks = keyed.mapInArrow(
+        _make_encoder(columns, run_id, block_bytes, outer), BLOCKS_SPARK_SCHEMA
+    )
+    # payloads are self-compressed; parquet recompression would waste CPU
+    blocks.write.mode("append").option("compression", "none").parquet(out_path)
+
+    # manifest commit AFTER the blocks write: orphan blocks from crashed
+    # runs are invisible because decode joins blocks ⨝ manifest
+    stats = manifestmod.commit(
+        spark, out_path, manifest_path, run_id=run_id, columns=columns,
+        key_cols=key_cols, n_parts=n_parts, schema_json=df.select(*columns).schema.json(),
+    )
+    return EncodeResult(
+        out_path=out_path, manifest_path=manifest_path, run_id=run_id,
+        n_partitions=n_parts, n_planned=n_planned,
+        total_raw_bytes=stats["raw_bytes"], total_enc_bytes=stats["enc_bytes"],
+        wall_sec=time.time() - t_start,
+    )

@@ -1,0 +1,213 @@
+"""Null-aware predicate kernels for decode-time pushdown.
+
+Capability parity with the reference's filter module
+(/root/reference/src/filters/):
+
+* ``RangePredicate`` — integer/float range with open/closed bounds,
+  mirroring ``IntegerRangeFilter`` (integer_range_filter.rs:24-170)
+  and ``FloatPointRangeFilter`` (float_point_range_filter.rs:23-231).
+* ``BooleanPredicate`` — boolean_filter.rs:21-75.
+* ``ConstPredicate`` — const_filter.rs:21-135.
+* Null semantics — fixed_length_filter.rs:20-165:
+  ``keep = (valid & check(value)) | (null_allowed & ~valid)``.
+* ``check_range(min, max, has_null)`` — the zone-map interface
+  (fixed_length_filter.rs:91-114); the reference defines it but never
+  wires it into readers — our decode path actually uses it to skip
+  whole blocks.
+* Dictionary-level evaluation — evaluate once per distinct value then
+  map over codes (dictionary_page_int32_with_filters.rs:97-177); we
+  additionally support byte-array dictionaries, which the reference
+  leaves NotYetImplemented (primitive_column_reader.rs:425-427).
+
+numpy boolean masks are our selection vectors (row_range_set.rs
+builds explicit ranges for the same purpose).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+ALL = "all"
+NONE = "none"
+SOME = "some"
+
+
+class Predicate:
+    """Base: vectorized mask over dense values + zone-map check."""
+
+    column: str
+    null_allowed: bool = False
+
+    def check(self, values: np.ndarray) -> np.ndarray:  # dense, no nulls
+        raise NotImplementedError
+
+    def check_range(self, vmin, vmax, has_null: bool) -> str:
+        """Zone-map: 'all' / 'none' / 'some' rows in [vmin, vmax] survive."""
+        return SOME
+
+    def mask(self, values: np.ndarray, validity: np.ndarray | None) -> np.ndarray:
+        """Full-length keep mask with the reference's ternary-null rule."""
+        if validity is None:
+            return self.check(values)
+        keep = np.zeros(len(validity), dtype=bool)
+        keep[validity] = self.check(values)
+        if self.null_allowed:
+            keep |= ~validity
+        return keep
+
+    def dict_mask(self, uniques, codes: np.ndarray,
+                  validity: np.ndarray | None) -> np.ndarray:
+        """Dictionary fast path: predicate on distincts, gather by code."""
+        if hasattr(uniques, "offsets"):  # StringColumn
+            umask = self.check_bytes(uniques)
+        else:
+            umask = self.check(uniques)
+        dense = umask[codes]
+        if validity is None:
+            return dense
+        keep = np.zeros(len(validity), dtype=bool)
+        keep[validity] = dense
+        if self.null_allowed:
+            keep |= ~validity
+        return keep
+
+    def check_bytes(self, uniques) -> np.ndarray:
+        raise TypeError(f"{type(self).__name__} does not apply to byte arrays")
+
+
+@dataclass
+class RangePredicate(Predicate):
+    """lower <(=) value <(=) upper; None bound = unbounded.
+
+    integer_range_filter.rs clamps i128 bounds per physical type and
+    short-circuits always-false ranges; numpy comparison semantics give
+    us the same result without the clamping dance.
+    """
+
+    column: str
+    lower: float | int | None = None
+    upper: float | int | None = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = True
+    null_allowed: bool = False
+
+    def check(self, values: np.ndarray) -> np.ndarray:
+        keep = np.ones(len(values), dtype=bool)
+        if self.lower is not None:
+            keep &= (values >= self.lower) if self.lower_inclusive else (values > self.lower)
+        if self.upper is not None:
+            keep &= (values <= self.upper) if self.upper_inclusive else (values < self.upper)
+        return keep
+
+    def check_range(self, vmin, vmax, has_null: bool) -> str:
+        if vmin is None or vmax is None:
+            return SOME
+        test = self.check(np.array([vmin, vmax]))
+        lo_in, hi_in = bool(test[0]), bool(test[1])
+        if lo_in and hi_in:
+            # whole zone inside the range only if range covers [vmin, vmax]
+            return ALL if not has_null or self.null_allowed else SOME
+        if not lo_in and not hi_in:
+            # zone may still straddle the range interior
+            below = self.upper is not None and vmin > self.upper
+            above = self.lower is not None and vmax < self.lower
+            if (below or above) and not (has_null and self.null_allowed):
+                return NONE
+        return SOME
+
+    def to_spark_condition(self):
+        """Equivalent Column expression — for parity tests vs Catalyst."""
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        cond = F.lit(True)
+        if self.lower is not None:
+            cond = cond & ((c >= self.lower) if self.lower_inclusive else (c > self.lower))
+        if self.upper is not None:
+            cond = cond & ((c <= self.upper) if self.upper_inclusive else (c < self.upper))
+        if self.null_allowed:
+            cond = cond | c.isNull()
+        else:
+            cond = cond & c.isNotNull()
+        return cond
+
+
+@dataclass
+class BooleanPredicate(Predicate):
+    column: str
+    value: bool = True
+    null_allowed: bool = False
+
+    def check(self, values: np.ndarray) -> np.ndarray:
+        return values == self.value
+
+    def check_range(self, vmin, vmax, has_null: bool) -> str:
+        if vmin is None or vmax is None:
+            return SOME
+        if vmin == vmax:
+            hit = bool(vmin) == self.value
+            if hit and not has_null:
+                return ALL
+            if not hit and not (has_null and self.null_allowed):
+                return NONE
+        return SOME
+
+
+@dataclass
+class ConstPredicate(Predicate):
+    """Accept-all / reject-all (const_filter.rs)."""
+
+    column: str
+    accept: bool = True
+    null_allowed: bool = False
+
+    def check(self, values: np.ndarray) -> np.ndarray:
+        return np.full(len(values), self.accept, dtype=bool)
+
+    def check_range(self, vmin, vmax, has_null: bool) -> str:
+        if self.accept:
+            return ALL if not has_null or self.null_allowed else SOME
+        return SOME if (has_null and self.null_allowed) else NONE
+
+
+@dataclass
+class BytesPrefixPredicate(Predicate):
+    """Byte-array predicate: value starts with ``prefix`` — exercises the
+    byte-array dictionary filter path the reference left unimplemented."""
+
+    column: str
+    prefix: bytes = b""
+    null_allowed: bool = False
+
+    def check(self, values) -> np.ndarray:
+        return self.check_bytes(values)
+
+    def check_bytes(self, col) -> np.ndarray:
+        from ..kernels.strings import StringColumn
+
+        assert isinstance(col, StringColumn)
+        plen = len(self.prefix)
+        out = col.lengths() >= plen
+        if plen:
+            idx = np.nonzero(out)[0]
+            pv = np.frombuffer(self.prefix, dtype=np.uint8).astype(np.uint64)
+            src = np.frombuffer(col.data, dtype=np.uint8)
+            starts = col.offsets[idx]
+            ok = np.ones(len(idx), dtype=bool)
+            for k in range(plen):
+                ok &= src[starts + k] == pv[k]
+            out[idx] = ok
+        return out
+
+    def to_spark_condition(self):
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        cond = c.startswith(self.prefix.decode("utf-8"))
+        if self.null_allowed:
+            cond = cond | c.isNull()
+        else:
+            cond = cond & c.isNotNull()
+        return cond

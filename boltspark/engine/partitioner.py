@@ -1,0 +1,63 @@
+"""Deterministic salted partitioning for skewed corpora.
+
+The reference is single-threaded — parallelism is the caller's job
+(SURVEY.md §3.1); here the caller is Spark and this module decides the
+partition key.  Giant repos (Zipf skew) are defused by hashing the full
+``(repo, path, commit)`` triple, which scatters any one repo's files
+uniformly across all partitions — the salting the north rule asks for.
+The assignment is a pure function of the data (xxhash64 of the key
+columns mod P), so resume lineage is stable across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PART_COL = "__bsk_part"
+DEFAULT_TARGET_PARTITION_BYTES = 64 << 20
+
+
+def estimate_bytes(df: DataFrame, columns: list[str]) -> int:
+    """Logical byte size of the selected columns (strings: octet length;
+    fixed types: type width)."""
+    exprs = []
+    for field in df.schema.fields:
+        if field.name not in columns:
+            continue
+        t = field.dataType.typeName()
+        if t in ("string", "binary"):
+            exprs.append(F.sum(F.coalesce(F.octet_length(F.col(field.name)), F.lit(0))))
+        elif t in ("long", "double", "timestamp"):
+            exprs.append(F.count(F.col(field.name)) * 8)
+        elif t in ("integer", "float", "date"):
+            exprs.append(F.count(F.col(field.name)) * 4)
+        elif t == "boolean":
+            exprs.append(F.count(F.col(field.name)) * 1)
+        else:
+            exprs.append(F.count(F.col(field.name)) * 8)
+    row = df.select(sum(exprs[1:], exprs[0]).alias("b")).collect()[0]
+    return int(row["b"] or 0)
+
+
+def num_partitions(total_bytes: int, target_bytes: int, min_parts: int = 1) -> int:
+    return max(min_parts, -(-total_bytes // max(target_bytes, 1)))
+
+
+def with_partition_id(df: DataFrame, key_cols: tuple[str, ...], n_parts: int) -> DataFrame:
+    """Add the deterministic salted partition id and co-locate rows.
+
+    ``pmod(xxhash64(key), P)`` both salts giant repos across partitions
+    and keeps the id reproducible for checkpoint/resume.  The
+    repartition shuffles on exactly that id so every partition's rows
+    land in one task; ``sortWithinPartitions`` lengthens runs for the
+    RLE/dict codecs at no extra shuffle (the physical analog of the
+    reference's ``is_sorted`` dictionary flag).
+    """
+    keyed = df.withColumn(
+        PART_COL, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_parts))
+    )
+    # sort by partition id FIRST so each partition is one contiguous
+    # segment of its task's Arrow stream, then by key to lengthen runs
+    return keyed.repartition(n_parts, F.col(PART_COL)).sortWithinPartitions(
+        PART_COL, *key_cols
+    )

@@ -1,0 +1,78 @@
+"""Schemas shared by the encode/decode jobs and the manifest.
+
+The blocks table is the engine's page store: one row per
+(partition, column, sub-batch) holding the encoded block bytes plus
+the metadata the reference keeps in page headers and column-chunk
+Thrift (codec, sizes, statistics).  The manifest is the footer analog
+(parquet_footer.rs): it records per-partition lineage and is the
+source of truth for resume — blocks without a manifest entry are
+ignored (orphans from crashed runs).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+PART_ID = "part_id"
+
+BLOCKS_SPARK_SCHEMA = T.StructType([
+    T.StructField(PART_ID, T.LongType(), False),
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("column", T.StringType(), False),
+    T.StructField("seq", T.IntegerType(), False),
+    T.StructField("codec", T.StringType(), False),
+    T.StructField("outer", T.StringType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("raw_bytes", T.LongType(), False),
+    T.StructField("enc_bytes", T.LongType(), False),
+    T.StructField("enc_ms", T.DoubleType(), False),
+    T.StructField("stats", T.StringType(), False),  # JSON zone-map stats
+    T.StructField("block", T.BinaryType(), False),
+])
+
+BLOCKS_ARROW_SCHEMA = pa.schema([
+    pa.field(PART_ID, pa.int64(), False),
+    pa.field("run_id", pa.string(), False),
+    pa.field("column", pa.string(), False),
+    pa.field("seq", pa.int32(), False),
+    pa.field("codec", pa.string(), False),
+    pa.field("outer", pa.string(), False),
+    pa.field("n_rows", pa.int64(), False),
+    pa.field("raw_bytes", pa.int64(), False),
+    pa.field("enc_bytes", pa.int64(), False),
+    pa.field("enc_ms", pa.float64(), False),
+    pa.field("stats", pa.string(), False),
+    pa.field("block", pa.large_binary(), False),
+])
+
+# arrow type -> (physical tag, needs_cast_back)
+_ARROW_TAGS = {
+    pa.bool_(): "bool",
+    pa.int32(): "i32",
+    pa.int64(): "i64",
+    pa.float32(): "f32",
+    pa.float64(): "f64",
+}
+
+
+def tag_for_arrow_type(t: pa.DataType) -> str:
+    if t in _ARROW_TAGS:
+        return _ARROW_TAGS[t]
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "bytes"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    raise TypeError(
+        f"unsupported column type {t} (reference likewise rejects INT96/FLBA:"
+        " primitive_column_reader.rs:450-455)"
+    )
+
+
+def arrow_type_for_tag(tag: str, original: str | None = None) -> pa.DataType:
+    if tag == "bytes":
+        return pa.large_string() if original == "string" else pa.large_binary()
+    return {
+        "bool": pa.bool_(), "i32": pa.int32(), "i64": pa.int64(),
+        "f32": pa.float32(), "f64": pa.float64(),
+    }[tag]

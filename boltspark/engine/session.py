@@ -1,0 +1,41 @@
+"""SparkSession factory with the engine's tuned defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app: str = "boltspark", cpus: int | None = None,
+                shuffle_partitions: int | None = None,
+                driver_memory: str = "48g", ship: bool = True) -> SparkSession:
+    """local[N] session tuned for Arrow-UDF encode/decode jobs.
+
+    On a real cluster the same configs ship via spark-submit --conf and
+    the package via --py-files; ``ship=True`` reproduces the --py-files
+    behavior programmatically (addPyFile of a package zip) so executors
+    can import boltspark regardless of their working directory.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch size: the streaming window of the engine
+        # (StreamingByteBuffer analog) — rows per batch into mapInArrow
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = b.getOrCreate()
+    if ship:
+        from .shipping import ship_package
+
+        ship_package(spark)
+    return spark

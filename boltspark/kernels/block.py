@@ -127,11 +127,15 @@ _CODECS = {
 }
 
 
-def encode_values(values, tag: str, codec: str) -> tuple[bytes, dict]:
-    """Encode dense values with one codec; returns (payload, meta)."""
+def encode_values(values, tag: str, codec: str,
+                  fsst_table: list[bytes] | None = None) -> tuple[bytes, dict]:
+    """Encode dense values with one codec; returns (payload, meta).
+
+    ``fsst_table`` reuses a prebuilt symbol table (built once per
+    partition-column by the engine instead of once per block)."""
+    if codec == "fsst":
+        return fsst.encode(values, tag, table=fsst_table)
     enc, _ = _CODECS[codec]
-    if codec in ("dict", "for", "fsst"):
-        return enc(values, tag)
     return enc(values, tag)
 
 
@@ -168,11 +172,12 @@ def _outer_decompress(payload: bytes, outer: str, raw_len: int) -> bytes:
 
 
 def encode_block(values, tag: str, codec: str, validity: np.ndarray | None = None,
-                 outer: str | None = None) -> bytes:
+                 outer: str | None = None,
+                 fsst_table: list[bytes] | None = None) -> bytes:
     """Assemble a full block. ``values`` must already be dense (non-null only);
     ``validity`` is the full-length bool mask (None = no nulls)."""
     n_rows = len(validity) if validity is not None else len(values)
-    payload, meta = encode_values(values, tag, codec)
+    payload, meta = encode_values(values, tag, codec, fsst_table=fsst_table)
     raw_len = len(payload)
     outer = outer or "none"
     stored = payload
@@ -194,8 +199,23 @@ def encode_block(values, tag: str, codec: str, validity: np.ndarray | None = Non
     return b"".join(parts)
 
 
+def open_block(buf: bytes):
+    """Parse header/validity and decompress the payload WITHOUT decoding
+    values -> (payload, validity, meta, tag, codec, n_rows).  The hook
+    for dictionary-level predicate pushdown (decode_parts on the raw
+    payload instead of materializing every value)."""
+    return _open(buf)
+
+
 def decode_block(buf: bytes):
     """Decode a block -> (dense_values, validity_or_None, tag, codec, n_rows)."""
+    payload, validity, meta, tag, codec, n_rows = _open(buf)
+    n_valid = int(validity.sum()) if validity is not None else n_rows
+    values = decode_values(payload, meta, n_valid, tag, codec)
+    return values, validity, tag, codec, n_rows
+
+
+def _open(buf: bytes):
     if len(buf) < _HDR.size or buf[:4] != MAGIC:
         raise CorruptBlockError("block: bad magic")
     _, codec_id, tag_id, flags, outer_id, n_rows = _HDR.unpack_from(buf, 0)
@@ -226,8 +246,7 @@ def decode_block(buf: bytes):
     payload = _outer_decompress(stored, outer, raw_len) if flags & 2 else stored
     if zlib.crc32(payload) != crc:
         raise CorruptBlockError("block: payload crc mismatch")
-    values = decode_values(payload, meta, n_valid, tag, codec)
-    return values, validity, tag, codec, n_rows
+    return payload, validity, meta, tag, codec, n_rows
 
 
 # ---------------------------------------------------------------------------

@@ -148,18 +148,20 @@ def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
     sample = _sample_bytes(values) if tag == BYTES else _sample_fixed(
         np.ascontiguousarray(values))
     raw = max(_raw_size(sample, tag), 1)
-    best_codec, best_size, best_payload = "plain", None, None
+    # compare candidates on their FINAL size (after outer compression):
+    # zstd interacts differently with each inner codec — e.g. plain+zstd
+    # often beats fsst+zstd because fsst tokenization hides long matches
+    best_codec, best_outer, best_size = "plain", "none", None
     for codec in candidate_codecs(stats, tag):
         try:
             payload, _ = block.encode_values(sample, tag, codec)
         except (TypeError, ValueError):
             continue
-        if best_size is None or len(payload) < best_size:
-            best_codec, best_size, best_payload = codec, len(payload), payload
-    chosen_outer = "none"
-    if outer and outer != "none" and best_payload:
-        comp = block._outer_compress(best_payload, outer)
-        if len(comp) < OUTER_MIN_GAIN * best_size:
-            chosen_outer = outer
-            best_size = len(comp)
-    return CodecChoice(best_codec, chosen_outer, stats, best_size / raw)
+        size, out_name = len(payload), "none"
+        if outer and outer != "none" and size:
+            comp = len(block._outer_compress(payload, outer))
+            if comp < OUTER_MIN_GAIN * size:
+                size, out_name = comp, outer
+        if best_size is None or size < best_size:
+            best_codec, best_outer, best_size = codec, out_name, size
+    return CodecChoice(best_codec, best_outer, stats, (best_size or raw) / raw)

@@ -1,0 +1,143 @@
+"""End-to-end Spark engine tests (SURVEY.md §5 transfer, items d-f):
+encode -> blocks+manifest -> decode -> per-row sha256 equality;
+compressed size <= Spark's own parquet output; resume from manifest;
+predicate-pushdown decode vs Catalyst on the same filter."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from boltspark import corpus
+from boltspark.engine import decode_table, encode_table
+from boltspark.engine.filters import BytesPrefixPredicate, RangePredicate
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "corpus.parquet")
+    corpus.write_parquet(path, N_ROWS, with_nullable=True)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, corpus_df, tmp_path_factory):
+    base = tmp_path_factory.mktemp("enc")
+    out, man = str(base / "blocks"), str(base / "manifest")
+    res = encode_table(
+        corpus_df, out, man,
+        target_partition_bytes=1 << 20,  # force multiple partitions at test scale
+        block_bytes=256 << 10,
+    )
+    return res
+
+
+def _dir_bytes(path):
+    return sum(os.path.getsize(p) for p in glob.glob(f"{path}/**/*", recursive=True)
+               if os.path.isfile(p) and not p.endswith((".crc", "_SUCCESS")))
+
+
+def test_roundtrip_sha256_exact(spark, corpus_df, encoded):
+    decoded = decode_table(spark, encoded.out_path, encoded.manifest_path)
+    key = ["repo", "path", "commit"]
+    orig = corpus_df.select(*key, F.sha2(F.col("content"), 256).alias("h_orig"),
+                            F.col("lang").alias("lang_orig"),
+                            F.col("stars").alias("stars_orig"))
+    back = decoded.select(*key, F.sha2(F.col("content"), 256).alias("h_back"),
+                          F.col("lang").alias("lang_back"),
+                          F.col("stars").alias("stars_back"))
+    joined = orig.join(back, key, "full_outer")
+    n = joined.count()
+    assert n == N_ROWS  # no lost or duplicated rows
+    bad = joined.filter(
+        (F.col("h_orig") != F.col("h_back"))
+        | F.col("h_orig").isNull() | F.col("h_back").isNull()
+        | (F.col("lang_orig") != F.col("lang_back"))
+        | (F.col("stars_orig").isNotNull() != F.col("stars_back").isNotNull())
+        | (F.col("stars_orig") != F.col("stars_back"))
+        & F.col("stars_orig").isNotNull()
+    ).count()
+    assert bad == 0
+
+
+def test_compressed_size_beats_parquet(spark, corpus_df, encoded, tmp_path):
+    ref = str(tmp_path / "ref_parquet")
+    corpus_df.write.parquet(ref)
+    ours = _dir_bytes(encoded.out_path) + _dir_bytes(encoded.manifest_path)
+    theirs = _dir_bytes(ref)
+    assert ours <= theirs, f"ours {ours} > parquet {theirs}"
+
+
+def test_manifest_and_blocks_consistency(spark, encoded):
+    blocks = spark.read.parquet(encoded.out_path)
+    manifest = spark.read.parquet(encoded.manifest_path).filter(
+        F.col("column") != "__table_meta__")
+    # every encoded column of every partition appears in the manifest
+    b = blocks.select("part_id", "column").distinct().count()
+    m = manifest.select("part_id", "column").distinct().count()
+    assert b == m
+    # per-column row counts equal the table size
+    per_col = manifest.groupBy("column").agg(F.sum("n_rows").alias("n")).collect()
+    assert all(r["n"] == N_ROWS for r in per_col)
+    assert encoded.n_partitions > 1  # salting actually spread the data
+
+
+def test_resume_skips_done_partitions(spark, corpus_df, encoded):
+    res2 = encode_table(
+        corpus_df, encoded.out_path, encoded.manifest_path,
+        target_partition_bytes=1 << 20, block_bytes=256 << 10, resume=True,
+    )
+    assert res2.n_planned == 0  # everything already in the manifest
+    # decode still returns exactly one copy of every row
+    decoded = decode_table(spark, encoded.out_path, encoded.manifest_path)
+    assert decoded.count() == N_ROWS
+
+
+def test_projection_reads_only_requested_columns(spark, encoded):
+    decoded = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                           columns=["lang"])
+    assert decoded.columns == ["lang"]
+    assert decoded.count() == N_ROWS
+    with pytest.raises(KeyError):
+        decode_table(spark, encoded.out_path, encoded.manifest_path,
+                     columns=["nope"])
+
+
+def test_predicate_pushdown_matches_catalyst(spark, corpus_df, encoded):
+    pred = BytesPrefixPredicate(column="repo", prefix=b"org3/")
+    ours = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                        columns=["repo", "path", "lang"], predicate=pred)
+    theirs = corpus_df.select("repo", "path", "lang").filter(
+        pred.to_spark_condition())
+    assert ours.count() == theirs.count()
+    sym_diff = ours.exceptAll(theirs).count() + theirs.exceptAll(ours).count()
+    assert sym_diff == 0
+
+
+def test_predicate_on_nullable_numeric(spark, corpus_df, encoded):
+    for null_allowed in (False, True):
+        pred = RangePredicate(column="stars", lower=20_000, upper=70_000,
+                              null_allowed=null_allowed)
+        ours = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                            columns=["repo", "stars"], predicate=pred)
+        theirs = corpus_df.select("repo", "stars").filter(pred.to_spark_condition())
+        assert ours.count() == theirs.count()
+        sym_diff = ours.exceptAll(theirs).count() + theirs.exceptAll(ours).count()
+        assert sym_diff == 0
+
+
+def test_corpus_determinism():
+    t1 = corpus.generate(500)
+    t2 = corpus.generate(500)
+    assert t1.equals(t2)
+    skew = (
+        np.unique(t1.column("repo").to_numpy(zero_copy_only=False),
+                  return_counts=True)[1]
+    )
+    assert skew.max() / 500 > 0.05  # zipf head is heavy
