@@ -1,38 +1,402 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship slice: encode the sf0.001
+``documents`` table with the boltspark engine, decode it back, and
+return a per-language verification DataFrame (counts + sha256
+mismatches, which must be zero).
+
+``queries()`` / ``oracle_sql()`` cover the DuckDB-checkable operators
+from SURVEY.md §2: round-trip equality, predicate-filtered decode
+(zone-map + dictionary pushdown), codec-selector statistics, run-length
+statistics, null-aware filter semantics, and the manifest bookkeeping.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _ship(spark: SparkSession) -> None:
+    try:
+        from boltspark.engine.shipping import ship_package
+
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped or running from the repo root
+
+
+def _encode_decode_documents(spark: SparkSession, sf_dir: str, predicate=None,
+                             columns=None):
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_entry_")
+    encode_table(
+        docs, f"{d}/blocks", f"{d}/manifest",
+        key_cols=("doc_id",), target_partition_bytes=4 << 20, resume=False,
+    )
+    return docs, decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                              columns=columns, predicate=predicate)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode documents -> decode -> per-lang sha256 verification."""
+    docs, decoded = _encode_decode_documents(spark, SF0001)
+    orig = docs.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h0"),
+                       "lang")
+    back = decoded.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h1"))
+    joined = orig.join(back, "doc_id", "full_outer")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("h0").isNull() | F.col("h1").isNull()
+                    | (F.col("h0") != F.col("h1")), 1
+                ).otherwise(0)
+            ).alias("n_mismatch"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries / oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine round-trip: decoded output must match DuckDB reading the
+    original table directly (full content equality via the value hash)."""
+    _, decoded = _encode_decode_documents(spark, sf_dir)
+    return decoded.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _q_decode_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown decode: zone maps skip blocks, the mask gates
+    the other columns (the reference's read_with_filter cascade)."""
+    from boltspark.engine.filters import RangePredicate
+
+    pred = RangePredicate(column="n_chars", lower=200, upper=900,
+                          null_allowed=False)
+    _, decoded = _encode_decode_documents(
+        spark, sf_dir, predicate=pred, columns=["doc_id", "lang", "n_chars"])
+    return decoded.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _q_decode_null_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware predicate semantics (fixed_length_filter.rs ternary
+    rule): null_allowed=True keeps NULL rows alongside range survivors."""
+    from boltspark.engine.filters import RangePredicate
+
+    pred = RangePredicate(column="n_chars", lower=500, upper=None,
+                          null_allowed=True)
+    _, decoded = _encode_decode_documents(
+        spark, sf_dir, predicate=pred, columns=["doc_id", "n_chars"])
+    return decoded.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _q_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-selector statistics as a declarative aggregation: distinct
+    count, distinct ratio and average byte length per string column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = []
+    for c in ("lang", "source", "text"):
+        parts.append(
+            docs.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.avg(F.octet_length(F.col(c))).alias("avg_len"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")
+
+
+def _q_run_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean run length of lineitem.l_returnflag in (l_orderkey,
+    l_linenumber) order — the statistic the selector uses to pick RLE."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    runs = li.select(
+        "l_returnflag",
+        F.lag("l_returnflag").over(w).alias("prev"),
+    ).select(
+        (F.col("prev").isNull() | (F.col("l_returnflag") != F.col("prev")))
+        .cast("long").alias("is_start")
+    )
+    return runs.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("is_start").cast("long").alias("n_runs"),
+        (F.count(F.lit(1)) / F.sum("is_start")).alias("mean_run_length"),
+    )
+
+
+def _q_manifest_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-manifest bookkeeping: per-column row counts recorded in
+    the manifest must equal the table's row count."""
+    from boltspark.engine import encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_manifest_")
+    encode_table(docs, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    man = spark.read.parquet(f"{d}/manifest")
+    return (
+        man.filter(F.col("column") != "__table_meta__")
+        .groupBy("column").agg(F.sum("n_rows").alias("n_rows"))
+        .orderBy("column")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (boltspark.pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from boltspark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from boltspark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    deduped = dedup.exact_dedup(docs, cols=["text"])
+    return spark.createDataFrame(
+        [(docs.count(), deduped.count())], "n_total long, n_after_dedup long"
+    )
+
+
+def _q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from boltspark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        dedup.duplicate_groups(docs)
+        .select("n_dups", F.col("min_key").cast("long").alias("min_key"))
+        .orderBy("min_key")
+    )
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from boltspark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from boltspark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        textstats.language_id(docs, "text")
+        .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from boltspark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    q = [(1.0 if i % 7 == 0 else 0.1) for i in range(dim)]
+    topk = similarity.brute_force_topk(emb, q, k=20)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by 3-gram Jaccard (rows-only
+    check: not SQL-expressible)."""
+    from boltspark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    pairs = dedup.lsh_candidate_pairs(docs, n_hashes=32, bands=8)
+    return dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.8).select(
+        F.col("key_a").cast("long"), F.col("key_b").cast("long"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check)."""
+    from boltspark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return dedup.simhash_near_pairs(docs, max_hamming=3).select(
+        F.col("key_a").cast("long"), F.col("key_b").cast("long"), "hamming")
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic fake features over binary
+    payloads via mapInPandas (rows-only check)."""
+    from boltspark.pipeline import multimodal
+
+    media = multimodal.synth_media_table(spark, 200)
+    feats = multimodal.extract_features(media)
+    return feats.select("doc_id", "payload_sha", "n_bytes").orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "roundtrip_documents": _q_roundtrip_documents,
+        "decode_range_filter": _q_decode_range_filter,
+        "decode_null_allowed": _q_decode_null_allowed,
+        "selector_stats": _q_selector_stats,
+        "run_length_stats": _q_run_length_stats,
+        "manifest_rowcounts": _q_manifest_rowcounts,
+        "token_count": _q_token_count,
+        "exact_dedup": _q_exact_dedup,
+        "duplicate_groups": _q_duplicate_groups,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "embedding_topk": _q_embedding_topk,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_documents": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "decode_range_filter": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE n_chars BETWEEN 200 AND 900 AND n_chars IS NOT NULL"
+        ),
+        "decode_null_allowed": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars >= 500 OR n_chars IS NULL"
+        ),
+        "selector_stats": (
+            "SELECT * FROM ("
+            "SELECT 'lang' AS \"column\", COUNT(*) AS n, "
+            "COUNT(DISTINCT lang) AS n_distinct, "
+            "AVG(OCTET_LENGTH(CAST(lang AS BLOB))) AS avg_len FROM documents "
+            "UNION ALL "
+            "SELECT 'source', COUNT(*), COUNT(DISTINCT source), "
+            "AVG(OCTET_LENGTH(CAST(source AS BLOB))) FROM documents "
+            "UNION ALL "
+            "SELECT 'text', COUNT(*), COUNT(DISTINCT text), "
+            "AVG(OCTET_LENGTH(CAST(text AS BLOB))) FROM documents"
+            ") ORDER BY \"column\""
+        ),
+        "run_length_stats": (
+            "WITH ordered AS ("
+            "  SELECT l_returnflag, LAG(l_returnflag) OVER "
+            "    (ORDER BY l_orderkey, l_linenumber) AS prev FROM lineitem"
+            ") SELECT COUNT(*) AS n_values, "
+            "CAST(SUM(CASE WHEN prev IS NULL OR l_returnflag <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_runs, "
+            "COUNT(*)::DOUBLE / SUM(CASE WHEN prev IS NULL OR l_returnflag <> prev "
+            "THEN 1 ELSE 0 END) AS mean_run_length FROM ordered"
+        ),
+        "manifest_rowcounts": (
+            "SELECT col AS \"column\", (SELECT COUNT(*) FROM documents) AS n_rows "
+            "FROM (VALUES ('doc_id'), ('lang'), ('n_chars'), ('source'), ('text')) "
+            "AS t(col) ORDER BY col"
+        ),
+        "token_count": (
+            "SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "exact_dedup": (
+            "SELECT COUNT(*) AS n_total, "
+            "COUNT(DISTINCT text) + CASE WHEN COUNT(*) - COUNT(text) > 0 "
+            "THEN 1 ELSE 0 END AS n_after_dedup FROM documents"
+        ),
+        "duplicate_groups": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS min_key "
+            "FROM documents GROUP BY COALESCE(text, '') HAVING COUNT(*) > 1 "
+            "ORDER BY min_key"
+        ),
+        "quality_scores": (
+            "WITH base AS ("
+            "  SELECT doc_id, COALESCE(text, '') AS c FROM documents"
+            "), feat AS ("
+            "  SELECT doc_id,"
+            "    CASE WHEN trim(c) = '' THEN 0"
+            "         ELSE len(regexp_split_to_array(trim(c), '\\s+')) END AS n_tokens,"
+            "    length(c) AS n_chars,"
+            "    length(c) - length(regexp_replace(c, '[^\\w\\s]', '', 'g')) AS n_punct,"
+            "    len(list_filter(regexp_split_to_array(lower(trim(c)), '\\s+'),"
+            "        x -> x IN ('the','of','and','to','in','is','a','that','for','it')"
+            "    )) AS n_stop"
+            "  FROM base"
+            ") SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+            "  ROUND(n_punct::DOUBLE / GREATEST(n_chars, 1), 6) AS punct_ratio,"
+            "  ROUND(n_stop::DOUBLE / GREATEST(n_tokens, 1), 6) AS stopword_ratio "
+            "FROM feat ORDER BY doc_id"
+        ),
+        "lang_id": (
+            "WITH toks AS ("
+            "  SELECT doc_id, regexp_split_to_array(lower(COALESCE(text,'')), '\\s+') AS t"
+            "  FROM documents"
+            "), scores AS ("
+            "  SELECT doc_id,"
+            "    len(list_filter(t, x -> x IN ('the','of','and','to','in','is','a','that','for','it'))) AS en,"
+            "    len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS de,"
+            "    len(list_filter(t, x -> x IN ('le','la','et','les','des','est','un','une','dans','que'))) AS fr,"
+            "    len(list_filter(t, x -> x IN ('el','la','de','que','los','una','por','con','para','es'))) AS es"
+            "  FROM toks"
+            "), pred AS ("
+            "  SELECT CASE"
+            "    WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'"
+            "    WHEN en >= de AND en >= fr AND en >= es THEN 'en'"
+            "    WHEN de >= fr AND de >= es THEN 'de'"
+            "    WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred"
+            "  FROM scores"
+            ") SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM pred "
+            "GROUP BY lang_pred ORDER BY lang_pred"
+        ),
+        # embedding_topk oracle is generated to match the Spark-side query
+        # vector (see _q_embedding_topk): q_i = 1.0 if i%7==0 else 0.1
+        "embedding_topk": (
+            "WITH q AS (SELECT list_transform(range(0, len(embedding)),"
+            "    i -> CASE WHEN i % 7 = 0 THEN 1.0 ELSE 0.1 END) AS qv,"
+            "    vec_id, embedding FROM embeddings) "
+            "SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[],"
+            "    qv::DOUBLE[]), 6) AS cosine FROM q "
+            "ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC,"
+            " vec_id LIMIT 20"
+        ),
+    }

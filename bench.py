@@ -1,0 +1,144 @@
+"""Benchmark harness: headline encode/decode throughput + driver queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale>, ...extras}
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default all cores)
+  BOLTSPARK_BENCH_MB  override corpus size in MB of content
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(f"{path}/**/*", recursive=True)
+        if os.path.isfile(p) and not p.endswith(".crc") and "_SUCCESS" not in p
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from pyspark.sql import functions as F
+
+    from boltspark import corpus
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import BytesPrefixPredicate
+    from boltspark.engine.session import get_session
+
+    spark = get_session("boltspark-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # deterministic corpus sized to the scale factor (~2 GB/sf of content)
+    mb = int(os.environ.get("BOLTSPARK_BENCH_MB", max(32, int(2048 * sf))))
+    n_rows = int(mb * 1e6 / 2600)  # mean content length ≈ 2.6 KB
+    corpus_path = f"/tmp/boltspark_bench_corpus_{n_rows}.parquet"
+    if not os.path.exists(corpus_path):
+        corpus.write_parquet(corpus_path, n_rows)
+    df = spark.read.parquet(corpus_path)
+    df.count()  # warm the scan
+
+    import tempfile
+
+    # untimed warmup: start python workers, JIT scan paths
+    warm = tempfile.mkdtemp(prefix="boltspark_bench_warm_")
+    encode_table(df.limit(4000), f"{warm}/blocks", f"{warm}/manifest",
+                 resume=False, n_parts=cpus)
+
+    work = tempfile.mkdtemp(prefix="boltspark_bench_")
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- encode ---------------------------------------------------------
+    t0 = time.time()
+    res = encode_table(df, f"{work}/blocks", f"{work}/manifest", resume=False)
+    queries["encode_corpus"] = round(time.time() - t0, 3)
+    raw_gb = res.total_raw_bytes / 1e9
+    extras["encode_gbps"] = round(raw_gb / queries["encode_corpus"], 3)
+    extras["compression_ratio"] = round(res.total_enc_bytes / max(res.total_raw_bytes, 1), 4)
+    extras["n_partitions"] = res.n_partitions
+
+    # --- decode -----------------------------------------------------------
+    t0 = time.time()
+    decoded = decode_table(spark, f"{work}/blocks", f"{work}/manifest")
+    n_decoded = decoded.count()
+    queries["decode_corpus"] = round(time.time() - t0, 3)
+    extras["decode_gbps"] = round(raw_gb / queries["decode_corpus"], 3)
+    extras["decoded_rows"] = n_decoded
+
+    # --- verify (sha256 both sides + anti-join) ----------------------------
+    t0 = time.time()
+    decoded = decode_table(spark, f"{work}/blocks", f"{work}/manifest")
+    orig_h = df.select(F.sha2("content", 256).alias("h"))
+    back_h = decoded.select(F.sha2("content", 256).alias("h"))
+    mismatch = (
+        orig_h.groupBy("h").count().join(
+            back_h.groupBy("h").count().withColumnRenamed("count", "c2"),
+            "h", "full_outer",
+        ).filter((F.col("count").isNull()) | (F.col("c2").isNull())
+                 | (F.col("count") != F.col("c2"))).count()
+    )
+    queries["verify_sha256"] = round(time.time() - t0, 3)
+    extras["sha_mismatches"] = mismatch
+
+    # --- predicate-pushdown decode ---------------------------------------
+    t0 = time.time()
+    pred = BytesPrefixPredicate(column="repo", prefix=b"org3/")
+    n_filtered = decode_table(
+        spark, f"{work}/blocks", f"{work}/manifest",
+        columns=["repo", "path", "lang"], predicate=pred,
+    ).count()
+    queries["decode_filtered"] = round(time.time() - t0, 3)
+    extras["filtered_rows"] = n_filtered
+
+    # --- compression vs Spark's own parquet -------------------------------
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(f"{work}/ref_parquet")
+    queries["parquet_write_ref"] = round(time.time() - t0, 3)
+    ours = _dir_bytes(f"{work}/blocks") + _dir_bytes(f"{work}/manifest")
+    theirs = _dir_bytes(f"{work}/ref_parquet")
+    extras["bytes_ours"] = ours
+    extras["bytes_parquet"] = theirs
+    extras["vs_parquet"] = round(ours / max(theirs, 1), 4)
+
+    # --- driver-testdata flagship -----------------------------------------
+    import __spark_entry__ as entrymod
+
+    t0 = time.time()
+    rows = entrymod._q_roundtrip_documents(spark, sf_dir).count()
+    queries["roundtrip_documents"] = round(time.time() - t0, 3)
+    extras["documents_rows"] = rows
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "boltspark encode+decode wall time (corpus %.0f MB content)" % (raw_gb * 1e3),
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "raw_gb": round(raw_gb, 3),
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -158,9 +158,11 @@ def generate(n_rows: int, seed: int = SEED,
     return pa.table(cols)
 
 
-def write_parquet(path: str, n_rows: int, seed: int = SEED, **kw) -> pa.Table:
+def write_parquet(path: str, n_rows: int, seed: int = SEED,
+                  row_group_rows: int = 2048, **kw) -> pa.Table:
+    """Small row groups so Spark's scan parallelizes (one task per group)."""
     import pyarrow.parquet as pq
 
     t = generate(n_rows, seed, **kw)
-    pq.write_table(t, path)
+    pq.write_table(t, path, row_group_size=row_group_rows)
     return t

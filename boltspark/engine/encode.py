@@ -115,7 +115,12 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
 
     def encode_stream(batches):
         choice_cache: dict[tuple[int, str], selector.CodecChoice] = {}
-        fsst_tables: dict[tuple[int, str], list[bytes]] = {}
+        # FSST symbol tables are cached per COLUMN for the whole task:
+        # building one is the expensive part of fsst, and a table built
+        # on one partition's sample compresses sibling partitions of the
+        # same column equally well (same distribution).  The codec
+        # *choice* stays per-partition (north rule).
+        fsst_tables: dict[str, list[bytes]] = {}
         seqs: dict[int, int] = {}
 
         def encode_slice(part_id: int, sl: pa.RecordBatch):
@@ -133,15 +138,16 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
                 key = (part_id, name)
                 choice = choice_cache.get(key)
                 if choice is None:
-                    choice = selector.choose(values, tag, outer=outer)
+                    if tag == "bytes" and name not in fsst_tables:
+                        fsst_tables[name] = fsst.build_symbol_table(
+                            values.data[: fsst._DEFAULT_SAMPLE])
+                    choice = selector.choose(values, tag, outer=outer,
+                                             fsst_table=fsst_tables.get(name))
                     choice_cache[key] = choice
-                    if choice.codec == "fsst":
-                        sample = values.data[: fsst._DEFAULT_SAMPLE]
-                        fsst_tables[key] = fsst.build_symbol_table(sample)
                 try:
                     blk = blockmod.encode_block(
                         values, tag, choice.codec, validity=validity,
-                        outer=choice.outer, fsst_table=fsst_tables.get(key),
+                        outer=choice.outer, fsst_table=fsst_tables.get(name),
                     )
                 except (TypeError, ValueError):
                     # stale per-partition choice (e.g. negatives appeared

@@ -56,7 +56,12 @@ def commit(
     the binary payload is never touched — .explain shows ReadSchema
     without `block`).
     """
-    blocks = spark.read.parquet(blocks_path).filter(F.col("run_id") == run_id)
+    blocks = (
+        spark.read.parquet(blocks_path)
+        .select(PART_ID, "run_id", "column", "n_rows", "raw_bytes",
+                "enc_bytes", "enc_ms", "codec", "outer")  # never touch payloads
+        .filter(F.col("run_id") == run_id)
+    )
     per_part = (
         blocks.groupBy(PART_ID, "run_id", "column")
         .agg(
@@ -80,9 +85,13 @@ def commit(
     )
     per_part.unionByName(meta_row).write.mode("append").parquet(manifest_path)
 
-    tot = per_part.agg(
-        F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")
-    ).collect()[0]
+    # totals from the (tiny) written manifest — no second pass over blocks
+    tot = (
+        spark.read.parquet(manifest_path)
+        .filter((F.col("run_id") == run_id) & (F.col("column") != META_KEY))
+        .agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e"))
+        .collect()[0]
+    )
     return {"raw_bytes": int(tot["r"] or 0), "enc_bytes": int(tot["e"] or 0)}
 
 

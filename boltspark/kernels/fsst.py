@@ -39,7 +39,7 @@ MAX_SYMBOL_LEN = 8
 MAX_SYMBOLS = 255  # code 255 reserved for literal marker
 LITERAL = 255
 
-_DEFAULT_SAMPLE = 1 << 16
+_DEFAULT_SAMPLE = 1 << 15
 _GENERATIONS = 3
 
 

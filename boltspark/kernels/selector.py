@@ -19,11 +19,15 @@ import numpy as np
 from . import block, rle, strings
 from .types import BOOL, BYTES
 
-SAMPLE_VALUES = 4096
-SAMPLE_BLOB_BYTES = 256 << 10
+SAMPLE_VALUES = 1024
+SAMPLE_BLOB_BYTES = 64 << 10
 DEFAULT_OUTER = "zstd"
 # outer compression must win by this factor on the sample to be applied
 OUTER_MIN_GAIN = 0.9
+# encode-cost penalties: a slower codec must beat the alternatives by
+# this factor on size to be chosen (fsst encode is ~100x slower than
+# plain+zstd, so a marginal size win is a bad trade)
+COST_PENALTY = {"fsst": 1.25}
 
 
 @dataclass
@@ -141,20 +145,27 @@ def _raw_size(values, tag: str) -> int:
 
 
 def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
-           stats: ColumnStats | None = None) -> CodecChoice:
-    """Pick (codec, outer) by trial-encoding a sample."""
+           stats: ColumnStats | None = None,
+           fsst_table: list[bytes] | None = None) -> CodecChoice:
+    """Pick (codec, outer) by trial-encoding a sample.
+
+    ``fsst_table`` reuses a prebuilt symbol table for the fsst trial
+    (the engine caches one per column per task — table construction is
+    the expensive part of fsst)."""
     if stats is None:
         stats = compute_stats(values, tag)
     sample = _sample_bytes(values) if tag == BYTES else _sample_fixed(
         np.ascontiguousarray(values))
     raw = max(_raw_size(sample, tag), 1)
-    # compare candidates on their FINAL size (after outer compression):
-    # zstd interacts differently with each inner codec — e.g. plain+zstd
-    # often beats fsst+zstd because fsst tokenization hides long matches
-    best_codec, best_outer, best_size = "plain", "none", None
+    # compare candidates on their FINAL size (after outer compression),
+    # weighted by encode cost: zstd interacts differently with each inner
+    # codec — e.g. plain+zstd often beats fsst+zstd because fsst
+    # tokenization hides long matches
+    best = None  # (scored, codec, outer, size)
     for codec in candidate_codecs(stats, tag):
         try:
-            payload, _ = block.encode_values(sample, tag, codec)
+            payload, _ = block.encode_values(sample, tag, codec,
+                                             fsst_table=fsst_table)
         except (TypeError, ValueError):
             continue
         size, out_name = len(payload), "none"
@@ -162,6 +173,9 @@ def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
             comp = len(block._outer_compress(payload, outer))
             if comp < OUTER_MIN_GAIN * size:
                 size, out_name = comp, outer
-        if best_size is None or size < best_size:
-            best_codec, best_outer, best_size = codec, out_name, size
-    return CodecChoice(best_codec, best_outer, stats, (best_size or raw) / raw)
+        scored = size * COST_PENALTY.get(codec, 1.0)
+        if best is None or scored < best[0]:
+            best = (scored, codec, out_name, size)
+    if best is None:
+        return CodecChoice("plain", "none", stats, 1.0)
+    return CodecChoice(best[1], best[2], stats, best[3] / raw)

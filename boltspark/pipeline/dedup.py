@@ -1,0 +1,229 @@
+"""Deduplication operators for document tables.
+
+Exact dedup is a hash-groupBy (pure built-ins).  Near-dup detection is
+MinHash + LSH banding: shingle -> minhash signature (vectorized numpy
+inside a pandas UDF, same concatenated-buffer technique as the FSST
+kernel) -> band buckets -> self-join on bucket -> exact Jaccard / simhash
+verification of candidates.  All shuffles are on banded bucket keys, so
+the candidate join never goes quadratic at scale (only rows sharing a
+band bucket meet).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                key: str = "doc_id") -> DataFrame:
+    """Keep one row (min key) per exact duplicate group (hash-groupBy)."""
+    cols = cols or [c for c in df.columns if c != key]
+    h = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                                     for c in cols]), 256)
+    tagged = df.withColumn("__h", h)
+    keep = tagged.groupBy("__h").agg(F.min(key).alias(key)).select(key)
+    return df.join(keep, key, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text",
+                     key: str = "doc_id") -> DataFrame:
+    """(hash, n_dups, min_key) per exact-duplicate text group with >1 member."""
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("text_hash")
+    return (
+        df.select(h, F.col(key))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(key).alias("min_key"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_batch(texts: pd.Series, n_hashes: int, shingle: int,
+                   seed: int) -> pd.Series:
+    """Vectorized minhash signatures for one Arrow batch: build rolling
+    shingle hashes over the concatenated byte buffer (no per-row Python),
+    then per-permutation min via np.minimum.reduceat."""
+    data = texts.fillna("").astype(str).str.encode("utf-8")
+    lens = data.str.len().to_numpy(dtype=np.int64)
+    blob = b"".join(data.tolist())
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n = len(buf)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+
+    # rolling `shingle`-byte hash at every position (polynomial, u64 wrap)
+    h = np.zeros(max(n, 1), dtype=np.uint64)
+    mult = np.uint64(1099511628211)
+    padded = np.zeros(n + shingle, dtype=np.uint8)
+    padded[:n] = buf
+    for k in range(shingle):
+        h = h * mult + padded[k : k + max(n, 1)].astype(np.uint64)
+    # positions whose shingle crosses a row end are masked to the row's
+    # last valid shingle (handled by reduceat boundaries below: we simply
+    # drop the last shingle-1 positions of each row)
+    valid_lens = np.maximum(lens - shingle + 1, 1)
+    starts = offsets[:-1].copy()
+    # empty rows contribute one zero-hash position
+    starts = np.minimum(starts, max(n - 1, 0))
+    bounds = np.minimum(starts + valid_lens, max(n, 1))
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.uint64)
+    sig = np.empty((len(texts), n_hashes), dtype=np.int64)
+    for k in range(n_hashes):
+        y = h * a[k] + b[k]  # u64 wraparound is a fine permutation proxy
+        # per-row min over that row's shingle positions
+        mins = np.minimum.reduceat(y, starts) if len(texts) else y[:0]
+        # reduceat runs to the next start, not to `bounds`; rows are
+        # contiguous so next start == this row's end except the final row
+        sig[:, k] = (mins >> np.uint64(1)).astype(np.int64)  # keep positive
+    return pd.Series(list(sig))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       n_hashes: int = 64, shingle: int = 5,
+                       seed: int = 42) -> DataFrame:
+    sig_udf = F.pandas_udf(
+        lambda s: _minhash_batch(s, n_hashes, shingle, seed),
+        T.ArrayType(T.LongType()),
+    )
+    return df.withColumn("minhash", sig_udf(F.col(text_col)))
+
+
+def lsh_candidate_pairs(df: DataFrame, key: str = "doc_id",
+                        text_col: str = "text", n_hashes: int = 64,
+                        bands: int = 16, shingle: int = 5,
+                        seed: int = 42) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding.
+
+    signature -> `bands` band-hash keys -> explode -> groupBy band key
+    (the shuffle is on bucket keys: scalable) -> pairs within buckets.
+    Returns (key_a, key_b, n_shared_bands), key_a < key_b.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle, seed)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col("minhash")[b * rows_per_band + r]
+                        for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(key), *band_cols)
+    melted = banded.select(
+        key,
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
+    )
+    left = melted.alias("a")
+    right = melted.alias("b")
+    pairs = (
+        left.join(right, (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .groupBy(F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for candidate pairs
+    (verification stage after LSH) — pure built-ins."""
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    ))
+    gdf = df.select(F.col(key), grams.alias("grams"))
+    a = gdf.alias("ga")
+    b = gdf.alias("gb")
+    return (
+        pairs.join(a, pairs["key_a"] == F.col(f"ga.{key}"))
+        .join(b, pairs["key_b"] == F.col(f"gb.{key}"))
+        .select(
+            "key_a", "key_b", "n_shared_bands",
+            (F.size(F.array_intersect("ga.grams", "gb.grams"))
+             / F.greatest(F.size(F.array_union("ga.grams", "gb.grams")), F.lit(1))
+             ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit simhash per document: crc32-hash each whitespace token
+    (two salts -> 64 bits), bit-vote, sign."""
+    import zlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    token_lists = texts.fillna("").astype(str).str.lower().str.split()
+    flat = []
+    rows = []
+    for i, tl in enumerate(token_lists):
+        flat.extend(tl)
+        rows.extend([i] * len(tl))
+    if flat:
+        h_lo = np.fromiter((zlib.crc32(t.encode()) for t in flat), np.uint64, len(flat))
+        h_hi = np.fromiter((zlib.crc32((t + "\x01").encode()) for t in flat), np.uint64, len(flat))
+        h = (h_hi << np.uint64(32)) | h_lo
+        rows = np.asarray(rows, dtype=np.int64)
+        votes = np.zeros((len(texts), 64), dtype=np.int64)
+        for bit in range(64):
+            b = ((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+            np.add.at(votes[:, bit], rows, b)
+        bits = (votes > 0).astype(np.uint64)
+        val = np.zeros(len(texts), dtype=np.uint64)
+        for bit in range(64):
+            val |= bits[:, bit] << np.uint64(bit)
+        out = val.view(np.int64)
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            out_col: str = "simhash") -> DataFrame:
+    udf = F.pandas_udf(_simhash_batch, T.LongType())
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def simhash_near_pairs(df: DataFrame, key: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on 16-bit
+    chunks (pigeonhole: distance <= 3 => some 16-bit quarter matches)."""
+    sh = simhash(df, text_col)
+    chunks = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
+        .alias(f"c{i}")
+        for i in range(4)
+    ]
+    base = sh.select(F.col(key), F.col("simhash"), *chunks)
+    melted = base.select(
+        key, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("q"), F.col(f"c{i}").alias("v")) for i in range(4)
+        ])).alias("blk"),
+    ).select(key, "simhash", F.col("blk.q").alias("q"), F.col("blk.v").alias("v"))
+    a, b = melted.alias("a"), melted.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.q") == F.col("b.q")) & (F.col("a.v") == F.col("b.v"))
+               & (F.col(f"a.{key}") < F.col(f"b.{key}")))
+        .select(
+            F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k with pure built-ins (zip_with/aggregate stay
+in whole-stage codegen) as the correctness baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path (candidates
+meet only inside a bucket — the shuffle is on bucket keys, never a
+cross join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    # accumulate in double: float32 products drift vs any oracle
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_scores(df: DataFrame, query: list[float],
+                  vec_col: str = "embedding") -> DataFrame:
+    """cosine(vec, query) for every row — JVM-side, no UDF."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    denom = _norm(F.col(vec_col)) * F.lit(float(np.linalg.norm(query)))
+    cos = F.when(denom > 0, _dot(F.col(vec_col), q) / denom).otherwise(F.lit(0.0))
+    return df.withColumn("cosine", cos.cast("double"))
+
+
+def brute_force_topk(df: DataFrame, query: list[float], k: int = 10,
+                     vec_col: str = "embedding",
+                     key: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine — the oracle path.  orderBy+limit lets Spark
+    run a per-partition TakeOrdered then a driver-side merge (no full sort)."""
+    return (
+        cosine_scores(df, query, vec_col)
+        .select(key, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray):
+    """Random-hyperplane signature as a bucket id (built-ins only):
+    bit_i = sign(dot(vec, plane_i))."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(F.col(vec_col), arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def ann_topk(df: DataFrame, query: list[float], k: int = 10,
+             vec_col: str = "embedding", key: str = "vec_id",
+             n_planes: int = 8, n_probes: int = 3, seed: int = 42) -> DataFrame:
+    """LSH-bucketed approximate top-k: score only rows whose hyperplane
+    signature is within `n_probes` bit flips of the query's (multi-probe).
+
+    At 100 TB the bucket column is precomputed+partitioned-by once and
+    reused across queries; here it is computed inline.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    qv = np.asarray(query, dtype=np.float64)
+    for i, p in enumerate(planes):
+        if float(qv @ p) > 0:
+            qsig |= 1 << i
+    probe_sigs = {qsig}
+    if n_probes >= 1:
+        for i in range(n_planes):
+            probe_sigs.add(qsig ^ (1 << i))
+    if n_probes >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probe_sigs.add(qsig ^ (1 << i) ^ (1 << j))
+    bucketed = df.withColumn("__sig", lsh_bucket_col(vec_col, planes))
+    cands = bucketed.filter(F.col("__sig").isin(list(probe_sigs)))
+    return (
+        cosine_scores(cands, query, vec_col)
+        .select(key, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )
+
+
+def pairwise_near_dup(df: DataFrame, threshold: float = 0.95,
+                      vec_col: str = "embedding", key: str = "vec_id",
+                      n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: only vectors
+    sharing a hyperplane-signature bucket are compared exactly."""
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.withColumn("__sig", lsh_bucket_col(vec_col, planes)).select(
+        key, vec_col, "__sig")
+    a2, b2 = b.alias("a"), b.alias("b")
+    pairs = a2.join(
+        b2, (F.col("a.__sig") == F.col("b.__sig"))
+        & (F.col(f"a.{key}") < F.col(f"b.{key}"))
+    )
+    num = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    den = _norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))
+    return (
+        pairs.select(
+            F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"),
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
