@@ -43,11 +43,11 @@ def main() -> None:
 
     # untimed warmup: spin up every python worker, JIT the scan path, touch
     # the page cache — the timed run then measures the engine, not startup
-    warm = tempfile.mkdtemp(prefix=f"boltspark_warm_{cpus}_")
+    warm = tempfile.mkdtemp(prefix=f"boltspark_warm_{cpus}_", dir=os.environ.get("BOLTSPARK_WORK_DIR"))
     encode_table(df.limit(4000), f"{warm}/blocks", f"{warm}/manifest",
                  resume=False, n_parts=cpus)
 
-    work = tempfile.mkdtemp(prefix=f"boltspark_scale_{cpus}_")
+    work = tempfile.mkdtemp(prefix=f"boltspark_scale_{cpus}_", dir=os.environ.get("BOLTSPARK_WORK_DIR"))
     t0 = time.time()
     res = encode_table(df, f"{work}/blocks", f"{work}/manifest", resume=False,
                        n_parts=args.n_parts)

@@ -174,7 +174,7 @@ def decode_table(
     """Reconstruct the encoded table (or a projected, filtered slice)."""
     from pyspark.sql import functions as F, types as T
 
-    meta = manifestmod.table_meta(spark, manifest_path)
+    meta, valid_pairs = manifestmod.load(spark, manifest_path)
     all_cols = meta["columns"]
     out_cols = list(columns or all_cols)
     unknown = set(out_cols) - set(all_cols)
@@ -202,7 +202,7 @@ def decode_table(
         out_fields.append(T.StructField(PART_ID, T.LongType(), False))
     out_schema = T.StructType(out_fields)
 
-    valid = manifestmod.valid_block_keys(spark, manifest_path)
+    valid = spark.createDataFrame(valid_pairs, f"{PART_ID} long, run_id string")
     blocks = (
         spark.read.parquet(blocks_path)
         .join(F.broadcast(valid), [PART_ID, "run_id"], "inner")

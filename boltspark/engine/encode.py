@@ -35,7 +35,7 @@ from .partitioner import (
 )
 from .schema import BLOCKS_ARROW_SCHEMA, BLOCKS_SPARK_SCHEMA, PART_ID, tag_for_arrow_type
 
-DEFAULT_BLOCK_BYTES = 16 << 20
+DEFAULT_BLOCK_BYTES = 4 << 20
 DEFAULT_KEY_COLS = ("repo", "path", "commit")
 
 
@@ -231,8 +231,8 @@ def encode_table(
     columns = list(columns or df.columns)
     run_id = uuid.uuid4().hex[:12]
 
-    total_bytes = estimate_bytes(df, columns)
     if n_parts is None:
+        total_bytes = estimate_bytes(df, columns)
         n_parts = num_partitions(total_bytes, target_partition_bytes,
                                  min_parts=spark.sparkContext.defaultParallelism)
 

@@ -56,14 +56,16 @@ def commit(
     the binary payload is never touched — .explain shows ReadSchema
     without `block`).
     """
-    blocks = (
+    # one read job over block *metadata* (column pruning: the binary
+    # payload column is never touched), aggregated and collected — the
+    # result is tiny (one row per partition-column), so the manifest is
+    # then written from the driver in a single tiny job
+    rows = (
         spark.read.parquet(blocks_path)
         .select(PART_ID, "run_id", "column", "n_rows", "raw_bytes",
-                "enc_bytes", "enc_ms", "codec", "outer")  # never touch payloads
+                "enc_bytes", "enc_ms", "codec", "outer")
         .filter(F.col("run_id") == run_id)
-    )
-    per_part = (
-        blocks.groupBy(PART_ID, "run_id", "column")
+        .groupBy(PART_ID, "run_id", "column")
         .agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum("raw_bytes").alias("raw_bytes"),
@@ -73,44 +75,45 @@ def commit(
             F.first("codec").alias("codec"),
             F.first("outer").alias("outer"),
         )
-        .withColumn("table_meta", F.lit(None).cast("string"))
+        .collect()
     )
     meta = json.dumps({
         "columns": columns, "key_cols": list(key_cols), "n_parts": n_parts,
         "schema_json": schema_json,
     })
-    meta_row = spark.createDataFrame(
-        [(-1, run_id, META_KEY, 0, 0, 0, 0.0, 0, "", "", meta)],
-        per_part.schema,
-    )
-    per_part.unionByName(meta_row).write.mode("append").parquet(manifest_path)
-
-    # totals from the (tiny) written manifest — no second pass over blocks
-    tot = (
-        spark.read.parquet(manifest_path)
-        .filter((F.col("run_id") == run_id) & (F.col("column") != META_KEY))
-        .agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e"))
-        .collect()[0]
-    )
-    return {"raw_bytes": int(tot["r"] or 0), "enc_bytes": int(tot["e"] or 0)}
+    schema = ("part_id long, run_id string, column string, n_rows long, "
+              "raw_bytes long, enc_bytes long, enc_ms double, n_blocks long, "
+              "codec string, outer string, table_meta string")
+    data = [tuple(r) + (None,) for r in rows]
+    data.append((-1, run_id, META_KEY, 0, 0, 0, 0.0, 0, "", "", meta))
+    spark.createDataFrame(data, schema).coalesce(1).write.mode("append").parquet(
+        manifest_path)
+    return {
+        "raw_bytes": sum(r["raw_bytes"] for r in rows),
+        "enc_bytes": sum(r["enc_bytes"] for r in rows),
+    }
 
 
 def table_meta(spark: SparkSession, manifest_path: str) -> dict:
-    row = (
+    return load(spark, manifest_path)[0]
+
+
+def load(spark: SparkSession, manifest_path: str):
+    """One read of the (tiny) manifest -> (table_meta dict, valid
+    (part_id, run_id) pairs).  The pairs are the join key that makes
+    orphan blocks from crashed runs invisible."""
+    rows = (
         spark.read.parquet(manifest_path)
-        .filter(F.col("column") == META_KEY)
-        .select("table_meta").limit(1).collect()
+        .select(PART_ID, "run_id", "column", "table_meta")
+        .collect()
     )
-    if not row:
+    meta = None
+    pairs = set()
+    for r in rows:
+        if r["column"] == META_KEY:
+            meta = meta or json.loads(r["table_meta"])
+        else:
+            pairs.add((r[PART_ID], r["run_id"]))
+    if meta is None:
         raise FileNotFoundError(f"no table meta in manifest at {manifest_path}")
-    return json.loads(row[0]["table_meta"])
-
-
-def valid_block_keys(spark: SparkSession, manifest_path: str):
-    """(part_id, run_id) pairs committed to the manifest — the join key
-    that makes orphan blocks from crashed runs invisible."""
-    return (
-        spark.read.parquet(manifest_path)
-        .filter(F.col("column") != META_KEY)
-        .select(PART_ID, "run_id").distinct()
-    )
+    return meta, sorted(pairs)

@@ -27,12 +27,16 @@ def get_session(app: str = "boltspark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Arrow batch size: the streaming window of the engine
         # (StreamingByteBuffer analog) — rows per batch into mapInArrow
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", driver_memory)
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
+    if os.path.isdir("/dev/shm"):
+        # this host's disk contends badly under parallel shuffle I/O;
+        # tmpfs spill measurably improves scaling (see BENCH/BASELINE.md)
+        b = b.config("spark.local.dir", "/dev/shm/boltspark-spark-local")
     spark = b.getOrCreate()
     if ship:
         from .shipping import ship_package
