@@ -178,6 +178,24 @@ def _q_manifest_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip a mixed-type table (bigint/int/double/varchar/timestamp):
+    temporal columns ride as epoch integers through FoR/bitpack."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_li_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    )
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boltspark.pipeline import textstats
 
@@ -277,6 +295,7 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
+        "roundtrip_lineitem": _q_roundtrip_lineitem,
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
         "selector_stats": _q_selector_stats,
@@ -298,6 +317,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_documents": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "roundtrip_lineitem": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+            "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, "
+            "l_linestatus, l_shipdate FROM lineitem"
         ),
         "decode_range_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "

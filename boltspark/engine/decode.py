@@ -189,12 +189,16 @@ def decode_table(
 
     schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
     field_by_name = {f.name: f for f in schema.fields}
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     out_types = {}
     out_fields = []
     for c in out_cols:
         t = field_by_name[c].dataType
         out_types[c] = {
             "string": pa.string(), "binary": pa.binary(),
+            "timestamp": pa.timestamp("us", tz=tz),
+            "timestamp_ntz": pa.timestamp("us"),
+            "date": pa.date32(),
             **{k: v for k, v in _FIXED_STRUCT.items()},
         }[t.typeName()]
         out_fields.append(T.StructField(c, t, True))

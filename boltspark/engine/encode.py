@@ -33,7 +33,8 @@ from .partitioner import (
     num_partitions,
     with_partition_id,
 )
-from .schema import BLOCKS_ARROW_SCHEMA, BLOCKS_SPARK_SCHEMA, PART_ID, tag_for_arrow_type
+from .schema import (BLOCKS_ARROW_SCHEMA, BLOCKS_SPARK_SCHEMA, PART_ID,
+                     storage_cast, tag_for_arrow_type)
 
 DEFAULT_BLOCK_BYTES = 4 << 20
 DEFAULT_KEY_COLS = ("repo", "path", "commit")
@@ -133,6 +134,7 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
                 tag = tag_for_arrow_type(arr.type)
+                arr = storage_cast(arr)
                 t0 = time.perf_counter()
                 values, validity = _to_kernel(arr, tag)
                 key = (part_id, name)

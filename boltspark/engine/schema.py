@@ -63,10 +63,30 @@ def tag_for_arrow_type(t: pa.DataType) -> str:
         return "bytes"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "bytes"
+    # temporal types ride as their epoch integers (FoR loves timestamps:
+    # a partition's values cluster tightly around one reference)
+    if pa.types.is_timestamp(t):
+        return "i64"
+    if pa.types.is_date32(t):
+        return "i32"
+    if pa.types.is_date64(t):
+        return "i64"
     raise TypeError(
         f"unsupported column type {t} (reference likewise rejects INT96/FLBA:"
         " primitive_column_reader.rs:450-455)"
     )
+
+
+def storage_cast(arr: pa.Array) -> pa.Array:
+    """Cast temporal arrays to their integer storage before encoding."""
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        return arr.cast(pa.int64())
+    if pa.types.is_date32(t):
+        return arr.cast(pa.int32())
+    if pa.types.is_date64(t):
+        return arr.cast(pa.int64())
+    return arr
 
 
 def arrow_type_for_tag(tag: str, original: str | None = None) -> pa.DataType:
