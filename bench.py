@@ -118,6 +118,27 @@ def main() -> None:
     extras["bytes_parquet"] = theirs
     extras["vs_parquet"] = round(ours / max(theirs, 1), 4)
 
+    # --- point query: decode two partitions only ---------------------------
+    t0 = time.time()
+    point = decode_table(spark, f"{work}/blocks", f"{work}/manifest",
+                         columns=["repo", "lang"], part_ids=[0, 1])
+    extras["point_query_rows"] = point.count()
+    queries["decode_point_query"] = round(time.time() - t0, 3)
+
+    # --- skew evidence: partition byte histogram from the manifest ---------
+    man = spark.read.parquet(f"{work}/manifest").filter(
+        F.col("column") != "__table_meta__")
+    part_bytes = (
+        man.groupBy("part_id").agg(F.sum("raw_bytes").alias("b"))
+        .agg(F.min("b").alias("mn"), F.expr("percentile(b, 0.5)").alias("p50"),
+             F.expr("percentile(b, 0.95)").alias("p95"), F.max("b").alias("mx"))
+        .collect()[0]
+    )
+    extras["partition_bytes"] = {
+        "min": int(part_bytes["mn"]), "p50": int(part_bytes["p50"]),
+        "p95": int(part_bytes["p95"]), "max": int(part_bytes["mx"]),
+    }
+
     # --- driver-testdata flagship -----------------------------------------
     import __spark_entry__ as entrymod
 

@@ -170,8 +170,15 @@ def decode_table(
     predicate: Predicate | None = None,
     include_part_id: bool = False,
     n_tasks: int | None = None,
+    part_ids: list[int] | None = None,
 ):
-    """Reconstruct the encoded table (or a projected, filtered slice)."""
+    """Reconstruct the encoded table (or a projected, filtered slice).
+
+    ``part_ids`` is the point-query path: only the named partitions'
+    blocks are ever read (parquet predicate pushdown on part_id — the
+    analog of the reference's skip() hopping whole row groups from
+    footer arithmetic, local_file_reader.rs:126-171).
+    """
     from pyspark.sql import functions as F, types as T
 
     meta, valid_pairs = manifestmod.load(spark, manifest_path)
@@ -206,12 +213,18 @@ def decode_table(
         out_fields.append(T.StructField(PART_ID, T.LongType(), False))
     out_schema = T.StructType(out_fields)
 
+    if part_ids is not None:
+        wanted = set(part_ids)
+        valid_pairs = [p for p in valid_pairs if p[0] in wanted]
     valid = spark.createDataFrame(valid_pairs, f"{PART_ID} long, run_id string")
     blocks = (
         spark.read.parquet(blocks_path)
         .join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
         .filter(F.col("column").isin(read_cols))
     )
+    if part_ids is not None:
+        # explicit scan-level filter so pruning shows in PushedFilters
+        blocks = blocks.filter(F.col(PART_ID).isin(list(wanted)))
     if n_tasks is None:
         n_tasks = max(spark.sparkContext.defaultParallelism,
                       min(int(meta["n_parts"]), 2048))

@@ -29,7 +29,7 @@ from . import manifest as manifestmod
 from .partitioner import (
     DEFAULT_TARGET_PARTITION_BYTES,
     PART_COL,
-    estimate_bytes,
+    estimate_bytes_fast,
     num_partitions,
     with_partition_id,
 )
@@ -233,21 +233,24 @@ def encode_table(
     columns = list(columns or df.columns)
     run_id = uuid.uuid4().hex[:12]
 
+    done: set[int] = set()
+    if resume:
+        done = manifestmod.completed_partitions(spark, manifest_path)
+        if done and n_parts is None:
+            # partition assignment must be the pure function of the data
+            # it was on the first run: reuse the recorded partition count
+            n_parts = int(manifestmod.table_meta(spark, manifest_path)["n_parts"])
     if n_parts is None:
-        total_bytes = estimate_bytes(df, columns)
+        total_bytes = estimate_bytes_fast(df, columns)
         n_parts = num_partitions(total_bytes, target_partition_bytes,
                                  min_parts=spark.sparkContext.defaultParallelism)
 
     keyed = with_partition_id(df.select(*dict.fromkeys(list(key_cols) + columns)),
                               key_cols, n_parts)
+    if done:
+        from pyspark.sql import functions as F
 
-    done: set[int] = set()
-    if resume:
-        done = manifestmod.completed_partitions(spark, manifest_path)
-        if done:
-            from pyspark.sql import functions as F
-
-            keyed = keyed.filter(~F.col(PART_COL).isin(list(done)))
+        keyed = keyed.filter(~F.col(PART_COL).isin(list(done)))
     n_planned = n_parts - len(done)
 
     blocks = keyed.mapInArrow(
