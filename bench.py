@@ -30,6 +30,50 @@ def _dir_bytes(path: str) -> int:
     )
 
 
+def _codec_microbench(df) -> dict:
+    """Single-core encode/decode MB/s per codec on one 4 MB block of the
+    corpus (driver-side; numpy kernels only, no Spark in the loop)."""
+    import numpy as np
+
+    from boltspark.kernels import block as blockmod
+    from boltspark.kernels import fsst, strings
+
+    pdf = df.select("content", "repo").limit(2000).toPandas()
+    col = strings.from_pylist([s.encode() for s in pdf["content"]])
+    # ~4 MB of medium-cardinality strings for the dictionary codec
+    repos = strings.from_pylist(
+        [s.encode() for s in pdf["repo"]] * (1 + (4 << 20) // max(
+            1, int(pdf["repo"].str.len().sum()))))
+    n_ints = 1 << 19  # 4 MB of int64
+    ints = (np.arange(n_ints, dtype=np.int64) % 1000) + 10**9
+    out = {}
+
+    def run(name, values, tag, codec, outer=None, **kw):
+        raw = values.nbytes if hasattr(values, "nbytes") else len(values.data)
+        if hasattr(values, "offsets"):
+            raw = len(values.data)
+        best_e = best_d = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            blk = blockmod.encode_block(values, tag, codec, outer=outer, **kw)
+            best_e = min(best_e, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            blockmod.decode_block(blk)
+            best_d = min(best_d, time.perf_counter() - t0)
+        out[name] = {"enc_MBps": round(raw / 1e6 / best_e, 1),
+                     "dec_MBps": round(raw / 1e6 / best_d, 1),
+                     "ratio": round(len(blk) / max(raw, 1), 4)}
+
+    run("plain_zstd", col, "bytes", "plain", outer="zstd")
+    run("dict", repos, "bytes", "dict")
+    table = fsst.build_symbol_table(col.data[: 1 << 15])
+    run("fsst", col, "bytes", "fsst", fsst_table=table)
+    run("for", ints, "i64", "for")
+    run("rle", np.repeat(np.arange(n_ints // 50, dtype=np.int64), 50), "i64", "rle")
+    run("bitpack", (ints - 10**9).astype(np.int64), "i64", "bitpack")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -146,6 +190,9 @@ def main() -> None:
     rows = entrymod._q_roundtrip_documents(spark, sf_dir).count()
     queries["roundtrip_documents"] = round(time.time() - t0, 3)
     extras["documents_rows"] = rows
+
+    # --- per-codec kernel microbench (single core, one 4 MB block) ---------
+    extras["codec_mbps"] = _codec_microbench(df)
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({

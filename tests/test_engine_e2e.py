@@ -141,3 +141,28 @@ def test_corpus_determinism():
                   return_counts=True)[1]
     )
     assert skew.max() / 500 > 0.05  # zipf head is heavy
+
+
+def test_point_query_reads_only_named_partitions(spark, corpus_df, encoded):
+    from pyspark.sql import functions as F
+
+    full = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                        columns=["repo"], include_part_id=True)
+    by_part = dict(full.groupBy("part_id").count().collect())
+    some = sorted(by_part)[:2]
+    point = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                         columns=["repo"], part_ids=some)
+    assert point.count() == sum(by_part[p] for p in some)
+    # pruning reaches the blocks scan
+    plan = point._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("part_id" in ln for ln in pushed), pushed
+
+
+def test_resume_reuses_partition_count(spark, corpus_df, encoded):
+    # a resume run derives nothing from fresh estimates: it reuses the
+    # manifest's n_parts, so partition ids stay aligned with round one
+    res2 = encode_table(corpus_df, encoded.out_path, encoded.manifest_path,
+                        target_partition_bytes=123456789, resume=True)
+    assert res2.n_partitions == encoded.n_partitions
+    assert res2.n_planned == 0
