@@ -115,7 +115,7 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
 
     def decode_stream(batches):
         pending: dict[str, dict] = {}  # column -> row dict, current group
-        current: tuple[int, int] | None = None
+        current: tuple[int, str, int] | None = None  # (part, run, seq)
 
         def flush():
             nonlocal pending
@@ -148,7 +148,7 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
         for batch in batches:
             d = batch.to_pylist()
             for row in d:
-                key = (row[PART_ID], row["seq"])
+                key = (row[PART_ID], row["run_id"], row["seq"])
                 if key != current:
                     out = flush()
                     if out is not None:
@@ -229,7 +229,7 @@ def decode_table(
         n_tasks = max(spark.sparkContext.defaultParallelism,
                       min(int(meta["n_parts"]), 2048))
     blocks = blocks.repartition(n_tasks, F.col(PART_ID)).sortWithinPartitions(
-        PART_ID, "seq"
+        PART_ID, "run_id", "seq"  # appended runs are separate block groups
     )
     return blocks.mapInArrow(
         _make_decoder(read_cols, out_cols, out_types, predicate, include_part_id),

@@ -220,6 +220,7 @@ def encode_table(
     outer: str | None = "zstd",
     resume: bool = True,
     n_parts: int | None = None,
+    run_id: str | None = None,
 ) -> EncodeResult:
     """Encode ``columns`` of ``df`` into a blocks dataset + manifest.
 
@@ -231,7 +232,12 @@ def encode_table(
     t_start = time.time()
     spark = df.sparkSession
     columns = list(columns or df.columns)
-    run_id = uuid.uuid4().hex[:12]
+    run_id = run_id or uuid.uuid4().hex[:12]
+    if manifestmod.run_exists(spark, manifest_path, run_id):
+        # idempotent replay (streaming epoch retried after a successful
+        # commit): the data is already fully manifested — do nothing
+        return EncodeResult(out_path, manifest_path, run_id, 0, 0, 0, 0,
+                            time.time() - t_start)
 
     done: set[int] = set()
     if resume:

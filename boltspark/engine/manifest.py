@@ -28,6 +28,16 @@ def _exists(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def run_exists(spark: SparkSession, manifest_path: str, run_id: str) -> bool:
+    """True if this run id already committed (idempotent epoch replay)."""
+    if not _exists(spark, manifest_path):
+        return False
+    return bool(
+        spark.read.parquet(manifest_path)
+        .filter(F.col("run_id") == run_id).limit(1).collect()
+    )
+
+
 def completed_partitions(spark: SparkSession, manifest_path: str) -> set[int]:
     if not _exists(spark, manifest_path):
         return set()
