@@ -114,6 +114,18 @@ def _q_decode_null_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decode_dict_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-level equality pushdown: lang = 'en' evaluated once per
+    distinct dictionary entry, mapped over codes (reference #16 made
+    real for byte arrays)."""
+    from boltspark.engine.filters import BytesEqPredicate
+
+    pred = BytesEqPredicate(column="lang", value=b"en")
+    _, decoded = _encode_decode_documents(
+        spark, sf_dir, predicate=pred, columns=["doc_id", "lang"])
+    return decoded.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
 def _q_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-selector statistics as a declarative aggregation: distinct
     count, distinct ratio and average byte length per string column."""
@@ -298,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem": _q_roundtrip_lineitem,
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
+        "decode_dict_eq": _q_decode_dict_eq,
         "selector_stats": _q_selector_stats,
         "run_length_stats": _q_run_length_stats,
         "manifest_rowcounts": _q_manifest_rowcounts,
@@ -330,6 +343,10 @@ def oracle_sql() -> dict[str, str]:
         "decode_null_allowed": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE n_chars >= 500 OR n_chars IS NULL"
+        ),
+        "decode_dict_eq": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE lang = 'en' AND lang IS NOT NULL"
         ),
         "selector_stats": (
             "SELECT * FROM ("

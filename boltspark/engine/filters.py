@@ -173,6 +173,49 @@ class ConstPredicate(Predicate):
 
 
 @dataclass
+class BytesEqPredicate(Predicate):
+    """Byte-array equality — the canonical dictionary-pushdown predicate
+    (lang = 'py'): evaluated once against the sorted dictionary, O(1)
+    per row afterwards (dictionary_page_*_with_filters.rs made real for
+    byte arrays)."""
+
+    column: str
+    value: bytes = b""
+    null_allowed: bool = False
+
+    def check(self, values) -> np.ndarray:
+        return self.check_bytes(values)
+
+    def check_bytes(self, col) -> np.ndarray:
+        from ..kernels.strings import StringColumn
+
+        assert isinstance(col, StringColumn)
+        vlen = len(self.value)
+        out = col.lengths() == vlen
+        if vlen:
+            idx = np.nonzero(out)[0]
+            pv = np.frombuffer(self.value, dtype=np.uint8)
+            src = np.frombuffer(col.data, dtype=np.uint8)
+            starts = col.offsets[idx]
+            ok = np.ones(len(idx), dtype=bool)
+            for k in range(vlen):
+                ok &= src[starts + k] == pv[k]
+            out[idx] = ok
+        return out
+
+    def to_spark_condition(self):
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        cond = c == self.value.decode("utf-8")
+        if self.null_allowed:
+            cond = cond | c.isNull()
+        else:
+            cond = cond & c.isNotNull()
+        return cond
+
+
+@dataclass
 class BytesPrefixPredicate(Predicate):
     """Byte-array predicate: value starts with ``prefix`` — exercises the
     byte-array dictionary filter path the reference left unimplemented."""
