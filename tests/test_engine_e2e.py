@@ -166,3 +166,31 @@ def test_resume_reuses_partition_count(spark, corpus_df, encoded):
                         target_partition_bytes=123456789, resume=True)
     assert res2.n_partitions == encoded.n_partitions
     assert res2.n_planned == 0
+
+
+def test_edge_cases(spark, tmp_path):
+    d = str(tmp_path)
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    # empty input table
+    empty = spark.createDataFrame([], schema)
+    encode_table(empty, f"{d}/e/b", f"{d}/e/m", n_parts=2)
+    assert decode_table(spark, f"{d}/e/b", f"{d}/e/m").count() == 0
+
+    # all-null column round-trips as all-null
+    df2 = spark.range(50).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit(None).cast("string").alias("lang"),
+        F.lit("body").alias("content"))
+    encode_table(df2, f"{d}/n/b", f"{d}/n/m", n_parts=2)
+    back = decode_table(spark, f"{d}/n/b", f"{d}/n/m")
+    assert back.filter(F.col("lang").isNull()).count() == 50
+
+    # single row; empty string + multi-MB string in one table
+    big = "x" * (3 << 20)
+    df4 = spark.createDataFrame(
+        [("r", "p1", "c", "py", ""), ("r", "p2", "c", "py", big)], schema)
+    encode_table(df4, f"{d}/h/b", f"{d}/h/m", n_parts=1)
+    rows = {r["path"]: len(r["content"])
+            for r in decode_table(spark, f"{d}/h/b", f"{d}/h/m").collect()}
+    assert rows == {"p1": 0, "p2": 3 << 20}
