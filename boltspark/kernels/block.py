@@ -151,10 +151,17 @@ def decode_values(payload: bytes, meta: dict, n: int, tag: str, codec: str):
 # ---------------------------------------------------------------------------
 
 
+# zstd level 3 beats level 1 on both ratio AND speed for redundant text
+# (long-match search pays for itself); other codecs use their defaults
+OUTER_LEVELS = {"zstd": 3}
+
+
 def _outer_compress(payload: bytes, outer: str) -> bytes:
     import pyarrow as pa
 
-    return pa.Codec(outer).compress(payload, asbytes=True)
+    level = OUTER_LEVELS.get(outer)
+    codec = pa.Codec(outer, compression_level=level) if level else pa.Codec(outer)
+    return codec.compress(payload, asbytes=True)
 
 
 def _outer_decompress(payload: bytes, outer: str, raw_len: int) -> bytes:
