@@ -194,3 +194,32 @@ def test_edge_cases(spark, tmp_path):
     rows = {r["path"]: len(r["content"])
             for r in decode_table(spark, f"{d}/h/b", f"{d}/h/m").collect()}
     assert rows == {"p1": 0, "p2": 3 << 20}
+
+
+def test_pathological_skew_is_defused(spark, tmp_path):
+    """One repo holding 60% of all bytes must still spread ~evenly:
+    partition identity hashes (repo, path, commit), not repo alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 3000
+    giant = int(n * 0.6)
+    rows = {
+        "repo": ["megacorp/monorepo"] * giant
+                + [f"org{i % 40}/r{i % 97}" for i in range(n - giant)],
+        "path": [f"src/f{i}.py" for i in range(n)],
+        "commit": [f"{i:040x}" for i in range(n)],
+        "lang": ["py"] * n,
+        "content": [f"def f{i}():\n    return {i} " * 40 for i in range(n)],
+    }
+    path = str(tmp_path / "skew.parquet")
+    pq.write_table(pa.table(rows), path, row_group_size=512)
+    df = spark.read.parquet(path)
+    res = encode_table(df, str(tmp_path / "b"), str(tmp_path / "m"), n_parts=8)
+    man = spark.read.parquet(str(tmp_path / "m")).filter(
+        F.col("column") == "content")
+    per_part = [r["raw_bytes"] for r in man.select("raw_bytes").collect()]
+    assert len(per_part) == 8
+    assert max(per_part) / (sum(per_part) / len(per_part)) < 1.5, per_part
+    # and the round trip still holds
+    assert decode_table(spark, str(tmp_path / "b"), str(tmp_path / "m")).count() == n
