@@ -167,8 +167,8 @@ def main() -> None:
     lines += [
         "",
         "Cache-resident working sets scale near-linearly to 32 procs;",
-        "DRAM-streaming sets invert (64 MB x 32 procs is ~100x slower than",
-        "64 MB x 8). The engine is tuned for it (4 MB blocks, 2048-row Arrow",
+        "DRAM-streaming sets collapse by orders of magnitude (see the",
+        "64 MB rows). The engine is tuned for it (4 MB blocks, 2048-row Arrow",
         "batches), but a 32-worker Spark job necessarily streams beyond the",
         "budget, so the widest pairs measure the host, not the engine. The",
         "narrowest (N -> 4N) pair stays inside the budget and reflects the",

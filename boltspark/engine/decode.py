@@ -110,9 +110,7 @@ def _emit_columns(col_blocks: dict, out_cols: list[str], out_types: dict,
 
 
 def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
-                  predicate: Predicate | None, include_part_id: bool):
-    pred_col = predicate.column if predicate is not None else None
-
+                  predicates: list[Predicate], include_part_id: bool):
     def decode_stream(batches):
         pending: dict[str, dict] = {}  # column -> row dict, current group
         current: tuple[int, str, int] | None = None  # (part, run, seq)
@@ -125,14 +123,21 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
             if missing:
                 raise ValueError(f"blocks missing for columns {missing} "
                                  f"in group {current} — corrupt dataset")
+            # conjunctive cascade (row_group_reader.rs:204-258): each
+            # predicate column narrows the surviving mask in turn; an
+            # all-false mask short-circuits the remaining columns
             mask = None
-            if predicate is not None:
-                verdict, mask = _decode_mask(
-                    pending[pred_col]["block"], pending[pred_col]["stats"], predicate
-                )
+            for pred in predicates:
+                row = pending[pred.column]
+                verdict, pmask = _decode_mask(row["block"], row["stats"], pred)
                 if verdict == "none":
                     pending = {}
                     return None
+                if pmask is not None:
+                    mask = pmask if mask is None else (mask & pmask)
+                    if not mask.any():
+                        pending = {}
+                        return None
             out = _emit_columns(
                 {c: pending[c]["block"] for c in out_cols}, out_cols, out_types, mask
             )
@@ -167,12 +172,17 @@ def decode_table(
     blocks_path: str,
     manifest_path: str,
     columns: list[str] | None = None,
-    predicate: Predicate | None = None,
+    predicate: Predicate | list[Predicate] | None = None,
     include_part_id: bool = False,
     n_tasks: int | None = None,
     part_ids: list[int] | None = None,
 ):
     """Reconstruct the encoded table (or a projected, filtered slice).
+
+    ``predicate`` may be a list: predicates are ANDed as a cascade —
+    each filter column decodes in turn and narrows the surviving mask,
+    short-circuiting the rest of the block group when it empties (the
+    reference's multi-column read_with_filter cascade, SURVEY.md §3.2).
 
     ``part_ids`` is the point-query path: only the named partitions'
     blocks are ever read (parquet predicate pushdown on part_id — the
@@ -188,11 +198,14 @@ def decode_table(
     if unknown:
         # column resolution by name, unknown -> error (row_group_reader.rs:107-113)
         raise KeyError(f"unknown columns {unknown}; encoded: {all_cols}")
+    predicates = ([] if predicate is None
+                  else predicate if isinstance(predicate, list) else [predicate])
     read_cols = list(out_cols)
-    if predicate is not None and predicate.column not in read_cols:
-        read_cols.append(predicate.column)
-        if predicate.column not in all_cols:
-            raise KeyError(f"predicate column {predicate.column} not encoded")
+    for pred in predicates:
+        if pred.column not in all_cols:
+            raise KeyError(f"predicate column {pred.column} not encoded")
+        if pred.column not in read_cols:
+            read_cols.append(pred.column)
 
     schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
     field_by_name = {f.name: f for f in schema.fields}
@@ -232,6 +245,6 @@ def decode_table(
         PART_ID, "run_id", "seq"  # appended runs are separate block groups
     )
     return blocks.mapInArrow(
-        _make_decoder(read_cols, out_cols, out_types, predicate, include_part_id),
+        _make_decoder(read_cols, out_cols, out_types, predicates, include_part_id),
         out_schema,
     )

@@ -223,3 +223,21 @@ def test_pathological_skew_is_defused(spark, tmp_path):
     assert max(per_part) / (sum(per_part) / len(per_part)) < 1.5, per_part
     # and the round trip still holds
     assert decode_table(spark, str(tmp_path / "b"), str(tmp_path / "m")).count() == n
+
+
+def test_multi_predicate_cascade_matches_catalyst(spark, corpus_df, encoded):
+    """Conjunctive AND cascade across columns (the reference's
+    read_with_filter, row_group_reader.rs:204-258)."""
+    preds = [
+        BytesPrefixPredicate(column="repo", prefix=b"org"),
+        RangePredicate(column="stars", lower=10_000, upper=90_000),
+        BytesPrefixPredicate(column="lang", prefix=b"p"),
+    ]
+    ours = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                        columns=["repo", "lang", "stars"], predicate=preds)
+    cond = preds[0].to_spark_condition()
+    for p in preds[1:]:
+        cond = cond & p.to_spark_condition()
+    theirs = corpus_df.select("repo", "lang", "stars").filter(cond)
+    assert ours.count() == theirs.count()
+    assert ours.exceptAll(theirs).count() + theirs.exceptAll(ours).count() == 0
