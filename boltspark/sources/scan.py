@@ -1,0 +1,112 @@
+"""Parquet scan API + CLI with the reference's exact user surface.
+
+bolt-parquet-reader's entire user-facing query surface is
+``reader_cli -f files -c "a;b" -l batch_size [-p -s skip]``
+(/root/reference/examples/reader_cli.rs:32-143): projected,
+predicate-filtered, batched, skip-offset streaming scans over parquet.
+This module is the drop-in equivalent on Spark — a user of the
+reference can run every query they run today:
+
+    python -m boltspark.sources.scan -f data.parquet -c "a;b" -l 10000
+    python -m boltspark.sources.scan -f data.parquet -c a -p -s 100000 -l 50
+
+Filters map to the same null-aware predicate objects the decode engine
+uses (engine.filters); projection/pushdown ride Catalyst's built-in
+ColumnPruning / PushDownPredicate (SURVEY.md §4: "free").
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from collections.abc import Iterator
+
+from ..engine.filters import Predicate
+
+
+def scan(
+    spark,
+    files: list[str] | str,
+    columns: list[str] | None = None,
+    filters: list[Predicate] | None = None,
+    skip: int = 0,
+    limit: int | None = None,
+):
+    """Projected, filtered, offset scan — LocalFileReader::from_local_file
+    + read + skip semantics (local_file_reader.rs:49-171) as one
+    DataFrame.  ``skip``/``limit`` follow the file's row order like the
+    reference's point query."""
+    from pyspark.sql import functions as F
+
+    if isinstance(files, str):
+        files = [files]
+    df = spark.read.parquet(*files)
+    if columns:
+        unknown = set(columns) - set(df.columns)
+        if unknown:  # row_group_reader.rs:107-113: unknown column -> error
+            raise KeyError(f"unknown columns {unknown}; file has {df.columns}")
+    for pred in filters or []:
+        df = df.filter(pred.to_spark_condition())
+    if skip or limit is not None:
+        df = df.withColumn(
+            "__row", F.monotonically_increasing_id()
+        )
+        w_cols = columns or [c for c in df.columns if c != "__row"]
+        rows = df.orderBy("__row")
+        if skip:
+            rows = rows.offset(skip)
+        if limit is not None:
+            rows = rows.limit(limit)
+        df = rows.select(*w_cols)
+    elif columns:
+        df = df.select(*columns)
+    return df
+
+
+def scan_batches(spark, files, columns=None, filters=None,
+                 batch_size: int = 10_000, skip: int = 0,
+                 limit: int | None = None) -> Iterator:
+    """Streaming batch iterator — the shape of the reference's
+    ``loop { read(batch_size) }`` (reader_cli.rs:126-130): yields Arrow
+    RecordBatches without materializing the result."""
+    df = scan(spark, files, columns, filters, skip, limit)
+    yield from df.toArrow().to_batches(max_chunksize=batch_size)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(
+        description="bolt-parquet-reader reader_cli equivalent on Spark")
+    ap.add_argument("-f", "--files", required=True,
+                    help="parquet file(s), ';'-separated")
+    ap.add_argument("-c", "--columns", default=None,
+                    help="columns to read, ';'-separated")
+    ap.add_argument("-l", "--batch-size", type=int, default=10_000)
+    ap.add_argument("-p", "--point-query", action="store_true")
+    ap.add_argument("-s", "--skip", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..engine.session import get_session
+
+    spark = get_session("boltspark-scan")
+    spark.sparkContext.setLogLevel("ERROR")
+    files = args.files.split(";")
+    columns = args.columns.split(";") if args.columns else None
+
+    t0 = time.time()
+    if args.point_query:  # skip then one bounded read (reader_cli.rs:83-110)
+        batches = scan_batches(spark, files, columns, skip=args.skip,
+                               limit=args.batch_size)
+    else:
+        batches = scan_batches(spark, files, columns,
+                               batch_size=args.batch_size)
+    total = 0
+    for b in batches:
+        total += b.num_rows
+    print(f"read {total} rows in {(time.time() - t0) * 1000:.0f} ms",
+          file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

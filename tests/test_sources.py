@@ -50,3 +50,33 @@ def test_encode_from_iceberg_snapshot(spark, tmp_path):
     orig = df.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
     back = decoded.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
     assert orig.exceptAll(back).count() + back.exceptAll(orig).count() == 0
+
+
+def test_scan_reader_cli_parity(spark):
+    """The reference's reader_cli surface: projection, filter, batch
+    iteration, skip/point query (examples/reader_cli.rs:32-143)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from boltspark.engine.filters import RangePredicate
+    from boltspark.sources.scan import scan, scan_batches
+
+    f = "/root/testdata/sf0.001/lineitem.parquet"
+    assert scan(spark, f, columns=["l_orderkey", "l_quantity"]).columns == [
+        "l_orderkey", "l_quantity"]
+    flt = scan(spark, f, columns=["l_quantity"],
+               filters=[RangePredicate(column="l_quantity", lower=10, upper=20)])
+    expect = spark.read.parquet(f).filter(
+        (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+        & F.col("l_quantity").isNotNull()).count()
+    assert flt.count() == expect
+    # point query: skip into the tail, bounded read; skip past EOF reads 0
+    n_rows = spark.read.parquet(f).count()
+    assert scan(spark, f, columns=["l_orderkey"], skip=n_rows - 7, limit=50).count() == 7
+    assert scan(spark, f, columns=["l_orderkey"], skip=n_rows + 1, limit=5).count() == 0
+    # streaming batches cover every row exactly once
+    total = sum(b.num_rows for b in scan_batches(spark, f, ["l_orderkey"],
+                                                 batch_size=1000))
+    assert total == n_rows
+    with pytest.raises(KeyError):
+        scan(spark, f, columns=["nope"])
