@@ -91,7 +91,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # deterministic corpus sized to the scale factor (~2 GB/sf of content)
-    mb = int(os.environ.get("BOLTSPARK_BENCH_MB", max(32, int(2048 * sf))))
+    mb = int(os.environ.get("BOLTSPARK_BENCH_MB", max(32, int(4096 * sf))))
     n_rows = int(mb * 1e6 / 2600)  # mean content length ≈ 2.6 KB
     corpus_path = f"/tmp/boltspark_bench_corpus_{n_rows}.parquet"
     if not os.path.exists(corpus_path):
