@@ -176,6 +176,7 @@ def decode_table(
     include_part_id: bool = False,
     n_tasks: int | None = None,
     part_ids: list[int] | None = None,
+    shuffle: bool = True,
 ):
     """Reconstruct the encoded table (or a projected, filtered slice).
 
@@ -183,6 +184,14 @@ def decode_table(
     each filter column decodes in turn and narrows the surviving mask,
     short-circuiting the rest of the block group when it empties (the
     reference's multi-column read_with_filter cascade, SURVEY.md §3.2).
+
+    ``shuffle=False`` is the zero-shuffle fast path: block groups are
+    contiguous in the files the encoder wrote, and Spark never splits a
+    parquet file smaller than spark.sql.files.maxPartitionBytes
+    (128 MB), so the scan's own task layout already satisfies the
+    decoder's contiguity contract.  Use only when every blocks file is
+    under that limit (the default 64 MB partitions guarantee it);
+    appended datasets and the default path keep the repartition.
 
     ``part_ids`` is the point-query path: only the named partitions'
     blocks are ever read (parquet predicate pushdown on part_id — the
@@ -238,12 +247,13 @@ def decode_table(
     if part_ids is not None:
         # explicit scan-level filter so pruning shows in PushedFilters
         blocks = blocks.filter(F.col(PART_ID).isin(list(wanted)))
-    if n_tasks is None:
-        n_tasks = max(spark.sparkContext.defaultParallelism,
-                      min(int(meta["n_parts"]), 2048))
-    blocks = blocks.repartition(n_tasks, F.col(PART_ID)).sortWithinPartitions(
-        PART_ID, "run_id", "seq"  # appended runs are separate block groups
-    )
+    if shuffle:
+        if n_tasks is None:
+            n_tasks = max(spark.sparkContext.defaultParallelism,
+                          min(int(meta["n_parts"]), 2048))
+        blocks = blocks.repartition(n_tasks, F.col(PART_ID)).sortWithinPartitions(
+            PART_ID, "run_id", "seq"  # appended runs are separate block groups
+        )
     return blocks.mapInArrow(
         _make_decoder(read_cols, out_cols, out_types, predicates, include_part_id),
         out_schema,
