@@ -208,6 +208,21 @@ def _q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the events stream table (timestamp/double/JSON-string
+    props) — the event-log shape of a training-data pipeline."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_ev_")
+    encode_table(ev, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("event_id",), target_partition_bytes=4 << 20,
+                 resume=False)
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from boltspark.pipeline import textstats
 
@@ -308,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
         "roundtrip_lineitem": _q_roundtrip_lineitem,
+        "roundtrip_events": _q_roundtrip_events,
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
         "decode_dict_eq": _q_decode_dict_eq,
@@ -335,6 +351,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
             "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, "
             "l_linestatus, l_shipdate FROM lineitem"
+        ),
+        "roundtrip_events": (
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events"
         ),
         "decode_range_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
