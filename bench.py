@@ -66,7 +66,7 @@ def _codec_microbench(df) -> dict:
 
     run("plain_zstd", col, "bytes", "plain", outer="zstd")
     run("dict", repos, "bytes", "dict")
-    table = fsst.build_symbol_table(col.data[: 1 << 15])
+    table = fsst.build_symbol_table_best(col.data[: 1 << 15])
     run("fsst", col, "bytes", "fsst", fsst_table=table)
     run("for", ints, "i64", "for")
     run("rle", np.repeat(np.arange(n_ints // 50, dtype=np.int64), 50), "i64", "rle")

@@ -141,7 +141,7 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
                 choice = choice_cache.get(key)
                 if choice is None:
                     if tag == "bytes" and name not in fsst_tables:
-                        fsst_tables[name] = fsst.build_symbol_table(
+                        fsst_tables[name] = fsst.build_symbol_table_best(
                             values.data[: fsst._DEFAULT_SAMPLE])
                     choice = selector.choose(values, tag, outer=outer,
                                              fsst_table=fsst_tables.get(name))

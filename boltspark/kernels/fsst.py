@@ -95,6 +95,25 @@ def build_symbol_table(sample: bytes, generations: int = _GENERATIONS) -> list[b
     return table
 
 
+def build_symbol_table_best(sample: bytes,
+                            candidates: tuple[int, ...] = (2, 3, 4)) -> list[bytes]:
+    """The iterative builder oscillates with generation count (corpus
+    dependent); trial-encode the sample under each candidate table and
+    keep the smallest.  Built once per column per task, so the extra
+    builds amortize away."""
+    if not sample:
+        return []
+    best_table: list[bytes] = []
+    best_size = None
+    probe = StringColumn(np.array([0, len(sample)], dtype=np.int64), sample)
+    for g in candidates:
+        table = build_symbol_table(sample, generations=g)
+        payload, _ = encode(probe, table=table)
+        if best_size is None or len(payload) < best_size:
+            best_table, best_size = table, len(payload)
+    return best_table
+
+
 def _sliding_windows(buf: np.ndarray) -> np.ndarray:
     """uint64 little-endian 8-byte window starting at each position."""
     n = len(buf)
