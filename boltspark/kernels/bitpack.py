@@ -34,7 +34,15 @@ def packed_size(n: int, width: int) -> int:
 
 
 def pack(values: np.ndarray, width: int) -> bytes:
-    """Pack a non-negative integer array into ``width``-bit little-endian codes."""
+    """Pack a non-negative integer array into ``width``-bit little-endian codes.
+
+    Group-of-8 word method (FastLanes-flavored): 8 values occupy exactly
+    ``width`` bytes, and within a group each lane's bit offset is fixed
+    (lane j starts at bit j*width), so every lane's byte contributions
+    land at constant byte positions across ALL groups — each is one
+    vectorized shift+OR over the group axis (~width+8 element-ops per
+    8 values, vs width per value for a bit-matrix).
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if width == 0:
@@ -45,20 +53,34 @@ def pack(values: np.ndarray, width: int) -> bytes:
         raise ValueError(f"invalid bit width {width}")
     if n == 0:
         return b""
-    if n and int(v.max()) >> width:
+    if int(v.max()) >> width:
         raise ValueError("value does not fit in bit width")
-    shifts = np.arange(width, dtype=np.uint64)
-    # process in chunks whose bit counts are byte-aligned (CHUNK*width % 8 == 0)
-    out = []
-    for lo in range(0, n, _CHUNK):
-        chunk = v[lo : lo + _CHUNK]
-        bits = ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-        out.append(np.packbits(bits.reshape(-1), bitorder="little").tobytes())
-    return b"".join(out)
+    pad = (-n) % 8
+    if pad:
+        v = np.concatenate((v, np.zeros(pad, np.uint64)))
+    g = len(v) // 8
+    lanes = v.reshape(g, 8)
+    out = np.zeros((g, width), dtype=np.uint8)
+    for j in range(8):
+        start_bit = j * width
+        byte0 = start_bit >> 3
+        shift = start_bit & 7
+        # lane j spans ceil((width + shift) / 8) bytes from byte0
+        nbytes = (width + shift + 7) >> 3
+        lane = lanes[:, j]
+        for k in range(nbytes):
+            if k == 0:
+                b = (lane << np.uint64(shift)) & np.uint64(0xFF)
+            else:
+                b = (lane >> np.uint64(8 * k - shift)) & np.uint64(0xFF)
+            if byte0 + k < width:
+                out[:, byte0 + k] |= b.astype(np.uint8)
+    full = out.reshape(-1)
+    return full[: packed_size(n, width)].tobytes()
 
 
 def unpack(buf: bytes, width: int, n: int) -> np.ndarray:
-    """Unpack ``n`` ``width``-bit little-endian codes into a uint64 array."""
+    """Unpack ``n`` ``width``-bit little-endian codes (inverse of pack)."""
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
     if width < 0 or width > 64:
@@ -70,20 +92,28 @@ def unpack(buf: bytes, width: int, n: int) -> np.ndarray:
         raise CorruptBlockError(
             f"bitpack: need {need} bytes for {n}x{width}b, have {len(buf)}"
         )
-    raw = np.frombuffer(buf, dtype=np.uint8, count=need)
-    shifts = np.arange(width, dtype=np.uint64)
-    out = np.empty(n, dtype=np.uint64)
-    # chunk on the same boundary as pack(): _CHUNK values = _CHUNK*width bits,
-    # byte-aligned because _CHUNK is a multiple of 8
-    bytes_per_chunk = _CHUNK * width // 8
-    for i, lo in enumerate(range(0, n, _CHUNK)):
-        cnt = min(_CHUNK, n - lo)
-        seg = raw[i * bytes_per_chunk : i * bytes_per_chunk + (cnt * width + 7) // 8]
-        bits = np.unpackbits(seg, count=cnt * width, bitorder="little")
-        out[lo : lo + cnt] = (
-            bits.reshape(cnt, width).astype(np.uint64) << shifts
-        ).sum(axis=1, dtype=np.uint64)
-    return out
+    g = (n + 7) // 8
+    padded = np.zeros(g * width, dtype=np.uint8)
+    padded[:need] = np.frombuffer(buf, dtype=np.uint8, count=need)
+    mat = padded.reshape(g, width)
+    lanes = np.zeros((g, 8), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    for j in range(8):
+        start_bit = j * width
+        byte0 = start_bit >> 3
+        shift = start_bit & 7
+        nbytes = (width + shift + 7) >> 3
+        acc = np.zeros(g, dtype=np.uint64)
+        for k in range(nbytes):
+            if byte0 + k >= width:
+                break
+            b = mat[:, byte0 + k].astype(np.uint64)
+            if k == 0:
+                acc |= b >> np.uint64(shift)
+            else:
+                acc |= b << np.uint64(8 * k - shift)
+        lanes[:, j] = acc & mask
+    return lanes.reshape(-1)[:n]
 
 
 def pack_bools(values: np.ndarray) -> bytes:
