@@ -69,6 +69,21 @@ def encode_hybrid(values: np.ndarray, width: int) -> bytes:
     out = bytearray()
     vb = _value_bytes(width)
     n_runs = len(run_vals)
+    is_rle_mask = run_lens >= _MIN_RLE_RUN
+    n_rle = int(is_rle_mask.sum())
+    # segment emission is a Python loop (one iteration per RLE run / BP
+    # span); when the data is run-poor, size won is tiny but the loop is
+    # long — emit one bit-packed span instead and skip the loop entirely
+    if n_rle > max(4096, n >> 6):
+        bp_size = bitpack.packed_size(n, width)
+        rle_saved = int(run_lens[is_rle_mask].sum()) * width // 8 - n_rle * (2 + vb)
+        if rle_saved < bp_size // 8:
+            pad = (-n) % 8
+            span = v if not pad else np.concatenate(
+                (v, np.full(pad, v[-1], np.uint64)))
+            out += varint.encode_one(((len(span) // 8) << 1) | 1)
+            out += bitpack.pack(span, width)
+            return bytes(out)
 
     def flush_bp(lo: int, hi: int) -> None:
         # [lo, hi) is 8-aligned in count except possibly at stream end,
@@ -82,35 +97,29 @@ def encode_hybrid(values: np.ndarray, width: int) -> bytes:
         out.extend(varint.encode_one((groups << 1) | 1))
         out.extend(bitpack.pack(span, width))
 
+    # walk only the RLE-worthy runs (short runs merge into bit-packed
+    # spans implicitly): O(#long runs) Python iterations, not O(#runs)
+    starts = np.zeros(n_runs + 1, dtype=np.int64)
+    np.cumsum(run_lens, out=starts[1:])
     pos = 0  # absolute index of next unencoded value
-    bp_start = None  # start of the pending bit-packed span
-    i = 0
-    while i < n_runs:
-        length = int(run_lens[i])
-        if length >= _MIN_RLE_RUN:
-            if bp_start is not None:
-                # steal from this run's head to 8-align the pending span
-                steal = (-(pos - bp_start)) % 8
-                if length - steal >= _MIN_RLE_RUN:
-                    if pos + steal > bp_start:
-                        flush_bp(bp_start, pos + steal)
-                    bp_start = None
-                    pos += steal
-                    length -= steal
-                else:  # too short after stealing: absorb into the span
-                    pos += length
-                    i += 1
-                    continue
-            out += varint.encode_one(length << 1)
-            out += int(run_vals[i]).to_bytes(vb, "little")
-            pos += length
-        else:
-            if bp_start is None:
-                bp_start = pos
-            pos += length
-        i += 1
-    if bp_start is not None:
-        flush_bp(bp_start, pos)
+    for ri in np.nonzero(is_rle_mask)[0]:
+        run_start = int(starts[ri])
+        length = int(run_lens[ri])
+        if run_start < pos:  # swallowed by an earlier span's alignment
+            continue
+        if run_start > pos:
+            # steal from this run's head to 8-align the pending span
+            steal = (-(run_start - pos)) % 8
+            if length - steal < _MIN_RLE_RUN:
+                continue  # too short after stealing: absorb into the span
+            flush_bp(pos, run_start + steal)
+            pos = run_start + steal
+            length -= steal
+        out += varint.encode_one(length << 1)
+        out += int(run_vals[ri]).to_bytes(vb, "little")
+        pos += length
+    if pos < n:
+        flush_bp(pos, n)
     return bytes(out)
 
 
