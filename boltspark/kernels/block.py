@@ -77,7 +77,11 @@ def _encode_rle(values, tag):
     if tag == BYTES:
         raise TypeError("rle codec applies to fixed-width types; "
                         "byte arrays get run compression via dict codes")
-    run_values, run_lengths = rle.runs_of(np.ascontiguousarray(values))
+    v = np.ascontiguousarray(values)
+    # float runs are detected on the bit pattern (see rle.runs_of)
+    detect = v.view(np.uint32 if v.dtype.itemsize == 4 else np.uint64) \
+        if v.dtype.kind == "f" else None
+    run_values, run_lengths = rle.runs_of(v, detect=detect)
     len_width = bitpack.min_bit_width(int(run_lengths.max()) if len(run_lengths) else 0)
     vals_payload, _ = _encode_plain(run_values, tag)
     payload = (
@@ -167,7 +171,11 @@ def _outer_compress(payload: bytes, outer: str) -> bytes:
 def _outer_decompress(payload: bytes, outer: str, raw_len: int) -> bytes:
     import pyarrow as pa
 
-    out = pa.Codec(outer).decompress(payload, raw_len, asbytes=True)
+    try:
+        out = pa.Codec(outer).decompress(payload, raw_len, asbytes=True)
+    except (OSError, MemoryError, pa.ArrowException) as e:
+        # corrupted compressed stream: loud, typed (never wrong data)
+        raise CorruptBlockError(f"outer: {outer} decompression failed: {e}") from None
     if len(out) != raw_len:
         raise CorruptBlockError("outer: decompressed size mismatch")
     return out
@@ -202,7 +210,12 @@ def encode_block(values, tag: str, codec: str, validity: np.ndarray | None = Non
     if validity is not None:
         bm = bitpack.pack_bools(validity)
         parts += [struct.pack("<I", len(bm)), bm]
-    parts += [struct.pack("<QQI", raw_len, len(stored), zlib.crc32(payload)), stored]
+    parts.append(struct.pack("<QQ", raw_len, len(stored)))
+    # CRC chains over EVERYTHING (header, meta, validity bitmap, length
+    # fields, raw payload) — a flipped n_rows or validity bit is as
+    # silently dangerous as a flipped payload byte
+    crc = zlib.crc32(payload, zlib.crc32(b"".join(parts)))
+    parts += [struct.pack("<I", crc), stored]
     return b"".join(parts)
 
 
@@ -223,6 +236,15 @@ def decode_block(buf: bytes):
 
 
 def _open(buf: bytes):
+    # truncation anywhere in the header chain must surface as the
+    # documented CorruptBlockError, never a bare struct.error
+    try:
+        return _open_unchecked(buf)
+    except struct.error as e:
+        raise CorruptBlockError(f"block: truncated header ({e})") from None
+
+
+def _open_unchecked(buf: bytes):
     if len(buf) < _HDR.size or buf[:4] != MAGIC:
         raise CorruptBlockError("block: bad magic")
     _, codec_id, tag_id, flags, outer_id, n_rows = _HDR.unpack_from(buf, 0)
@@ -242,17 +264,26 @@ def _open(buf: bytes):
     if flags & 1:
         (bm_len,) = struct.unpack_from("<I", buf, pos)
         pos += 4
+        if n_rows > bm_len * 8:
+            # bound the allocation by bytes actually present (a corrupted
+            # n_rows must not drive a giant alloc before the CRC check)
+            raise CorruptBlockError("block: validity bitmap shorter than n_rows")
         validity = bitpack.unpack_bools(buf[pos : pos + bm_len], n_rows)
         pos += bm_len
         n_valid = int(validity.sum())
     raw_len, stored_len, crc = struct.unpack_from("<QQI", buf, pos)
+    if raw_len > (1 << 30):
+        # blocks are ~4 MB logical by construction; a multi-GB raw_len is
+        # corruption — refuse before attempting the allocation
+        raise CorruptBlockError("block: implausible raw payload length")
+    preamble = buf[: pos + 16]  # header..stored_len, excludes the crc field
     pos += 20
     stored = buf[pos : pos + stored_len]
     if len(stored) != stored_len:
         raise CorruptBlockError("block: truncated payload")
     payload = _outer_decompress(stored, outer, raw_len) if flags & 2 else stored
-    if zlib.crc32(payload) != crc:
-        raise CorruptBlockError("block: payload crc mismatch")
+    if zlib.crc32(payload, zlib.crc32(preamble)) != crc:
+        raise CorruptBlockError("block: crc mismatch (header/meta/payload)")
     return payload, validity, meta, tag, codec, n_rows
 
 

@@ -29,6 +29,16 @@ from .varint import CorruptBlockError
 
 
 def _factorize_fixed(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # float columns factorize on the BIT PATTERN (uint view) so that
+    # -0.0 vs 0.0 and non-canonical NaN payloads survive bit-identical
+    # (float equality would collapse them; the decode invariant is
+    # sha256-exact, not ==-exact).  The dictionary bytes are unchanged —
+    # the uint view has the same width, so decode's frombuffer+view
+    # reproduces the original bits.
+    if values.dtype.kind == "f":
+        iv = values.view(np.uint32 if values.dtype.itemsize == 4 else np.uint64)
+        uniq_iv, codes = np.unique(iv, return_inverse=True)
+        return uniq_iv.view(values.dtype), codes.astype(np.uint64)
     uniques, codes = np.unique(values, return_inverse=True)
     return uniques, codes.astype(np.uint64)
 

@@ -28,12 +28,21 @@ from .varint import CorruptBlockError
 _MIN_RLE_RUN = 8
 
 
-def runs_of(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Decompose an array into (run_values, run_lengths); vectorized."""
+def runs_of(values: np.ndarray,
+            detect: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Decompose an array into (run_values, run_lengths); vectorized.
+
+    ``detect`` supplies the array compared for change points (defaults to
+    ``values``).  Float callers pass the uint bit view so -0.0/0.0 and
+    distinct NaN payloads never merge into one run (bit-identical decode
+    invariant); run VALUES are still taken from ``values`` at the run
+    starts, so the stored bytes are the original bit patterns.
+    """
     n = len(values)
     if n == 0:
         return values[:0], np.zeros(0, dtype=np.int64)
-    change = np.nonzero(values[1:] != values[:-1])[0] + 1
+    d = values if detect is None else detect
+    change = np.nonzero(d[1:] != d[:-1])[0] + 1
     starts = np.concatenate(([0], change))
     bounds = np.concatenate((starts, [n]))
     return values[starts], np.diff(bounds)

@@ -48,43 +48,59 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
 
 def _minhash_batch(texts: pd.Series, n_hashes: int, shingle: int,
                    seed: int) -> pd.Series:
-    """Vectorized minhash signatures for one Arrow batch: build rolling
-    shingle hashes over the concatenated byte buffer (no per-row Python),
-    then per-permutation min via np.minimum.reduceat."""
+    """Vectorized minhash signatures for one Arrow batch.
+
+    Each row is laid out in a shared buffer with ``shingle-1`` zero pad
+    bytes after it, so a rolling shingle hash NEVER reads a neighboring
+    row's bytes — the signature of a text is a pure function of that
+    text, independent of batch composition.  Pad/empty positions are
+    neutralized to u64::MAX before the per-row ``np.minimum.reduceat``
+    (rows shorter than ``shingle`` therefore share one sentinel
+    signature; the n-gram Jaccard verification stage discards any false
+    pairs that creates).
+    """
+    nrows = len(texts)
     data = texts.fillna("").astype(str).str.encode("utf-8")
     lens = data.str.len().to_numpy(dtype=np.int64)
     blob = b"".join(data.tolist())
-    buf = np.frombuffer(blob, dtype=np.uint8)
+    src = np.frombuffer(blob, dtype=np.uint8)
+    pad = shingle - 1
+    total = int(lens.sum()) + nrows * pad
+    buf = np.zeros(max(total, 1), dtype=np.uint8)
+    if len(src):
+        # scatter: row i's bytes shift right by i*pad (vectorized)
+        row_of_byte = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        buf[np.arange(len(src), dtype=np.int64) + row_of_byte * pad] = src
     n = len(buf)
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
 
     # rolling `shingle`-byte hash at every position (polynomial, u64 wrap)
-    h = np.zeros(max(n, 1), dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
     mult = np.uint64(1099511628211)
     padded = np.zeros(n + shingle, dtype=np.uint8)
     padded[:n] = buf
     for k in range(shingle):
-        h = h * mult + padded[k : k + max(n, 1)].astype(np.uint64)
-    # positions whose shingle crosses a row end are masked to the row's
-    # last valid shingle (handled by reduceat boundaries below: we simply
-    # drop the last shingle-1 positions of each row)
-    valid_lens = np.maximum(lens - shingle + 1, 1)
-    starts = offsets[:-1].copy()
-    # empty rows contribute one zero-hash position
-    starts = np.minimum(starts, max(n - 1, 0))
-    bounds = np.minimum(starts + valid_lens, max(n, 1))
+        h = h * mult + padded[k : k + n].astype(np.uint64)
+
+    # row i occupies [starts[i], starts[i] + lens[i] + pad); its valid
+    # shingle positions are [starts[i], starts[i] + lens[i]) — shingles
+    # starting there read only the row's own bytes + its zero pad
+    starts = np.zeros(nrows, dtype=np.int64)
+    if nrows:
+        np.cumsum(lens[:-1] + pad, out=starts[1:])
+    mark = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(mark, starts, 1)
+    np.add.at(mark, starts + lens, -1)
+    invalid = np.cumsum(mark[:-1]) == 0
+    starts = np.minimum(starts, max(n - 1, 0))  # reduceat bound safety
 
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.uint64)
-    sig = np.empty((len(texts), n_hashes), dtype=np.int64)
+    sig = np.empty((nrows, n_hashes), dtype=np.int64)
     for k in range(n_hashes):
         y = h * a[k] + b[k]  # u64 wraparound is a fine permutation proxy
-        # per-row min over that row's shingle positions
-        mins = np.minimum.reduceat(y, starts) if len(texts) else y[:0]
-        # reduceat runs to the next start, not to `bounds`; rows are
-        # contiguous so next start == this row's end except the final row
+        y[invalid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        mins = np.minimum.reduceat(y, starts) if nrows else y[:0]
         sig[:, k] = (mins >> np.uint64(1)).astype(np.int64)  # keep positive
     return pd.Series(list(sig))
 

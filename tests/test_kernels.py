@@ -243,3 +243,45 @@ def test_dict_corruption(rng):
     bad = dict(meta, n_dict=10)  # codes out of range
     with pytest.raises(CorruptBlockError):
         dictionary.decode(payload, bad, 500, "bytes")
+
+
+def test_float_bit_identity_dict_rle():
+    """-0.0 vs 0.0 and non-canonical NaN payloads must survive dict/rle
+    bit-identical (factorize/run-detect on the uint view, ADVICE r1)."""
+    odd_nan = np.frombuffer(np.uint64(0x7FF8000000000001).tobytes(), "<f8")[0]
+    v = np.array([0.0, -0.0, 0.0, -0.0, np.nan, odd_nan, 1.5, 1.5], np.float64)
+    for codec in ("plain", "dict", "rle"):
+        blk = block.encode_block(v, "f64", codec)
+        out = np.asarray(block.decode_block(blk)[0])
+        assert out.view(np.uint64).tolist() == v.view(np.uint64).tolist(), codec
+    v32 = np.array([0.0, -0.0, -0.0, 2.5] * 10, np.float32)
+    for codec in ("dict", "rle"):
+        blk = block.encode_block(v32, "f32", codec)
+        out = np.asarray(block.decode_block(blk)[0])
+        assert out.view(np.uint32).tolist() == v32.view(np.uint32).tolist(), codec
+
+
+def test_truncated_block_raises_corrupt_not_struct_error():
+    blk = block.encode_block(np.arange(100, dtype=np.int64), "i64", "plain")
+    for cut in range(4, len(blk), 7):
+        with pytest.raises((CorruptBlockError, ValueError)):
+            block.decode_block(blk[:cut])
+
+
+def test_bitflip_fuzz_never_silent(rng):
+    """Any single-bit flip anywhere in a block (header, meta, validity,
+    lengths, payload) must either raise a typed error or decode
+    bit-identical — never silently wrong data.  The CRC chains over the
+    whole block, not just the payload."""
+    vals = strings.from_pylist([f"src/m_{i % 40}/f.py".encode() for i in range(2000)])
+    blk = block.encode_block(vals, "bytes", "dict", outer="zstd")
+    ref = block.decode_block(blk)[0].to_pylist()
+    for _ in range(200):
+        b = bytearray(blk)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            got = block.decode_block(bytes(b))[0].to_pylist()
+        except (CorruptBlockError, ValueError, KeyError, TypeError):
+            continue
+        assert got == ref, f"silent corruption from flip at byte {i}"

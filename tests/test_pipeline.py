@@ -177,3 +177,21 @@ def test_multimodal_plumbing(spark):
     # the real decode path is stubbed loudly
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x89PNG", {})
+
+
+def test_minhash_batch_independent():
+    """A text's signature must not depend on its batch neighbors
+    (cross-row shingle contamination, ADVICE r1)."""
+    import pandas as pd
+
+    from boltspark.pipeline.dedup import _minhash_batch
+
+    t = "the quick brown fox jumps over the lazy dog " * 4
+    a = _minhash_batch(pd.Series([t, "UNRELATED NEIGHBOR TEXT"]), 16, 5, 42)
+    b = _minhash_batch(pd.Series(["zzz " * 50, t]), 16, 5, 42)
+    c = _minhash_batch(pd.Series([t]), 16, 5, 42)
+    assert (a[0] == b[1]).all() and (a[0] == c[0]).all()
+    # empty/short rows are deterministic sentinels, position-independent
+    d = _minhash_batch(pd.Series(["", "ab", None]), 8, 5, 42)
+    e = _minhash_batch(pd.Series(["filler row", "", "ab", None]), 8, 5, 42)
+    assert (d[0] == e[1]).all() and (d[1] == e[2]).all() and (d[2] == e[3]).all()
