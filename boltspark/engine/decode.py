@@ -1,19 +1,28 @@
 """Distributed decode: blocks parquet + manifest -> original DataFrame.
 
-The read path mirrors the reference's scan semantics:
+The read path mirrors the reference's scan semantics, but the wide
+blocks layout (schema.py) lets parquet itself do the pruning work:
 
-* column pruning — only requested columns' blocks are read (the parquet
-  filter on ``column`` is pushed into the blocks scan, the analog of
+* column pruning — only the requested columns' ``cols.<name>.block``
+  struct leaves are selected, so the parquet scan's ReadSchema (and the
+  bytes read) shrink to exactly the projection (the analog of
   ``columns_to_read`` in local_file_reader.rs:33-51);
-* predicate pushdown — the filter column decodes first; zone-map stats
-  skip whole blocks without touching payload bytes (the reference
-  defines check_range but never wires it — we do), dictionary blocks
-  evaluate the predicate once per distinct value then map over codes
-  (dictionary_page_int32_with_filters.rs:97-177), and surviving masks
-  gate the remaining columns exactly like the RowRangeSet cascade in
-  row_group_reader.rs:204-258;
-* streaming — one RecordBatch out per (partition, seq) block group, so
-  peak memory is one block group, not one partition.
+* predicate pushdown — the filter column's zone-map stats are checked
+  FIRST: a ``none`` verdict skips the group and an ``all`` verdict
+  skips decoding the predicate column entirely, both without touching
+  payload bytes (the reference defines check_range but never wires it —
+  we do, including byte-prefix zones the reference lacks).  Dictionary
+  blocks evaluate the predicate once per distinct value then map over
+  codes (dictionary_page_int32_with_filters.rs:97-177), and surviving
+  masks gate the remaining columns exactly like the RowRangeSet cascade
+  in row_group_reader.rs:204-258;
+* point queries — ``part_ids`` pushes a parquet filter that prunes row
+  groups on part_id min/max stats (tasks write sorted part ids), the
+  analog of ``skip()`` hopping row groups from footer arithmetic
+  (local_file_reader.rs:126-171);
+* no shuffle, ever — each blocks row is a self-contained block group,
+  so decode is embarrassingly parallel over scan splits and peak memory
+  is one block group per task.
 """
 
 from __future__ import annotations
@@ -64,16 +73,20 @@ def _to_arrow_full(values, validity, tag: str) -> pa.Array:
     return pa.array(full, mask=~validity)
 
 
-def _decode_mask(blk: bytes, stats_json: str, predicate: Predicate):
-    """Predicate column fast path -> (verdict, mask).  Zone-map stats can
-    answer without touching payload bytes; dictionary blocks evaluate the
+def _decode_mask(blk, stats_json: str, predicate: Predicate):
+    """Predicate column fast path -> (verdict, mask).
+
+    Zone-map stats answer without touching payload bytes whenever they
+    can — ``all``/``none`` return BEFORE the block is even opened (the
+    reference's uncovered pages are never decompressed,
+    primitive_column_reader.rs:515-521).  Dictionary blocks evaluate the
     predicate once per distinct value and map over codes."""
     stats = json.loads(stats_json)
-    zone = predicate.check_range(
-        stats.get("vmin"), stats.get("vmax"), stats.get("has_null", False)
-    )
+    zone = predicate.check_zone(stats)
     if zone == NONE:
         return "none", None
+    if zone == ALL:
+        return "all", None
     payload, validity, meta, tag, codec, n_rows = blockmod.open_block(blk)
     n_valid = int(validity.sum()) if validity is not None else n_rows
     if codec == "dict":
@@ -82,87 +95,65 @@ def _decode_mask(blk: bytes, stats_json: str, predicate: Predicate):
     else:
         values = blockmod.decode_values(payload, meta, n_valid, tag, codec)
         mask = predicate.mask(values, validity)
-    if zone == ALL or mask.all():
+    if mask.all():
         return "all", None
     if not mask.any():
         return "none", None
     return "some", mask
 
 
-def _emit_columns(col_blocks: dict, out_cols: list[str], out_types: dict,
-                  mask: np.ndarray | None) -> pa.RecordBatch | None:
-    arrays = []
-    fields = []
-    for name in out_cols:
-        blk = col_blocks[name]
-        values, validity, tag, codec, n_rows = blockmod.decode_block(blk)
-        arr = _to_arrow_full(values, validity, tag)
-        if mask is not None:
-            arr = arr.filter(pa.array(mask))
-        target = out_types[name]
-        if not arr.type.equals(target):
-            arr = arr.cast(target)
-        arrays.append(arr)
-        fields.append(pa.field(name, target, True))
-    if arrays and len(arrays[0]) == 0:
-        return None
-    return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
-
-
 def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
                   predicates: list[Predicate], include_part_id: bool):
-    def decode_stream(batches):
-        pending: dict[str, dict] = {}  # column -> row dict, current group
-        current: tuple[int, str, int] | None = None  # (part, run, seq)
+    """Row-independent decoder: every input row is one complete block
+    group (all columns), so there is no regrouping state at all."""
 
-        def flush():
-            nonlocal pending
-            if not pending:
+    def decode_row(blk_cols, st_cols, i: int, part_id: int):
+        # conjunctive cascade (row_group_reader.rs:204-258): each
+        # predicate column narrows the surviving mask in turn; an
+        # all-false mask short-circuits the remaining columns
+        mask = None
+        for pred in predicates:
+            verdict, pmask = _decode_mask(
+                blk_cols[pred.column][i].as_py(), st_cols[pred.column][i].as_py(),
+                pred)
+            if verdict == "none":
                 return None
-            missing = set(read_cols) - set(pending)
-            if missing:
-                raise ValueError(f"blocks missing for columns {missing} "
-                                 f"in group {current} — corrupt dataset")
-            # conjunctive cascade (row_group_reader.rs:204-258): each
-            # predicate column narrows the surviving mask in turn; an
-            # all-false mask short-circuits the remaining columns
-            mask = None
-            for pred in predicates:
-                row = pending[pred.column]
-                verdict, pmask = _decode_mask(row["block"], row["stats"], pred)
-                if verdict == "none":
-                    pending = {}
+            if pmask is not None:
+                mask = pmask if mask is None else (mask & pmask)
+                if not mask.any():
                     return None
-                if pmask is not None:
-                    mask = pmask if mask is None else (mask & pmask)
-                    if not mask.any():
-                        pending = {}
-                        return None
-            out = _emit_columns(
-                {c: pending[c]["block"] for c in out_cols}, out_cols, out_types, mask
-            )
-            if out is not None and include_part_id:
-                pid = pa.array(np.full(out.num_rows, current[0], np.int64))
-                out = pa.RecordBatch.from_arrays(
-                    list(out.columns) + [pid],
-                    schema=out.schema.append(pa.field(PART_ID, pa.int64(), False)),
-                )
-            pending = {}
-            return out
+        arrays = []
+        fields = []
+        for name in out_cols:
+            values, validity, tag, codec, n_rows = blockmod.decode_block(
+                blk_cols[name][i].as_py())
+            arr = _to_arrow_full(values, validity, tag)
+            if mask is not None:
+                arr = arr.filter(pa.array(mask))
+            target = out_types[name]
+            if not arr.type.equals(target):
+                arr = arr.cast(target)
+            arrays.append(arr)
+            fields.append(pa.field(name, target, True))
+        if arrays and len(arrays[0]) == 0:
+            return None
+        if include_part_id:
+            arrays.append(pa.array(np.full(len(arrays[0]), part_id, np.int64)))
+            fields.append(pa.field(PART_ID, pa.int64(), False))
+        return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
+    def decode_stream(batches):
         for batch in batches:
-            d = batch.to_pylist()
-            for row in d:
-                key = (row[PART_ID], row["run_id"], row["seq"])
-                if key != current:
-                    out = flush()
-                    if out is not None:
-                        yield out
-                    current = key
-                pending[row["column"]] = row
-        out = flush()
-        if out is not None:
-            yield out
+            names = batch.schema.names
+            part_arr = batch.column(names.index(PART_ID))
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in read_cols}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                out = decode_row(blk_cols, st_cols, i, part_arr[i].as_py())
+                if out is not None:
+                    yield out
 
     return decode_stream
 
@@ -176,7 +167,7 @@ def decode_table(
     include_part_id: bool = False,
     n_tasks: int | None = None,
     part_ids: list[int] | None = None,
-    shuffle: bool = True,
+    shuffle: bool | None = None,  # retained for API compat; decode never shuffles
 ):
     """Reconstruct the encoded table (or a projected, filtered slice).
 
@@ -185,22 +176,19 @@ def decode_table(
     short-circuiting the rest of the block group when it empties (the
     reference's multi-column read_with_filter cascade, SURVEY.md §3.2).
 
-    ``shuffle=False`` is the zero-shuffle fast path: block groups are
-    contiguous in the files the encoder wrote, and Spark never splits a
-    parquet file smaller than spark.sql.files.maxPartitionBytes
-    (128 MB), so the scan's own task layout already satisfies the
-    decoder's contiguity contract.  Use only when every blocks file is
-    under that limit (the default 64 MB partitions guarantee it);
-    appended datasets and the default path keep the repartition.
-
     ``part_ids`` is the point-query path: only the named partitions'
-    blocks are ever read (parquet predicate pushdown on part_id — the
-    analog of the reference's skip() hopping whole row groups from
-    footer arithmetic, local_file_reader.rs:126-171).
+    blocks are ever read (parquet predicate pushdown on part_id prunes
+    whole row groups — the analog of the reference's skip() hopping row
+    groups from footer arithmetic, local_file_reader.rs:126-171).
+
+    The wide blocks layout makes every row a complete block group, so
+    decode needs NO shuffle (``shuffle`` is accepted and ignored for
+    back-compat); ``n_tasks`` optionally repartitions for parallelism
+    when the blocks dataset has too few scan splits.
     """
     from pyspark.sql import functions as F, types as T
 
-    meta, valid_pairs = manifestmod.load(spark, manifest_path)
+    meta = manifestmod.table_meta(spark, manifest_path)
     all_cols = meta["columns"]
     out_cols = list(columns or all_cols)
     unknown = set(out_cols) - set(all_cols)
@@ -235,25 +223,27 @@ def decode_table(
         out_fields.append(T.StructField(PART_ID, T.LongType(), False))
     out_schema = T.StructType(out_fields)
 
+    # explicit leaf projection: only the requested block chunks (plus the
+    # predicate columns' stats strings) are in the ReadSchema — parquet
+    # never reads the other columns' bytes
+    proj = [F.col(PART_ID), F.col("run_id")]
+    for c in read_cols:
+        proj.append(F.col("cols").getField(c).getField("block").alias(f"__blk_{c}"))
+    for p in predicates:
+        proj.append(
+            F.col("cols").getField(p.column).getField("stats").alias(f"__st_{p.column}"))
+    blocks = spark.read.parquet(blocks_path)
     if part_ids is not None:
-        wanted = set(part_ids)
-        valid_pairs = [p for p in valid_pairs if p[0] in wanted]
-    valid = spark.createDataFrame(valid_pairs, f"{PART_ID} long, run_id string")
-    blocks = (
-        spark.read.parquet(blocks_path)
-        .join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
-        .filter(F.col("column").isin(read_cols))
-    )
+        # scan-level filter: pruning shows in PushedFilters and prunes
+        # row groups via part_id min/max stats
+        blocks = blocks.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))
+    blocks = blocks.select(*proj)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
     if part_ids is not None:
-        # explicit scan-level filter so pruning shows in PushedFilters
-        blocks = blocks.filter(F.col(PART_ID).isin(list(wanted)))
-    if shuffle:
-        if n_tasks is None:
-            n_tasks = max(spark.sparkContext.defaultParallelism,
-                          min(int(meta["n_parts"]), 2048))
-        blocks = blocks.repartition(n_tasks, F.col(PART_ID)).sortWithinPartitions(
-            PART_ID, "run_id", "seq"  # appended runs are separate block groups
-        )
+        valid = valid.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))
+    blocks = blocks.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+    if n_tasks:
+        blocks = blocks.repartition(n_tasks)
     return blocks.mapInArrow(
         _make_decoder(read_cols, out_cols, out_types, predicates, include_part_id),
         out_schema,

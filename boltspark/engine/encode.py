@@ -33,7 +33,7 @@ from .partitioner import (
     num_partitions,
     with_partition_id,
 )
-from .schema import (BLOCKS_ARROW_SCHEMA, BLOCKS_SPARK_SCHEMA, PART_ID,
+from .schema import (PART_ID, blocks_arrow_schema, blocks_spark_schema,
                      storage_cast, tag_for_arrow_type)
 
 DEFAULT_BLOCK_BYTES = 4 << 20
@@ -56,6 +56,7 @@ def _column_stats(values, tag: str, validity) -> str:
     has_null = validity is not None and not bool(validity.all())
     if tag == "bytes":
         # prefix min/max keeps stats rows small but still zone-usable
+        # (filters._bytes_zone_bounds is the reader side)
         n = len(values)
         if n:
             import pyarrow.compute as pc
@@ -63,7 +64,8 @@ def _column_stats(values, tag: str, validity) -> str:
             arr = strings.to_arrow(values)
             vmin = pc.min(arr).as_py() or b""
             vmax = pc.max(arr).as_py() or b""
-            stats = {"vmin_pfx": vmin[:24].hex(), "vmax_pfx": vmax[:24].hex()}
+            stats = {"vmin_pfx": vmin[:24].hex(), "vmax_pfx": vmax[:24].hex(),
+                     "vmin_exact": len(vmin) <= 24, "vmax_exact": len(vmax) <= 24}
         else:
             stats = {}
     else:
@@ -114,6 +116,9 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
     table) is cached per (partition, column) so the table is built once
     per partition, not once per block."""
 
+    arrow_schema = blocks_arrow_schema(columns)
+    cols_type = arrow_schema.field("cols").type
+
     def encode_stream(batches):
         choice_cache: dict[tuple[int, str], selector.CodecChoice] = {}
         # FSST symbol tables are cached per COLUMN for the whole task:
@@ -127,8 +132,7 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
         def encode_slice(part_id: int, sl: pa.RecordBatch):
             seq = seqs.get(part_id, 0)
             seqs[part_id] = seq + 1
-            rows = {k: [] for k in ("column", "codec", "outer", "n_rows",
-                                    "raw_bytes", "enc_bytes", "enc_ms", "stats", "block")}
+            col_structs = []
             for name in columns:
                 arr = sl.column(sl.schema.get_field_index(name))
                 if isinstance(arr, pa.ChunkedArray):
@@ -161,33 +165,32 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
                         outer=choice.outer,
                     )
                 dt = (time.perf_counter() - t0) * 1000
-                raw = values.nbytes if tag == "bytes" else np.asarray(values).nbytes
-                rows["column"].append(name)
-                rows["codec"].append(choice.codec)
-                rows["outer"].append(choice.outer)
-                rows["n_rows"].append(sl.num_rows)
-                rows["raw_bytes"].append(int(raw))
-                rows["enc_bytes"].append(len(blk))
-                rows["enc_ms"].append(dt)
-                rows["stats"].append(_column_stats(values, tag, validity))
-                rows["block"].append(blk)
-            k = len(rows["column"])
+                raw = values.nbytes if hasattr(values, "nbytes") else np.asarray(values).nbytes
+                col_structs.append(pa.StructArray.from_arrays(
+                    [
+                        pa.array([blk], pa.large_binary()),
+                        pa.array([choice.codec], pa.string()),
+                        pa.array([choice.outer], pa.string()),
+                        pa.array([int(raw)], pa.int64()),
+                        pa.array([len(blk)], pa.int64()),
+                        pa.array([dt], pa.float64()),
+                        pa.array([_column_stats(values, tag, validity)], pa.string()),
+                    ],
+                    fields=list(cols_type.field(0).type),
+                ))
+            # one WIDE row per block group: parquet's own columnar layout
+            # then stores each column's blocks as its own column chunk
+            cols_arr = pa.StructArray.from_arrays(
+                col_structs, fields=list(cols_type))
             return pa.RecordBatch.from_arrays(
                 [
-                    pa.array([part_id] * k, pa.int64()),
-                    pa.array([run_id] * k, pa.string()),
-                    pa.array(rows["column"], pa.string()),
-                    pa.array([seq] * k, pa.int32()),
-                    pa.array(rows["codec"], pa.string()),
-                    pa.array(rows["outer"], pa.string()),
-                    pa.array(rows["n_rows"], pa.int64()),
-                    pa.array(rows["raw_bytes"], pa.int64()),
-                    pa.array(rows["enc_bytes"], pa.int64()),
-                    pa.array(rows["enc_ms"], pa.float64()),
-                    pa.array(rows["stats"], pa.string()),
-                    pa.array(rows["block"], pa.large_binary()),
+                    pa.array([part_id], pa.int64()),
+                    pa.array([run_id], pa.string()),
+                    pa.array([seq], pa.int32()),
+                    pa.array([sl.num_rows], pa.int64()),
+                    cols_arr,
                 ],
-                schema=BLOCKS_ARROW_SCHEMA,
+                schema=arrow_schema,
             )
 
         for batch in batches:
@@ -239,10 +242,15 @@ def encode_table(
         return EncodeResult(out_path, manifest_path, run_id, 0, 0, 0, 0,
                             time.time() - t_start)
 
-    done: set[int] = set()
+    n_done = 0
+    done_df = None
     if resume:
-        done = manifestmod.completed_partitions(spark, manifest_path)
-        if done and n_parts is None:
+        done_df = manifestmod.completed_partitions_df(spark, manifest_path)
+        if done_df is not None:
+            # the manifest is tiny (one row per partition-column); this
+            # count is the only driver-side number resume needs
+            n_done = done_df.count()
+        if n_done and n_parts is None:
             # partition assignment must be the pure function of the data
             # it was on the first run: reuse the recorded partition count
             n_parts = int(manifestmod.table_meta(spark, manifest_path)["n_parts"])
@@ -253,14 +261,21 @@ def encode_table(
 
     keyed = with_partition_id(df.select(*dict.fromkeys(list(key_cols) + columns)),
                               key_cols, n_parts)
-    if done:
+    if n_done:
         from pyspark.sql import functions as F
 
-        keyed = keyed.filter(~F.col(PART_COL).isin(list(done)))
-    n_planned = n_parts - len(done)
+        # broadcast anti-join against the manifest's completed partitions:
+        # no partition list ever rides through the driver (at 100 TB that
+        # list is millions of entries)
+        keyed = keyed.join(
+            F.broadcast(done_df.withColumnRenamed(PART_ID, PART_COL)),
+            PART_COL, "left_anti",
+        )
+    n_planned = n_parts - n_done
 
     blocks = keyed.mapInArrow(
-        _make_encoder(columns, run_id, block_bytes, outer), BLOCKS_SPARK_SCHEMA
+        _make_encoder(columns, run_id, block_bytes, outer),
+        blocks_spark_schema(columns),
     )
     # payloads are self-compressed; parquet recompression would waste CPU
     blocks.write.mode("append").option("compression", "none").parquet(out_path)

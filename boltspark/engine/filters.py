@@ -47,6 +47,16 @@ class Predicate:
         """Zone-map: 'all' / 'none' / 'some' rows in [vmin, vmax] survive."""
         return SOME
 
+    def check_zone(self, stats: dict) -> str:
+        """Dispatch the block's JSON zone-map stats to ``check_range``.
+        Byte predicates override this to use the stored min/max prefixes
+        (the reference defines check_range but never wires it into a
+        reader — fixed_length_filter.rs:91-114; we call it before ever
+        touching payload bytes)."""
+        return self.check_range(
+            stats.get("vmin"), stats.get("vmax"), stats.get("has_null", False)
+        )
+
     def mask(self, values: np.ndarray, validity: np.ndarray | None) -> np.ndarray:
         """Full-length keep mask with the reference's ternary-null rule."""
         if validity is None:
@@ -172,6 +182,20 @@ class ConstPredicate(Predicate):
         return SOME if (has_null and self.null_allowed) else NONE
 
 
+def _bytes_zone_bounds(stats: dict):
+    """Decode the byte-column zone-map stats written by the encoder:
+    (vmin_pfx, vmax_pfx, vmin_exact, vmax_exact, has_null) or None.
+    ``*_pfx`` are the first 24 bytes of the true min/max; ``*_exact``
+    says the value fit entirely (so the prefix IS the bound)."""
+    pmin, pmax = stats.get("vmin_pfx"), stats.get("vmax_pfx")
+    if pmin is None or pmax is None:
+        return None
+    return (bytes.fromhex(pmin), bytes.fromhex(pmax),
+            bool(stats.get("vmin_exact", False)),
+            bool(stats.get("vmax_exact", False)),
+            bool(stats.get("has_null", False)))
+
+
 @dataclass
 class BytesEqPredicate(Predicate):
     """Byte-array equality — the canonical dictionary-pushdown predicate
@@ -185,6 +209,24 @@ class BytesEqPredicate(Predicate):
 
     def check(self, values) -> np.ndarray:
         return self.check_bytes(values)
+
+    def check_zone(self, stats: dict) -> str:
+        z = _bytes_zone_bounds(stats)
+        if z is None:
+            return SOME
+        vmin_pfx, vmax_pfx, vmin_exact, vmax_exact, has_null = z
+        v = self.value
+        # below the zone: v < vmin_pfx implies v < vmin (prefix <= full);
+        # above the zone: v's own prefix > vmax_pfx implies v > any value
+        # sharing that prefix (exact bound sharpens the comparison)
+        below = v < vmin_pfx
+        above = v > vmax_pfx if vmax_exact else v[: len(vmax_pfx)] > vmax_pfx
+        if (below or above) and not (has_null and self.null_allowed):
+            return NONE
+        if (vmin_exact and vmax_exact and vmin_pfx == vmax_pfx == v
+                and (not has_null or self.null_allowed)):
+            return ALL
+        return SOME
 
     def check_bytes(self, col) -> np.ndarray:
         from ..kernels.strings import StringColumn
@@ -226,6 +268,27 @@ class BytesPrefixPredicate(Predicate):
 
     def check(self, values) -> np.ndarray:
         return self.check_bytes(values)
+
+    def check_zone(self, stats: dict) -> str:
+        z = _bytes_zone_bounds(stats)
+        if z is None:
+            return SOME
+        vmin_pfx, vmax_pfx, vmin_exact, vmax_exact, has_null = z
+        p = self.prefix
+        # any match is >= p, so p > vmax means NONE; vmin already past
+        # the prefix's cover (vmin[:len(p)] > p) also means NONE.  The
+        # prefix comparisons are only conclusive while p fits inside the
+        # stored 24-byte prefixes.
+        above = p > vmax_pfx if vmax_exact else p[: len(vmax_pfx)] > vmax_pfx
+        below = vmin_pfx[: len(p)] > p if len(p) <= len(vmin_pfx) or vmin_exact else False
+        if (above or below) and not (has_null and self.null_allowed):
+            return NONE
+        # both bounds start with p => every value in [vmin, vmax] does
+        if (len(p) <= min(len(vmin_pfx), len(vmax_pfx))
+                and vmin_pfx[: len(p)] == p == vmax_pfx[: len(p)]
+                and (not has_null or self.null_allowed)):
+            return ALL
+        return SOME
 
     def check_bytes(self, col) -> np.ndarray:
         from ..kernels.strings import StringColumn

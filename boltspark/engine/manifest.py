@@ -4,20 +4,34 @@ The footer analog (parquet_footer.rs loads FileMetaData before any
 data is touched; decode here loads the manifest before any block is
 touched).  One parquet row per (partition, column) plus a per-run
 table-meta row carrying the original Spark schema JSON.  Resume =
-``completed_partitions`` anti-join (the reference's skip,
+``completed_partitions_df`` anti-join (the reference's skip,
 local_file_reader.rs:126-171, hops row groups from footer arithmetic
 alone — we hop partitions from the manifest alone).
+
+Nothing per-partition ever rides through the driver: the commit
+aggregation is written by Spark directly from the blocks metadata
+leaves (the wide layout means the binary payload chunks are never
+read), and decode consumes the valid (part_id, run_id) pairs as a
+broadcast-joined DataFrame.  At 100 TB / 64 MB partitions that keeps
+an ~8 M-row bookkeeping table off the driver heap; only the single
+table-meta row and scalar counts are ever collected.
 """
 
 from __future__ import annotations
 
 import json
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .schema import PART_ID
 
 META_KEY = "__table_meta__"
+
+_MANIFEST_SCHEMA = (
+    "part_id long, run_id string, column string, n_rows long, "
+    "raw_bytes long, enc_bytes long, enc_ms double, n_blocks long, "
+    "codec string, outer string, table_meta string"
+)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -38,15 +52,17 @@ def run_exists(spark: SparkSession, manifest_path: str, run_id: str) -> bool:
     )
 
 
-def completed_partitions(spark: SparkSession, manifest_path: str) -> set[int]:
+def completed_partitions_df(spark: SparkSession,
+                            manifest_path: str) -> DataFrame | None:
+    """Distinct completed part_ids as a DataFrame (None if no manifest).
+    Consumed via broadcast anti-join — never collected."""
     if not _exists(spark, manifest_path):
-        return set()
-    rows = (
+        return None
+    return (
         spark.read.parquet(manifest_path)
         .filter(F.col("column") != META_KEY)
-        .select(PART_ID).distinct().collect()
+        .select(PART_ID).distinct()
     )
-    return {r[PART_ID] for r in rows}
 
 
 def commit(
@@ -62,68 +78,85 @@ def commit(
 ) -> dict:
     """Aggregate this run's blocks into manifest rows and append them.
 
-    Reads only metadata columns of the blocks parquet (column pruning:
-    the binary payload is never touched — .explain shows ReadSchema
-    without `block`).
+    The aggregation is written by Spark end to end: the blocks scan
+    reads only the metadata leaves of the wide layout (nested schema
+    pruning — no ``block`` chunk is ever touched), melts the per-column
+    structs into (partition, column) rows, aggregates, and appends.
+    Only the two byte totals are collected (two scalars).
     """
-    # one read job over block *metadata* (column pruning: the binary
-    # payload column is never touched), aggregated and collected — the
-    # result is tiny (one row per partition-column), so the manifest is
-    # then written from the driver in a single tiny job
-    rows = (
+    melt = F.explode(F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("cols").getField(c).getField("raw_bytes").alias("raw_bytes"),
+            F.col("cols").getField(c).getField("enc_bytes").alias("enc_bytes"),
+            F.col("cols").getField(c).getField("enc_ms").alias("enc_ms"),
+            F.col("cols").getField(c).getField("codec").alias("codec"),
+            F.col("cols").getField(c).getField("outer").alias("outer"),
+        )
+        for c in columns
+    ])).alias("m")
+    agg = (
         spark.read.parquet(blocks_path)
-        .select(PART_ID, "run_id", "column", "n_rows", "raw_bytes",
-                "enc_bytes", "enc_ms", "codec", "outer")
         .filter(F.col("run_id") == run_id)
+        .select(PART_ID, "run_id", "n_rows", melt)
+        .select(PART_ID, "run_id", "n_rows", "m.*")
         .groupBy(PART_ID, "run_id", "column")
         .agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
             F.sum("enc_ms").alias("enc_ms"),
-            F.count("*").alias("n_blocks"),
+            F.count(F.lit(1)).alias("n_blocks"),
             F.first("codec").alias("codec"),
             F.first("outer").alias("outer"),
         )
-        .collect()
+        .withColumn("table_meta", F.lit(None).cast("string"))
     )
     meta = json.dumps({
         "columns": columns, "key_cols": list(key_cols), "n_parts": n_parts,
         "schema_json": schema_json,
     })
-    schema = ("part_id long, run_id string, column string, n_rows long, "
-              "raw_bytes long, enc_bytes long, enc_ms double, n_blocks long, "
-              "codec string, outer string, table_meta string")
-    data = [tuple(r) + (None,) for r in rows]
-    data.append((-1, run_id, META_KEY, 0, 0, 0, 0.0, 0, "", "", meta))
-    spark.createDataFrame(data, schema).coalesce(1).write.mode("append").parquet(
-        manifest_path)
-    return {
-        "raw_bytes": sum(r["raw_bytes"] for r in rows),
-        "enc_bytes": sum(r["enc_bytes"] for r in rows),
-    }
+    meta_row = spark.createDataFrame(
+        [(-1, run_id, META_KEY, 0, 0, 0, 0.0, 0, "", "", meta)],
+        _MANIFEST_SCHEMA,
+    )
+    agg.unionByName(meta_row).write.mode("append").parquet(manifest_path)
+    totals = (
+        spark.read.parquet(manifest_path)
+        .filter((F.col("run_id") == run_id) & (F.col("column") != META_KEY))
+        .agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e"))
+        .collect()[0]
+    )
+    return {"raw_bytes": int(totals["r"] or 0), "enc_bytes": int(totals["e"] or 0)}
 
 
 def table_meta(spark: SparkSession, manifest_path: str) -> dict:
-    return load(spark, manifest_path)[0]
+    """Collect ONLY the table-meta row (one row per run; first wins)."""
+    rows = (
+        spark.read.parquet(manifest_path)
+        .filter(F.col("column") == META_KEY)
+        .select("table_meta").limit(1).collect()
+    )
+    if not rows:
+        raise FileNotFoundError(f"no table meta in manifest at {manifest_path}")
+    return json.loads(rows[0]["table_meta"])
+
+
+def valid_pairs_df(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Distinct (part_id, run_id) pairs with a committed manifest entry —
+    the broadcast join key that makes orphan blocks from crashed runs
+    invisible to decode.  Stays a DataFrame; never collected."""
+    return (
+        spark.read.parquet(manifest_path)
+        .filter(F.col("column") != META_KEY)
+        .select(PART_ID, "run_id").distinct()
+    )
 
 
 def load(spark: SparkSession, manifest_path: str):
-    """One read of the (tiny) manifest -> (table_meta dict, valid
-    (part_id, run_id) pairs).  The pairs are the join key that makes
-    orphan blocks from crashed runs invisible."""
-    rows = (
-        spark.read.parquet(manifest_path)
-        .select(PART_ID, "run_id", "column", "table_meta")
-        .collect()
-    )
-    meta = None
-    pairs = set()
-    for r in rows:
-        if r["column"] == META_KEY:
-            meta = meta or json.loads(r["table_meta"])
-        else:
-            pairs.add((r[PART_ID], r["run_id"]))
-    if meta is None:
-        raise FileNotFoundError(f"no table meta in manifest at {manifest_path}")
+    """Back-compat helper: (table_meta dict, sorted collected pairs).
+    Prefer ``table_meta`` + ``valid_pairs_df`` — this one collects."""
+    meta = table_meta(spark, manifest_path)
+    pairs = [(r[PART_ID], r["run_id"])
+             for r in valid_pairs_df(spark, manifest_path).collect()]
     return meta, sorted(pairs)

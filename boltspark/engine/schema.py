@@ -1,12 +1,24 @@
 """Schemas shared by the encode/decode jobs and the manifest.
 
-The blocks table is the engine's page store: one row per
-(partition, column, sub-batch) holding the encoded block bytes plus
-the metadata the reference keeps in page headers and column-chunk
-Thrift (codec, sizes, statistics).  The manifest is the footer analog
-(parquet_footer.rs): it records per-partition lineage and is the
-source of truth for resume — blocks without a manifest entry are
-ignored (orphans from crashed runs).
+The blocks table is the engine's page store, laid out WIDE: one row
+per (partition, run, seq) block group, with one parquet struct column
+per encoded table column.  Because parquet stores every struct leaf as
+its own column chunk, the table's own columnar layout gives the read
+path everything the reference gets from page/footer arithmetic:
+
+* projection reads only the requested ``cols.<name>.block`` chunks
+  (nested schema pruning — the ReadSchema shrinks to what was asked);
+* point queries prune whole row groups on ``part_id`` min/max stats
+  (tasks write rows sorted by part id);
+* the manifest aggregation reads only the tiny metadata leaves, never
+  a block payload;
+* every row is a self-contained block group, so decode needs NO
+  shuffle and no regrouping — it is embarrassingly parallel over scan
+  splits.
+
+The manifest is the footer analog (parquet_footer.rs): per-partition
+lineage, source of truth for resume — blocks without a manifest entry
+are ignored (orphans from crashed runs).
 """
 
 from __future__ import annotations
@@ -16,35 +28,51 @@ from pyspark.sql import types as T
 
 PART_ID = "part_id"
 
-BLOCKS_SPARK_SCHEMA = T.StructType([
-    T.StructField(PART_ID, T.LongType(), False),
-    T.StructField("run_id", T.StringType(), False),
-    T.StructField("column", T.StringType(), False),
-    T.StructField("seq", T.IntegerType(), False),
-    T.StructField("codec", T.StringType(), False),
-    T.StructField("outer", T.StringType(), False),
-    T.StructField("n_rows", T.LongType(), False),
-    T.StructField("raw_bytes", T.LongType(), False),
-    T.StructField("enc_bytes", T.LongType(), False),
-    T.StructField("enc_ms", T.DoubleType(), False),
-    T.StructField("stats", T.StringType(), False),  # JSON zone-map stats
-    T.StructField("block", T.BinaryType(), False),
-])
-
-BLOCKS_ARROW_SCHEMA = pa.schema([
-    pa.field(PART_ID, pa.int64(), False),
-    pa.field("run_id", pa.string(), False),
-    pa.field("column", pa.string(), False),
-    pa.field("seq", pa.int32(), False),
+# per-encoded-column struct: the page-header fields of the reference
+# (codec, sizes, statistics) + the encoded block bytes
+_COL_ARROW_FIELDS = [
+    pa.field("block", pa.large_binary(), False),
     pa.field("codec", pa.string(), False),
     pa.field("outer", pa.string(), False),
-    pa.field("n_rows", pa.int64(), False),
     pa.field("raw_bytes", pa.int64(), False),
     pa.field("enc_bytes", pa.int64(), False),
     pa.field("enc_ms", pa.float64(), False),
-    pa.field("stats", pa.string(), False),
-    pa.field("block", pa.large_binary(), False),
+    pa.field("stats", pa.string(), False),  # JSON zone-map stats
+]
+
+_COL_SPARK_STRUCT = T.StructType([
+    T.StructField("block", T.BinaryType(), False),
+    T.StructField("codec", T.StringType(), False),
+    T.StructField("outer", T.StringType(), False),
+    T.StructField("raw_bytes", T.LongType(), False),
+    T.StructField("enc_bytes", T.LongType(), False),
+    T.StructField("enc_ms", T.DoubleType(), False),
+    T.StructField("stats", T.StringType(), False),
 ])
+
+
+def blocks_arrow_schema(columns: list[str]) -> pa.Schema:
+    return pa.schema([
+        pa.field(PART_ID, pa.int64(), False),
+        pa.field("run_id", pa.string(), False),
+        pa.field("seq", pa.int32(), False),
+        pa.field("n_rows", pa.int64(), False),
+        pa.field("cols", pa.struct([
+            pa.field(c, pa.struct(_COL_ARROW_FIELDS), False) for c in columns
+        ]), False),
+    ])
+
+
+def blocks_spark_schema(columns: list[str]) -> T.StructType:
+    return T.StructType([
+        T.StructField(PART_ID, T.LongType(), False),
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("cols", T.StructType([
+            T.StructField(c, _COL_SPARK_STRUCT, False) for c in columns
+        ]), False),
+    ])
 
 # arrow type -> (physical tag, needs_cast_back)
 _ARROW_TAGS = {

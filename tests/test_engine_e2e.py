@@ -78,10 +78,12 @@ def test_manifest_and_blocks_consistency(spark, encoded):
     blocks = spark.read.parquet(encoded.out_path)
     manifest = spark.read.parquet(encoded.manifest_path).filter(
         F.col("column") != "__table_meta__")
-    # every encoded column of every partition appears in the manifest
-    b = blocks.select("part_id", "column").distinct().count()
-    m = manifest.select("part_id", "column").distinct().count()
+    # every partition with blocks appears in the manifest, for every column
+    b = blocks.select("part_id").distinct().count()
+    m = manifest.select("part_id").distinct().count()
     assert b == m
+    n_cols = manifest.select("column").distinct().count()
+    assert manifest.select("part_id", "column").distinct().count() == b * n_cols
     # per-column row counts equal the table size
     per_col = manifest.groupBy("column").agg(F.sum("n_rows").alias("n")).collect()
     assert all(r["n"] == N_ROWS for r in per_col)

@@ -14,7 +14,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
 
 
 @pytest.fixture(scope="module")
@@ -28,24 +34,63 @@ def encoded(spark, tmp_path_factory):
     return res
 
 
-def test_blocks_scan_prunes_columns_and_pushes_filters(spark, encoded):
+def _read_schemas(plan: str) -> list[str]:
+    return [ln.split("ReadSchema:", 1)[1] for ln in plan.splitlines()
+            if "ReadSchema:" in ln]
+
+
+def test_blocks_scan_prunes_columns(spark, encoded):
+    """Projection must shrink the parquet ReadSchema to exactly the
+    requested columns' leaves (nested schema pruning over the wide
+    layout) — the bytes of unrequested columns are never read."""
     decoded = decode_table(spark, encoded.out_path, encoded.manifest_path,
                            columns=["lang"])
-    plan = _plan(decoded)
-    # the projection filter on `column` is pushed into the parquet scan of
-    # the blocks dataset (local_file_reader columns_to_read analog)
-    assert "PushedFilters" in plan
-    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
-    assert any("column" in ln for ln in pushed), pushed
+    schemas = _read_schemas(_plan(decoded))
+    blocks_schemas = [s for s in schemas if "cols:struct" in s]
+    assert blocks_schemas, schemas
+    for s in blocks_schemas:
+        assert "lang:struct<block:binary>" in s, s
+        # the giant content column's chunk must not be in the scan
+        assert "content" not in s, s
+
+
+def test_predicate_scan_reads_only_block_and_stats(spark, encoded):
+    from boltspark.engine.filters import BytesEqPredicate
+
+    decoded = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                           columns=["path"],
+                           predicate=BytesEqPredicate(column="lang", value=b"py"))
+    schemas = [s for s in _read_schemas(_plan(decoded)) if "cols:struct" in s]
+    assert schemas
+    for s in schemas:
+        assert "lang:struct<block:binary,stats:string>" in s, s
+        assert "content" not in s, s
 
 
 def test_manifest_aggregation_never_reads_payloads(spark, encoded):
+    """The manifest commit melt reads only metadata leaves of the wide
+    layout — no binary block chunk appears in the ReadSchema."""
     blocks = spark.read.parquet(encoded.out_path).select(
-        "part_id", "column", "n_rows").groupBy("column").agg(F.sum("n_rows"))
-    plan = _plan(blocks)
-    schemas = [ln.split("ReadSchema:", 1)[1] for ln in plan.splitlines()
-               if "ReadSchema:" in ln]
+        "part_id", "n_rows",
+        F.col("cols").getField("lang").getField("raw_bytes").alias("rb"),
+    ).groupBy("part_id").agg(F.sum("rb"))
+    schemas = _read_schemas(_plan(blocks))
     assert schemas and all("block:binary" not in s for s in schemas), schemas
+
+
+def test_decode_plan_has_no_shuffle(spark, encoded):
+    """The wide layout makes every blocks row a self-contained group:
+    the block DATA must never shuffle.  The manifest side joins in as a
+    broadcast (its own tiny distinct may shuffle a few hundred metadata
+    rows — that's the footer, not the data)."""
+    decoded = decode_table(spark, encoded.out_path, encoded.manifest_path)
+    plan = _plan(decoded)
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        # left-branch (blocks/probe side) lines carry a ':' gutter in the
+        # tree rendering; no exchange may appear there
+        if "Exchange" in ln and ln.lstrip().startswith(":"):
+            raise AssertionError(f"shuffle on the blocks side: {ln}")
 
 
 def test_similarity_topk_stays_jvm_side(spark):
