@@ -185,6 +185,155 @@ def _q_manifest_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<float> embeddings through the engine (kernels/lists.py):
+    exploded back to (vec_id, idx, val) so the oracle compares every
+    element bit-exact."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_emb_")
+    encode_table(emb, f"{d}/blocks", f"{d}/manifest", key_cols=("vec_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    return back.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("idx", "val"),
+    ).select("vec_id", "label", F.col("idx").cast("long").alias("idx"),
+             F.col("val").cast("double").alias("val"))
+
+
+def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decimal(12,2) scaled-int64 storage, exact round-trip (the
+    reference rejects decimals: primitive_column_reader.rs:450-455)."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty_dec"),
+        F.col("l_discount").cast("decimal(12,2)").alias("disc_dec"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_dec_")
+    encode_table(dfd, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    return back.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("qty_dec").cast("double").alias("qty"),
+        F.col("disc_dec").cast("double").alias("disc"),
+    )
+
+
+def _encode_events_flags(spark: SparkSession, sf_dir: str) -> str:
+    """Shared helper: events with derived boolean columns, encoded."""
+    from boltspark.engine import encode_table
+
+    _ship(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value",
+        (F.col("value") > 245.0).alias("is_big"),
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_flags_")
+    encode_table(ev, f"{d}/blocks", f"{d}/manifest", key_cols=("event_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    return d
+
+
+def _q_roundtrip_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean decode (bit-unpack) with oracle evidence — reference
+    boolean_data_page_v1.rs:100-263 tests the same physical path."""
+    from boltspark.engine import decode_table
+
+    d = _encode_events_flags(spark, sf_dir)
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest").select(
+        "event_id", "is_big", "is_click")
+
+
+def _q_decode_bool_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanPredicate pushdown (boolean_filter.rs:21-75)."""
+    from boltspark.engine import decode_table
+    from boltspark.engine.filters import BooleanPredicate
+
+    d = _encode_events_flags(spark, sf_dir)
+    pred = BooleanPredicate(column="is_click", value=True)
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                        columns=["event_id", "is_big"], predicate=pred)
+
+
+def _q_decode_float_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float range predicate on a double column
+    (float_point_range_filter.rs:23-231)."""
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import RangePredicate
+
+    _ship(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="boltspark_frange_")
+    encode_table(ev, f"{d}/blocks", f"{d}/manifest", key_cols=("event_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = RangePredicate(column="value", lower=100.5, upper=300.25)
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                        predicate=pred)
+
+
+def _q_decode_const_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Const accept-all UNION const reject-all (const_filter.rs:21-135):
+    the result must be exactly one copy of every event id."""
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import ConstPredicate
+
+    _ship(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    d = tempfile.mkdtemp(prefix="boltspark_const_")
+    encode_table(ev, f"{d}/blocks", f"{d}/manifest", key_cols=("event_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    keep_all = decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                            columns=["event_id"],
+                            predicate=ConstPredicate(column="value", accept=True))
+    drop_all = decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                            columns=["event_id"],
+                            predicate=ConstPredicate(column="value", accept=False))
+    return keep_all.unionAll(drop_all)
+
+
+def _q_point_query_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group skip analog (#6, local_file_reader.rs:126-171): decode
+    exactly one partition by id and verify its contents against the
+    source table.  The partition hash is not SQL-portable, so the oracle
+    pins the three verification invariants instead of the row set."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_point_")
+    res = encode_table(docs, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                       target_partition_bytes=4 << 20, resume=False)
+    target_doc = 1
+    pid = docs.select(
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(res.n_partitions)).alias("p")
+    ).filter(F.col("doc_id") == target_doc).first()["p"]
+    part = decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                        columns=["doc_id", "text"], part_ids=[int(pid)])
+    orig = docs.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h0"))
+    back = part.select("doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h1"))
+    j = back.join(orig, "doc_id", "left")
+    return j.agg(
+        (F.count(F.lit(1)) > 0).alias("has_rows"),
+        F.sum(F.when(F.col("h0").isNull() | (F.col("h0") != F.col("h1")), 1)
+              .otherwise(0)).cast("long").alias("n_mismatch"),
+        F.max(F.when(F.col("doc_id") == target_doc, True).otherwise(False))
+        .alias("contains_target"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (boltspark.pipeline)
 # ---------------------------------------------------------------------------
@@ -324,6 +473,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents": _q_roundtrip_documents,
         "roundtrip_lineitem": _q_roundtrip_lineitem,
         "roundtrip_events": _q_roundtrip_events,
+        "roundtrip_embeddings": _q_roundtrip_embeddings,
+        "roundtrip_decimal": _q_roundtrip_decimal,
+        "roundtrip_flags": _q_roundtrip_flags,
+        "decode_bool_eq": _q_decode_bool_eq,
+        "decode_float_range": _q_decode_float_range,
+        "decode_const_pred": _q_decode_const_pred,
+        "point_query_partition": _q_point_query_partition,
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
         "decode_dict_eq": _q_decode_dict_eq,
@@ -354,6 +510,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "roundtrip_events": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+        ),
+        "roundtrip_embeddings": (
+            "SELECT vec_id, CAST(label AS BIGINT) AS label, "
+            "CAST(u.i - 1 AS BIGINT) AS idx, "
+            "CAST(embedding[u.i] AS DOUBLE) AS val "
+            "FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding))) AS u(i)"
+        ),
+        "roundtrip_decimal": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty, "
+            "CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS disc "
+            "FROM lineitem"
+        ),
+        "roundtrip_flags": (
+            "SELECT event_id, value > 245.0 AS is_big, "
+            "event_type = 'click' AS is_click FROM events"
+        ),
+        "decode_bool_eq": (
+            "SELECT event_id, value > 245.0 AS is_big FROM events "
+            "WHERE event_type = 'click'"
+        ),
+        "decode_float_range": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE value BETWEEN 100.5 AND 300.25"
+        ),
+        "decode_const_pred": (
+            "SELECT event_id FROM events"
+        ),
+        "point_query_partition": (
+            "SELECT TRUE AS has_rows, CAST(0 AS BIGINT) AS n_mismatch, "
+            "TRUE AS contains_target"
         ),
         "decode_range_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels import block as blockmod
-from ..kernels import bitpack, dictionary, strings
+from ..kernels import bitpack, dictionary, lists, strings
 from . import manifest as manifestmod
 from .filters import ALL, NONE, Predicate
 from .schema import PART_ID
@@ -62,11 +62,56 @@ def _scatter_bytes(dense: strings.StringColumn, validity: np.ndarray) -> pa.Arra
     )
 
 
-def _to_arrow_full(values, validity, tag: str) -> pa.Array:
+def _list_to_arrow(col: lists.ListColumn, validity: np.ndarray | None,
+                   elem_type: pa.DataType) -> pa.Array:
+    """Dense ListColumn (+ optional validity) -> Arrow large_list array.
+    Null rows are zero-length (offset repeats), flagged via the validity
+    bitmap — the rep/def-level reconstruction of nested data."""
+    values = pa.array(col.values)
+    if validity is None:
+        offsets = np.ascontiguousarray(col.offsets)
+        bufs = [None, pa.py_buffer(offsets)]
+        n = len(col)
+    else:
+        n = len(validity)
+        lens = np.zeros(n, dtype=np.int64)
+        lens[validity] = col.lengths()
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        bufs = [pa.py_buffer(bitpack.pack_bools(validity)), pa.py_buffer(offsets)]
+    return pa.Array.from_buffers(
+        pa.large_list(pa.field("element", elem_type, True)), n, bufs,
+        children=[values])
+
+
+def _decimal_from_i64(values: np.ndarray, validity: np.ndarray | None,
+                      target: pa.DataType) -> pa.Array:
+    """Unscaled int64 -> decimal128(p, s) via the 16-byte two's-complement
+    storage (low word = value, high word = sign extension)."""
+    if validity is not None:
+        full = blockmod.scatter_nulls_fixed(np.asarray(values), validity)
+    else:
+        full = np.asarray(values, dtype=np.int64)
+    n = len(full)
+    pairs = np.empty((n, 2), dtype=np.int64)
+    pairs[:, 0] = full
+    pairs[:, 1] = full >> 63  # 0 / -1 sign extension
+    vbuf = None if validity is None else pa.py_buffer(bitpack.pack_bools(validity))
+    return pa.Array.from_buffers(target, n, [vbuf, pa.py_buffer(pairs.tobytes())])
+
+
+def _to_arrow_full(values, validity, tag: str, target: pa.DataType | None = None) -> pa.Array:
     if tag == "bytes":
         if validity is None:
             return strings.to_arrow(values)
         return _scatter_bytes(values, validity)
+    if tag in lists.LIST_TAGS:
+        elem = target.value_type if target is not None and (
+            pa.types.is_list(target) or pa.types.is_large_list(target)
+        ) else pa.from_numpy_dtype(values.values.dtype)
+        return _list_to_arrow(values, validity, elem)
+    if target is not None and pa.types.is_decimal(target):
+        return _decimal_from_i64(values, validity, target)
     if validity is None:
         return pa.array(values)
     full = blockmod.scatter_nulls_fixed(np.asarray(values), validity)
@@ -127,10 +172,10 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
         for name in out_cols:
             values, validity, tag, codec, n_rows = blockmod.decode_block(
                 blk_cols[name][i].as_py())
-            arr = _to_arrow_full(values, validity, tag)
+            target = out_types[name]
+            arr = _to_arrow_full(values, validity, tag, target)
             if mask is not None:
                 arr = arr.filter(pa.array(mask))
-            target = out_types[name]
             if not arr.type.equals(target):
                 arr = arr.cast(target)
             arrays.append(arr)
@@ -209,15 +254,23 @@ def decode_table(
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     out_types = {}
     out_fields = []
-    for c in out_cols:
-        t = field_by_name[c].dataType
-        out_types[c] = {
+    def _arrow_out_type(t):
+        name = t.typeName()
+        if name == "decimal":
+            return pa.decimal128(t.precision, t.scale)
+        if name == "array":
+            return pa.list_(_arrow_out_type(t.elementType))
+        return {
             "string": pa.string(), "binary": pa.binary(),
             "timestamp": pa.timestamp("us", tz=tz),
             "timestamp_ntz": pa.timestamp("us"),
             "date": pa.date32(),
             **{k: v for k, v in _FIXED_STRUCT.items()},
-        }[t.typeName()]
+        }[name]
+
+    for c in out_cols:
+        t = field_by_name[c].dataType
+        out_types[c] = _arrow_out_type(t)
         out_fields.append(T.StructField(c, t, True))
     if include_part_id:
         out_fields.append(T.StructField(PART_ID, T.LongType(), False))

@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels import block as blockmod
-from ..kernels import fsst, selector, strings
+from ..kernels import fsst, lists, selector, strings
 from . import manifest as manifestmod
 from .partitioner import (
     DEFAULT_TARGET_PARTITION_BYTES,
@@ -68,6 +68,8 @@ def _column_stats(values, tag: str, validity) -> str:
                      "vmin_exact": len(vmin) <= 24, "vmax_exact": len(vmax) <= 24}
         else:
             stats = {}
+    elif tag in lists.LIST_TAGS:
+        stats = {}  # no zone maps over list columns (no order semantics)
     else:
         stats = {}
         if len(values):
@@ -75,6 +77,15 @@ def _column_stats(values, tag: str, validity) -> str:
             stats["vmax"] = float(np.max(values)) if tag in ("f32", "f64") else int(np.max(values))
     stats["has_null"] = has_null
     return json.dumps(stats, separators=(",", ":"))
+
+
+def _decimal_unscaled_i64(arr: pa.Array) -> np.ndarray:
+    """Dense decimal128(p<=18) -> unscaled int64 (low word of the
+    16-byte two's-complement storage; precision <= 18 fits)."""
+    buf = arr.buffers()[1]
+    lo = np.frombuffer(buf, dtype=np.int64).reshape(-1, 2)[
+        arr.offset : arr.offset + len(arr), 0]
+    return np.ascontiguousarray(lo)
 
 
 def _to_kernel(arr: pa.Array, tag: str):
@@ -85,6 +96,18 @@ def _to_kernel(arr: pa.Array, tag: str):
         arr = arr.drop_null()
     if tag == "bytes":
         return strings.from_arrow(arr), validity
+    if tag in lists.LIST_TAGS:
+        import pyarrow.compute as pc
+
+        flat = arr.flatten()
+        if flat.null_count:
+            raise TypeError("null elements inside list values unsupported")
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(len(arr) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        return lists.ListColumn(offsets, flat.to_numpy(zero_copy_only=False)), validity
+    if pa.types.is_decimal(arr.type):
+        return _decimal_unscaled_i64(arr), validity
     return arr.to_numpy(zero_copy_only=False), validity
 
 
@@ -100,6 +123,14 @@ def _split_points(batch: pa.RecordBatch, columns: list[str], block_bytes: int) -
             import pyarrow.compute as pc
 
             weight += pc.binary_length(arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64) + 4
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            import pyarrow.compute as pc
+
+            esz = max(t.value_type.bit_width // 8, 1)
+            weight += (pc.list_value_length(arr).fill_null(0)
+                       .to_numpy(zero_copy_only=False).astype(np.int64) * esz + 8)
+        elif pa.types.is_decimal(t):
+            weight += 8
         else:
             weight += max(arr.type.bit_width // 8, 1)
     cum = np.cumsum(weight)
@@ -144,11 +175,17 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
                 key = (part_id, name)
                 choice = choice_cache.get(key)
                 if choice is None:
-                    if tag == "bytes" and name not in fsst_tables:
-                        fsst_tables[name] = fsst.build_symbol_table_best(
-                            values.data[: fsst._DEFAULT_SAMPLE])
-                    choice = selector.choose(values, tag, outer=outer,
-                                             fsst_table=fsst_tables.get(name))
+                    if tag in lists.LIST_TAGS:
+                        # the list codec runs its own selector over the
+                        # flattened element stream (kernels/lists.py)
+                        choice = selector.CodecChoice("list", outer or "none",
+                                                      None, 1.0)
+                    else:
+                        if tag == "bytes" and name not in fsst_tables:
+                            fsst_tables[name] = fsst.build_symbol_table_best(
+                                values.data[: fsst._DEFAULT_SAMPLE])
+                        choice = selector.choose(values, tag, outer=outer,
+                                                 fsst_table=fsst_tables.get(name))
                     choice_cache[key] = choice
                 try:
                     blk = blockmod.encode_block(

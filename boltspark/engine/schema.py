@@ -84,6 +84,12 @@ _ARROW_TAGS = {
 }
 
 
+_LIST_ELEM_TAGS = {
+    pa.int32(): "li32", pa.int64(): "li64",
+    pa.float32(): "lf32", pa.float64(): "lf64",
+}
+
+
 def tag_for_arrow_type(t: pa.DataType) -> str:
     if t in _ARROW_TAGS:
         return _ARROW_TAGS[t]
@@ -99,6 +105,20 @@ def tag_for_arrow_type(t: pa.DataType) -> str:
         return "i32"
     if pa.types.is_date64(t):
         return "i64"
+    # decimals up to 18 digits ride as their unscaled int64 (scaled-int
+    # FoR storage; the reference rejects decimals outright,
+    # primitive_column_reader.rs:450-455 — we leapfrog it)
+    if pa.types.is_decimal(t):
+        if t.precision <= 18:
+            return "i64"
+        raise TypeError(f"decimal precision > 18 unsupported: {t}")
+    # fixed-element lists (array<float> embeddings etc.) flatten to
+    # (lengths, values) — kernels/lists.py
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        elem = t.value_type
+        if elem in _LIST_ELEM_TAGS:
+            return _LIST_ELEM_TAGS[elem]
+        raise TypeError(f"unsupported list element type {elem}")
     raise TypeError(
         f"unsupported column type {t} (reference likewise rejects INT96/FLBA:"
         " primitive_column_reader.rs:450-455)"

@@ -37,13 +37,13 @@ import zlib
 
 import numpy as np
 
-from . import bitpack, dictionary, foref, fsst, rle, strings
+from . import bitpack, dictionary, foref, fsst, lists, rle, strings
 from .types import ALL_TAGS, BOOL, BYTES, dtype_of, tag_of
 from .varint import CorruptBlockError
 
 MAGIC = b"BSK1"
 
-CODEC_IDS = ("plain", "rle", "dict", "for", "bitpack", "fsst")
+CODEC_IDS = ("plain", "rle", "dict", "for", "bitpack", "fsst", "list")
 OUTER_CODECS = ("none", "zstd", "gzip", "snappy", "lz4")
 
 _HDR = struct.Struct("<4sBBBBQ")
@@ -128,6 +128,7 @@ _CODECS = {
     "for": (foref.encode, foref.decode),
     "bitpack": (_encode_bitpack, _decode_bitpack),
     "fsst": (fsst.encode, fsst.decode),
+    "list": (lists.encode, lists.decode),
 }
 
 

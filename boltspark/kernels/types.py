@@ -29,7 +29,10 @@ NUMPY_DTYPES = {
 }
 
 FIXED_TAGS = tuple(NUMPY_DTYPES)
-ALL_TAGS = FIXED_TAGS + (BYTES,)
+# list-of-fixed tags (kernels/lists.py) appended AFTER the originals so
+# stored tag ids stay stable
+LIST_TAG_NAMES = ("li32", "li64", "lf32", "lf64")
+ALL_TAGS = FIXED_TAGS + (BYTES,) + LIST_TAG_NAMES
 
 
 def tag_of(arr) -> str:

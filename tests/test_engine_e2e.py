@@ -253,3 +253,36 @@ def test_noshuffle_decode_equals_shuffle(spark, corpus_df, encoded):
     ah = a.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
     bh = b.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
     assert ah.exceptAll(bh).count() + bh.exceptAll(ah).count() == 0
+
+
+def test_array_column_roundtrip(spark, tmp_path):
+    """array<float> embeddings ride the engine end to end bit-identical
+    (the reference parses nested schema but refuses to read it —
+    metadata/utils.rs:88-209, rep_def_parser.rs:36-46)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path)
+    encode_table(emb, f"{d}/b", f"{d}/m", key_cols=("vec_id",), n_parts=4,
+                 resume=False)
+    back = decode_table(spark, f"{d}/b", f"{d}/m")
+    assert back.schema["embedding"].dataType.simpleString() == "array<float>"
+    diff = emb.exceptAll(back).count() + back.exceptAll(emb).count()
+    assert diff == 0
+
+
+def test_decimal_column_roundtrip(spark, tmp_path):
+    """decimal(12,2) rides as scaled-int64 storage, exact (the reference
+    rejects decimals: primitive_column_reader.rs:450-455)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        (F.col("l_extendedprice") * -1).cast("decimal(14,2)").alias("neg_price"),
+    )
+    d = str(tmp_path)
+    encode_table(dfd, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False)
+    back = decode_table(spark, f"{d}/b", f"{d}/m")
+    assert back.schema["qty"].dataType.simpleString() == "decimal(12,2)"
+    diff = dfd.exceptAll(back).count() + back.exceptAll(dfd).count()
+    assert diff == 0

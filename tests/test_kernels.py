@@ -285,3 +285,41 @@ def test_bitflip_fuzz_never_silent(rng):
         except (CorruptBlockError, ValueError, KeyError, TypeError):
             continue
         assert got == ref, f"silent corruption from flip at byte {i}"
+
+
+def test_list_block_roundtrip(rng):
+    from boltspark.kernels import lists
+
+    n, dim = 200, 48
+    offs = np.arange(0, dim * (n + 1), dim, dtype=np.int64)
+    for tag, vals in [
+        ("lf32", rng.normal(size=dim * n).astype(np.float32)),
+        ("lf64", rng.normal(size=dim * n).astype(np.float64)),
+        ("li64", rng.integers(0, 40, dim * n).astype(np.int64)),
+        ("li32", rng.integers(-5, 5, dim * n).astype(np.int32)),
+    ]:
+        col = lists.ListColumn(offs, vals)
+        blk = block.encode_block(col, tag, "list", outer="zstd")
+        out, validity, t2, codec, nn = block.decode_block(blk)
+        assert nn == n and validity is None and codec == "list"
+        assert (out.offsets == col.offsets).all()
+        assert out.values.tobytes() == col.values.tobytes(), tag  # bit-identical
+        with pytest.raises(CorruptBlockError):
+            block.decode_block(blk[: len(blk) // 2])
+
+
+def test_list_block_ragged_and_nulls(rng):
+    from boltspark.kernels import lists
+
+    validity = rng.random(400) > 0.25
+    dense_n = int(validity.sum())
+    lens = rng.integers(0, 9, dense_n).astype(np.int64)
+    offs = np.zeros(dense_n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    vals = rng.integers(0, 1000, int(lens.sum())).astype(np.int64)
+    col = lists.ListColumn(offs, vals)
+    blk = block.encode_block(col, "li64", "list", validity=validity)
+    out, v2, _, _, nn = block.decode_block(blk)
+    assert nn == 400 and (v2 == validity).all()
+    assert (out.offsets == col.offsets).all()
+    assert out.values.tobytes() == col.values.tobytes()
