@@ -21,17 +21,64 @@ def estimate_bytes_fast(df: DataFrame, columns: list[str],
                         sample_rows: int = 4096) -> int:
     """Partition-sizing estimate without a full scan: exact row count
     (metadata-only for parquet sources) x mean row bytes from a bounded
-    prefix sample.  At 100 TB a full pre-scan just to size partitions
-    would double the job's IO; a +-20% estimate only shifts partition
-    sizes by the same factor, which the 64 MB target tolerates."""
-    from pyspark.sql import functions as F
+    sample.  At 100 TB a full pre-scan just to size partitions would
+    double the job's IO; a +-20% estimate only shifts partition sizes by
+    the same factor, which the 64 MB target tolerates.
 
+    The sample is spread over up to 8 evenly spaced input files (first
+    row-group slice of each, read via the parquet footer on the driver)
+    so time-ordered corpora with drifting row sizes don't bias the
+    estimate the way a head-of-table ``limit()`` would.  Non-parquet
+    inputs fall back to the prefix sample.
+    """
     n = df.count()
     if n == 0:
         return 0
-    sample = df.limit(sample_rows)
-    per_row = estimate_bytes(sample, columns) / min(n, sample_rows)
+    per_row = _per_row_bytes_from_files(df, columns, sample_rows)
+    if per_row is None:
+        sample = df.limit(sample_rows)
+        per_row = estimate_bytes(sample, columns) / min(n, sample_rows)
     return int(n * per_row)
+
+
+def _per_row_bytes_from_files(df: DataFrame, columns: list[str],
+                              sample_rows: int) -> float | None:
+    """Mean logical row bytes from bounded slices of evenly spaced
+    parquet input files; None when the plan isn't a local parquet scan."""
+    try:
+        files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+    except Exception:
+        return None
+    paths = []
+    for f in sorted(files):
+        if f.startswith("file:"):
+            paths.append("/" + f.split(":", 1)[1].lstrip("/"))
+        elif "://" not in f:
+            paths.append(f)
+    if not paths:
+        return None
+    import pyarrow.parquet as pq
+
+    picks = paths[:: max(1, len(paths) // 8)][:8]
+    rows = 0
+    nbytes = 0
+    per_file = max(64, sample_rows // len(picks))
+    try:
+        for p in picks:
+            pf = pq.ParquetFile(p)
+            cols = [c for c in pf.schema_arrow.names if c in columns]
+            if not cols:
+                return None
+            batch = next(pf.iter_batches(batch_size=per_file, columns=cols), None)
+            if batch is None:
+                continue
+            rows += batch.num_rows
+            nbytes += sum(a.nbytes for a in batch.columns)
+    except Exception:
+        return None
+    if not rows:
+        return None
+    return nbytes / rows
 
 
 def estimate_bytes(df: DataFrame, columns: list[str]) -> int:

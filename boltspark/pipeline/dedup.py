@@ -118,13 +118,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def lsh_candidate_pairs(df: DataFrame, key: str = "doc_id",
                         text_col: str = "text", n_hashes: int = 64,
                         bands: int = 16, shingle: int = 5,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42, max_bucket: int = 64) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
     signature -> `bands` band-hash keys -> explode -> groupBy band key
     (the shuffle is on bucket keys: scalable) -> pairs within buckets.
     Returns (key_a, key_b, n_shared_bands), key_a < key_b.
+
+    ``max_bucket`` bounds the membership of any one band bucket (kept
+    members are the ``max_bucket`` smallest keys, deterministic): k
+    identical documents share EVERY band bucket and would otherwise
+    produce k^2/2 candidate pairs — the common web-scale case.  Run
+    ``exact_dedup`` first so identical texts collapse to one
+    representative; the cap is the backstop for near-identical floods.
+    Pair count per bucket is then <= max_bucket^2/2 regardless of skew.
     """
+    from pyspark.sql import Window
+
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, n_hashes, shingle, seed)
     band_cols = [
@@ -139,6 +149,12 @@ def lsh_candidate_pairs(df: DataFrame, key: str = "doc_id",
         key,
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
     )
+    if max_bucket:
+        # the row_number shuffle is on the same bucket key as the join
+        # below — no extra exchange shape, just a bounded sort per bucket
+        w = Window.partitionBy("bucket").orderBy(key)
+        melted = (melted.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= max_bucket).drop("__rn"))
     left = melted.alias("a")
     right = melted.alias("b")
     pairs = (
@@ -180,8 +196,9 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit simhash per document: crc32-hash each whitespace token
-    (two salts -> 64 bits), bit-vote, sign."""
+    """Python oracle for the JVM simhash (tests pin parity against it):
+    crc32-hash each whitespace token (two salts -> 64 bits), bit-vote,
+    sign.  The production path is ``simhash`` below — pure built-ins."""
     import zlib
 
     out = np.zeros(len(texts), dtype=np.int64)
@@ -208,10 +225,48 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# bit masks 1<<b as signed int64 (1<<63 wraps to the sign bit)
+_BIT_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             out_col: str = "simhash") -> DataFrame:
-    udf = F.pandas_udf(_simhash_batch, T.LongType())
-    return df.withColumn(out_col, udf(F.col(text_col)))
+    """64-bit simhash per document with pure JVM built-ins (no Python in
+    the hot path — the r1 per-token-Python kernel is now only a test
+    oracle).  Identical output to ``_simhash_batch``: token hash =
+    crc32(token+'\\x01') << 32 | crc32(token), per-bit votes over the
+    token list via aggregate/zip_with, sign -> bit.
+
+    Higher-order array functions don't enter whole-stage codegen but
+    evaluate JVM-side — no BatchEvalPython/ArrowEvalPython node exists
+    in this plan (gated in tests/test_plans.py).
+    """
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    hashes = F.transform(
+        toks,
+        lambda t: F.shiftleft(
+            F.crc32(F.encode(F.concat(t, F.lit("\x01")), "utf-8")), 32
+        ).bitwiseOR(F.crc32(F.encode(t, "utf-8"))),
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.withColumn(out_col, sim)
 
 
 def simhash_near_pairs(df: DataFrame, key: str = "doc_id",

@@ -49,14 +49,28 @@ def scan(
     for pred in filters or []:
         df = df.filter(pred.to_spark_condition())
     if skip or limit is not None:
-        df = df.withColumn(
-            "__row", F.monotonically_increasing_id()
-        )
-        w_cols = columns or [c for c in df.columns if c != "__row"]
-        rows = df.orderBy("__row")
+        # stable file order: rank files by their position in the given
+        # list (the reference reads files in argument order), then by the
+        # parquet-native per-file row index.  monotonically_increasing_id
+        # would follow Spark's split packing, not the file order.
+        fp = F.col("_metadata.file_path")
+        rank = None
+        for i, f in enumerate(files):
+            cond = fp.endswith(f.split("://")[-1])
+            rank = F.when(cond, i) if rank is None else rank.when(cond, i)
+        rank = rank.otherwise(len(files))
+        w_cols = columns or list(df.columns)
+        rows = df.select(*w_cols, fp.alias("__fp"),
+                         F.col("_metadata.row_index").alias("__ri"),
+                         rank.alias("__rank")).orderBy("__rank", "__fp", "__ri")
         if skip:
             rows = rows.offset(skip)
         if limit is not None:
+            # orderBy+limit compiles to TakeOrdered(skip+limit): bounded,
+            # not a full global sort, for the point-query shapes the
+            # reference CLI supports.  Bulk offset reads over an encoded
+            # dataset should use decode_table(part_ids=...) which skips
+            # from manifest arithmetic alone.
             rows = rows.limit(limit)
         df = rows.select(*w_cols)
     elif columns:

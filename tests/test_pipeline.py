@@ -195,3 +195,47 @@ def test_minhash_batch_independent():
     d = _minhash_batch(pd.Series(["", "ab", None]), 8, 5, 42)
     e = _minhash_batch(pd.Series(["filler row", "", "ab", None]), 8, 5, 42)
     assert (d[0] == e[1]).all() and (d[1] == e[2]).all() and (d[2] == e[3]).all()
+
+
+def test_simhash_jvm_matches_python_oracle(spark):
+    """The JVM simhash (built-ins) must reproduce the Python oracle
+    kernel bit for bit."""
+    import pandas as pd
+
+    from boltspark.pipeline.dedup import _simhash_batch, simhash
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "THE QUICK brown        fox",
+        "", None, "one-token",
+        "unicode naïve café text",
+        "a b c d e f g h " * 20,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash(df).select("doc_id", "simhash").collect()}
+    want = _simhash_batch(pd.Series(texts)).tolist()
+    assert [got[i] for i in range(len(texts))] == want
+
+
+def test_simhash_plan_has_no_python(spark):
+    from boltspark.pipeline import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (dedup.simhash(docs.select("doc_id", "text"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """1000 identical docs must not explode into ~500k candidate pairs:
+    the per-bucket membership cap bounds the blowup."""
+    from boltspark.pipeline import dedup
+
+    rows = [(i, "exactly the same document body repeated many times " * 4)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.lsh_candidate_pairs(df, n_hashes=16, bands=4, max_bucket=32)
+    n = pairs.count()
+    assert 0 < n <= 32 * 31 // 2, n

@@ -80,3 +80,19 @@ def test_scan_reader_cli_parity(spark):
     assert total == n_rows
     with pytest.raises(KeyError):
         scan(spark, f, columns=["nope"])
+
+
+def test_scan_multi_file_follows_argument_order(spark, tmp_path):
+    """-p/-s point queries must follow the GIVEN file order, not Spark's
+    split packing (reader_cli.rs reads files in argument order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from boltspark.sources.scan import scan
+
+    fa, fb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"v": list(range(0, 50))}), fa)
+    pq.write_table(pa.table({"v": list(range(100, 180))}), fb)
+    # b first: global row order must be b's rows then a's
+    got = [r["v"] for r in scan(spark, [fb, fa], skip=75, limit=10).collect()]
+    assert got == list(range(175, 180)) + list(range(0, 5))
