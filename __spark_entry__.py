@@ -334,6 +334,22 @@ def _q_point_query_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fsst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSST symbol-table compression pinned on the text column
+    (codec_override): greedy-parse encode + vectorized decode must be
+    bit-exact on real document text."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="boltspark_fsst_")
+    encode_table(docs, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False,
+                 codec_override={"text": "fsst"})
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (boltspark.pipeline)
 # ---------------------------------------------------------------------------
@@ -480,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_float_range": _q_decode_float_range,
         "decode_const_pred": _q_decode_const_pred,
         "point_query_partition": _q_point_query_partition,
+        "fsst_roundtrip": _q_fsst_roundtrip,
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
         "decode_dict_eq": _q_decode_dict_eq,
@@ -542,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT TRUE AS has_rows, CAST(0 AS BIGINT) AS n_mismatch, "
             "TRUE AS contains_target"
         ),
+        "fsst_roundtrip": "SELECT doc_id, text FROM documents",
         "decode_range_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE n_chars BETWEEN 200 AND 900 AND n_chars IS NOT NULL"

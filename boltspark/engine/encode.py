@@ -142,7 +142,9 @@ def _split_points(batch: pa.RecordBatch, columns: list[str], block_bytes: int) -
     return cuts
 
 
-def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str | None):
+def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
+                  outer: str | None,
+                  codec_override: dict[str, str] | None = None):
     """Build the mapInArrow function. State (codec choice, FSST symbol
     table) is cached per (partition, column) so the table is built once
     per partition, not once per block."""
@@ -175,7 +177,15 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int, outer: str 
                 key = (part_id, name)
                 choice = choice_cache.get(key)
                 if choice is None:
-                    if tag in lists.LIST_TAGS:
+                    if codec_override and name in codec_override:
+                        # expert knob: pin the codec, still trial the outer
+                        forced = codec_override[name]
+                        if forced == "fsst" and name not in fsst_tables:
+                            fsst_tables[name] = fsst.build_symbol_table_best(
+                                values.data[: fsst._DEFAULT_SAMPLE])
+                        choice = selector.CodecChoice(forced, outer or "none",
+                                                      None, 1.0)
+                    elif tag in lists.LIST_TAGS:
                         # the list codec runs its own selector over the
                         # flattened element stream (kernels/lists.py)
                         choice = selector.CodecChoice("list", outer or "none",
@@ -261,6 +271,7 @@ def encode_table(
     resume: bool = True,
     n_parts: int | None = None,
     run_id: str | None = None,
+    codec_override: dict[str, str] | None = None,
 ) -> EncodeResult:
     """Encode ``columns`` of ``df`` into a blocks dataset + manifest.
 
@@ -311,7 +322,7 @@ def encode_table(
     n_planned = n_parts - n_done
 
     blocks = keyed.mapInArrow(
-        _make_encoder(columns, run_id, block_bytes, outer),
+        _make_encoder(columns, run_id, block_bytes, outer, codec_override),
         blocks_spark_schema(columns),
     )
     # payloads are self-compressed; parquet recompression would waste CPU

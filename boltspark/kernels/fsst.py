@@ -12,14 +12,16 @@ Python"):
   lives in a separate literal stream (instead of FSST's inline escape),
   so decode needs no sequential escape parsing — it is one vectorized
   gather.  The size cost is identical (2 bytes per literal).
-* Encode is *priority-greedy* rather than left-to-right greedy: symbols
-  are applied in descending gain order over the concatenated blob, each
-  pass claiming all non-overlapping occurrences that touch only
-  unclaimed bytes and do not bridge a row boundary.  Symbols that
-  self-overlap (proper border) are excluded at build time so one
-  symbol's occurrences are pairwise disjoint and each pass is a pure
-  vector op.  This parses slightly differently from sequential FSST but
-  compresses comparably and is orders of magnitude faster in numpy.
+* Encode is TRUE left-to-right greedy (longest match at each position,
+  the paper's parse), vectorized as a lockstep chain walk: first the
+  longest symbol match length at every position (per-length hashed
+  probes over 2-byte-prefix-gated candidates), then rows — split into
+  bounded *segments* so one giant row cannot serialize the walk — all
+  advance in lockstep: one gather per step moves every live segment to
+  its next token.  Step count is bounded by the segment byte size; work
+  is O(total tokens) with vector width = number of segments.  Matches
+  never bridge a segment end (same rule as row ends), which costs a
+  fraction of a percent of ratio and buys full vectorization.
 
 Round-trip is bit-exact for arbitrary bytes (escapes cover everything).
 """
@@ -85,10 +87,10 @@ def build_symbol_table(sample: bytes, generations: int = _GENERATIONS) -> list[b
                     counts[merged] += 1
             prev = tok
             pos += len(tok)
-        ranked = sorted(
-            (c for c in counts if not _self_overlapping(c)),
-            key=lambda s: -_gain(counts[s], len(s)),
-        )
+        # (self-overlapping symbols are fine for the greedy parse — the
+        # old priority-claim scheme needed to exclude them, the lockstep
+        # walk does not)
+        ranked = sorted(counts, key=lambda s: -_gain(counts[s], len(s)))
         table = ranked[:MAX_SYMBOLS]
     # longest-first makes priority order deterministic for equal gains
     table.sort(key=lambda s: (-len(s), s))
@@ -145,6 +147,47 @@ def _build_hash_table(vals: np.ndarray):
     return None
 
 
+# long rows are split into independent parse segments of this many bytes
+# so ONE giant row cannot serialize the lockstep walk; a match never
+# bridges a segment end (ratio cost: at most 7 bytes per KB re-literaled)
+_SEG_BYTES = 1024
+
+
+def _segment_bounds(offsets: np.ndarray, n: int) -> np.ndarray:
+    """Strictly increasing segment END positions covering [0, n): row
+    ends plus _SEG_BYTES splits inside rows longer than _SEG_BYTES."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = offsets[1:]
+    parts = [np.unique(ends[ends > 0])]
+    lens = np.diff(offsets)
+    for i in np.nonzero(lens > _SEG_BYTES)[0]:
+        parts.append(np.arange(int(offsets[i]) + _SEG_BYTES, int(offsets[i + 1]),
+                               _SEG_BYTES, dtype=np.int64))
+    bounds = np.unique(np.concatenate(parts))
+    return bounds.astype(np.int64)
+
+
+def _greedy_token_starts(len_at: np.ndarray, seg_bounds: np.ndarray,
+                         n: int) -> np.ndarray:
+    """Left-to-right greedy parse of every segment in lockstep: one
+    gather per step advances all live segments to their next token.
+    Step count <= max segment byte length; total work O(n_tokens)."""
+    starts_mask = np.zeros(n, dtype=bool)
+    if n == 0:
+        return starts_mask
+    cur = np.concatenate(([0], seg_bounds[:-1])).astype(np.int64)
+    ends = seg_bounds
+    keep = cur < ends
+    cur, ends = cur[keep], ends[keep]
+    while len(cur):
+        starts_mask[cur] = True
+        cur = cur + len_at[cur]  # uint8 lengths upcast to int64 here
+        keep = cur < ends
+        cur, ends = cur[keep], ends[keep]
+    return starts_mask
+
+
 def encode(col: StringColumn, tag: str = "bytes",
            table: list[bytes] | None = None,
            sample_bytes: int = _DEFAULT_SAMPLE) -> tuple[bytes, dict]:
@@ -156,17 +199,16 @@ def encode(col: StringColumn, tag: str = "bytes",
     if table is None:
         table = build_symbol_table(col.data[:sample_bytes]) if n else []
 
-    # --- locate matches: longest symbol per position ----------------------
-    claimed = np.zeros(n, dtype=bool)
-    # cumulative count of row-end bytes: claims may not bridge a row end
-    row_end = np.zeros(n + 1, dtype=np.int32)
-    nonempty_ends = col.offsets[1:][col.offsets[1:] > col.offsets[:-1]] - 1
-    row_end[nonempty_ends + 1] = 1
-    re_cum = np.cumsum(row_end)
+    # --- segment bounds: row ends, giant rows split at _SEG_BYTES ---------
+    # matches never bridge a segment end, so every segment parses
+    # independently and the chain walk below is lockstep across segments
+    seg_bounds = _segment_bounds(col.offsets, n)
 
-    claim_pos_parts: list[np.ndarray] = []
-    claim_code_parts: list[np.ndarray] = []
-
+    # --- longest symbol match length/code at every position ---------------
+    # (uint8 everywhere: this host is memory-bandwidth-bound, so the
+    # full-buffer arrays must stay as narrow as the values allow)
+    code_at = np.full(n, LITERAL, dtype=np.uint8)
+    len_at = np.ones(n, dtype=np.uint8)  # literal advances 1 byte
     if table and n:
         by_len: dict[int, list[tuple[int, int]]] = {}
         for code, sym in enumerate(table):
@@ -178,11 +220,8 @@ def encode(col: StringColumn, tag: str = "bytes",
         padded = np.zeros(n + MAX_SYMBOL_LEN, dtype=np.uint8)
         padded[:n] = buf
         multi = [s for s in table if len(s) >= 2]
-        match_pos_parts: list[np.ndarray] = []
-        match_code_parts: list[np.ndarray] = []
         if multi:
-            # per-prefix bitmask of symbol lengths: a candidate is only
-            # probed at lengths its own 2-byte prefix actually admits
+            # next segment bound at/after each position, for bridge checks
             plbits = np.zeros(1 << 16, dtype=np.uint8)
             for s in multi:
                 plbits[int.from_bytes(s[:2], "little")] |= 1 << (len(s) - 2)
@@ -196,15 +235,19 @@ def encode(col: StringColumn, tag: str = "bytes",
             w_cand = np.zeros(len(cand), dtype=np.uint64)
             for k in range(MAX_SYMBOL_LEN):
                 w_cand |= padded[cand + k].astype(np.uint64) << np.uint64(8 * k)
+            # room to the candidate's segment end (searchsorted over the
+            # sparse bounds array replaces a full-buffer cumsum)
+            room = seg_bounds[np.searchsorted(seg_bounds, cand, side="right")] - cand
             unmatched = np.ones(len(cand), dtype=bool)
             for l in sorted(by_len, reverse=True):
-                if l < 2 or n - l + 1 <= 0:
+                if l < 2:
                     continue
                 syms = by_len[l]
                 vals = np.array([v for v, _ in sorted(syms)], dtype=np.uint64)
                 codes_for_val = np.array([c for _, c in sorted(syms)], dtype=np.uint8)
                 live = np.nonzero(
-                    unmatched & ((cand_bits >> np.uint8(l - 2)) & np.uint8(1)).astype(bool)
+                    unmatched & (room >= l)
+                    & ((cand_bits >> np.uint8(l - 2)) & np.uint8(1)).astype(bool)
                 )[0]
                 if not len(live):
                     continue
@@ -227,70 +270,38 @@ def encode(col: StringColumn, tag: str = "bytes",
                 p = cand[sel]
                 if not len(p):
                     continue
-                codes_hit = mcodes[hit]
-                # drop matches that run past the buffer or bridge a row end
-                ok = (p + l <= n) & (re_cum[np.minimum(p + l - 1, n)] == re_cum[p])
-                p = p[ok]
-                if not len(p):
-                    continue
-                match_pos_parts.append(p)
-                match_code_parts.append(codes_hit[ok])
-                unmatched[sel[ok]] = False
+                code_at[p] = mcodes[hit]
+                len_at[p] = l
+                unmatched[sel] = False
 
-        # claim per symbol in table (gain) order; one symbol's matches are
-        # pairwise disjoint (no self-overlapping symbols), so each pass is
-        # a pure vector check+set against the claimed bitmap
-        if match_pos_parts:
-            mpos = np.concatenate(match_pos_parts)
-            mcode = np.concatenate(match_code_parts)
-            grp = np.argsort(mcode, kind="stable")
-            mpos, mcode = mpos[grp], mcode[grp]
-            starts_per_code = np.searchsorted(mcode, np.arange(len(table) + 1))
-            for code in range(len(table)):
-                p = mpos[starts_per_code[code] : starts_per_code[code + 1]]
-                if not len(p):
-                    continue
-                l = len(table[code])
-                ok = np.ones(len(p), dtype=bool)
-                for j in range(l):
-                    ok &= ~claimed[p + j]
-                p = p[ok]
-                if not len(p):
-                    continue
-                for j in range(l):
-                    claimed[p + j] = True
-                claim_pos_parts.append(p)
-                claim_code_parts.append(np.full(len(p), code, dtype=np.uint8))
-
-        # single-byte symbols: no intra-symbol overlap possible — claim all
-        # remaining matches in one vector pass
+        # single-byte symbols fill positions with no multi-byte match
         singles = [(s[0], c) for c, s in enumerate(table) if len(s) == 1]
         if singles:
             lut1 = np.full(256, 255, dtype=np.uint8)
             for b, c in singles:
                 lut1[b] = c
             c1 = lut1[buf]
-            hit1 = (c1 != 255) & ~claimed
-            p1 = np.nonzero(hit1)[0]
-            if len(p1):
-                claimed[p1] = True
-                claim_pos_parts.append(p1)
-                claim_code_parts.append(c1[p1])
+            one = (code_at == LITERAL) & (c1 != 255)
+            code_at[one] = c1[one]  # len_at stays 1
 
-    # --- assemble token stream (scatter, no sorts) ------------------------
-    # code_at[p] = symbol code for claims; literals read as LITERAL marker
-    code_at = np.full(n, LITERAL, dtype=np.uint8)
-    token_start = ~claimed  # literal positions are token starts
-    for p, c in zip(claim_pos_parts, claim_code_parts):
-        code_at[p] = c
-        token_start[p] = True
+    # --- lockstep greedy walk: all segments advance together --------------
+    token_start = _greedy_token_starts(len_at, seg_bounds, n)
     codes_stream = code_at[token_start]
-    literals = buf[~claimed].tobytes()  # position-ordered by construction
+    # literal tokens are single bytes at their start positions
+    literals = buf[token_start & (code_at == LITERAL)].tobytes()
 
     # tokens per row: prefix-sum of token starts sampled at row offsets
-    ts_cum = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(token_start, out=ts_cum[1:])
-    token_counts = (ts_cum[col.offsets[1:]] - ts_cum[col.offsets[:-1]]).astype(np.uint64)
+    # per-row token counts without an n-length int64 cumsum: reduceat the
+    # (narrow) token-start flags at the row starts, patching empty rows
+    # (reduceat with equal adjacent indices returns the single element)
+    token_counts = np.zeros(n_rows, dtype=np.uint64)
+    nonempty = col.offsets[:-1] < col.offsets[1:]
+    if n and nonempty.any():
+        # rows are contiguous, so segments between consecutive NONEMPTY
+        # row starts cover each row's bytes exactly (empty rows own none)
+        lo = col.offsets[:-1][nonempty]
+        token_counts[nonempty] = np.add.reduceat(
+            token_start.view(np.uint8), lo, dtype=np.int64).astype(np.uint64)
     tc_width = bitpack.min_bit_width(int(token_counts.max()) if n_rows else 0)
 
     sym_blob = b"".join(table)
@@ -313,7 +324,10 @@ def decode(payload: bytes, meta: dict, n: int, tag: str = "bytes") -> StringColu
         raise CorruptBlockError(f"fsst: {e}") from None
 
 
-def _decode(payload: bytes, n: int) -> StringColumn:
+def _parse(payload: bytes, n: int):
+    """Parse an fsst payload into per-token (starts, lens) into the
+    combined symbol+literal source, plus per-row token bounds — the
+    shared front half of full and random-access decode."""
     pos = 0
     if len(payload) < 2:
         raise CorruptBlockError("fsst: truncated header")
@@ -364,24 +378,64 @@ def _decode(payload: bytes, n: int) -> StringColumn:
     if n_lit:
         starts[is_lit] = blob_len + np.cumsum(is_lit)[is_lit] - 1
 
-    # gather one u64 word per token from the combined padded source,
-    # then boolean-compress (n_tokens, 8) down to actual lengths
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(token_counts, out=bounds[1:])
     source = sym_blob + literals + b"\0" * MAX_SYMBOL_LEN
+    return source, starts, lens, bounds, n_tokens
+
+
+def _gather_tokens(source: bytes, starts: np.ndarray, lens: np.ndarray) -> bytes:
+    """Materialize token bytes: one u64 word gather per token from the
+    padded source, boolean-compressed down to actual lengths."""
     src = np.frombuffer(source, dtype=np.uint8)
     win = np.zeros(len(src) - MAX_SYMBOL_LEN + 1, dtype=np.uint64)
     for k in range(MAX_SYMBOL_LEN):
         win |= src[k : len(win) + k].astype(np.uint64) << np.uint64(8 * k)
     words = win[starts]
-    byte_mat = words.view(np.uint8).reshape(n_tokens, 8)
+    byte_mat = words.view(np.uint8).reshape(len(starts), 8)
     keep = np.arange(8, dtype=np.int64)[None, :] < lens[:, None]
-    data = byte_mat[keep].tobytes()
+    return byte_mat[keep].tobytes()
 
+
+def _decode(payload: bytes, n: int) -> StringColumn:
+    source, starts, lens, bounds, n_tokens = _parse(payload, n)
+    data = _gather_tokens(source, starts, lens)
     # rebuild row offsets: prefix sums of token lengths sampled at row bounds
-    bounds = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(token_counts, out=bounds[1:])
     lens_cum = np.zeros(n_tokens + 1, dtype=np.int64)
     np.cumsum(lens, out=lens_cum[1:])
     offsets = lens_cum[bounds]
     if offsets[-1] != len(data):
         raise CorruptBlockError("fsst: reconstructed size mismatch")
     return StringColumn(offsets, data)
+
+
+def decode_rows(payload: bytes, n: int, rows: np.ndarray) -> StringColumn:
+    """Random-access decode of selected row indices WITHOUT materializing
+    the rest of the block — the FSST paper's actual selling point ("fast
+    random access"), which block-level zstd cannot offer.  Cost is the
+    header parse (O(n_tokens) for the token-start arithmetic) plus work
+    proportional to the SELECTED rows' bytes only."""
+    try:
+        source, starts, lens, bounds, _ = _parse(payload, n)
+        rows = np.asarray(rows, dtype=np.int64)
+        if len(rows) and (rows.min() < 0 or rows.max() >= n):
+            raise CorruptBlockError("fsst: row index out of range")
+        cnt = bounds[rows + 1] - bounds[rows]
+        total = int(cnt.sum())
+        if total == 0:
+            return StringColumn(np.zeros(len(rows) + 1, dtype=np.int64), b"")
+        # token indices of the selected rows (repeat/cumsum gather)
+        base = np.repeat(bounds[rows] - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+        tok = base + np.arange(total, dtype=np.int64)
+        sel_starts, sel_lens = starts[tok], lens[tok]
+        data = _gather_tokens(source, sel_starts, sel_lens)
+        lens_cum = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(sel_lens, out=lens_cum[1:])
+        tok_bounds = np.zeros(len(rows) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=tok_bounds[1:])
+        offsets = lens_cum[tok_bounds]
+        return StringColumn(offsets, data)
+    except (ValueError, struct.error) as e:
+        if isinstance(e, CorruptBlockError):
+            raise
+        raise CorruptBlockError(f"fsst: {e}") from None

@@ -146,12 +146,16 @@ def _raw_size(values, tag: str) -> int:
 
 def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
            stats: ColumnStats | None = None,
-           fsst_table: list[bytes] | None = None) -> CodecChoice:
+           fsst_table: list[bytes] | None = None,
+           cost_penalty: dict[str, float] | None = None) -> CodecChoice:
     """Pick (codec, outer) by trial-encoding a sample.
 
     ``fsst_table`` reuses a prebuilt symbol table for the fsst trial
     (the engine caches one per column per task — table construction is
-    the expensive part of fsst)."""
+    the expensive part of fsst).  ``cost_penalty`` overrides the default
+    encode-cost weights (e.g. ``{"fsst": 1.0}`` to pick purely on size
+    when encode CPU is cheap relative to storage)."""
+    penalties = COST_PENALTY if cost_penalty is None else cost_penalty
     if stats is None:
         stats = compute_stats(values, tag)
     sample = _sample_bytes(values) if tag == BYTES else _sample_fixed(
@@ -173,7 +177,7 @@ def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
             comp = len(block._outer_compress(payload, outer))
             if comp < OUTER_MIN_GAIN * size:
                 size, out_name = comp, outer
-        scored = size * COST_PENALTY.get(codec, 1.0)
+        scored = size * penalties.get(codec, 1.0)
         if best is None or scored < best[0]:
             best = (scored, codec, out_name, size)
     if best is None:

@@ -184,3 +184,40 @@ def test_selector_never_worse_than_plain(rng):
     v = rng.integers(-(2**60), 2**60, 4000).astype(np.int64)
     choice = selector.choose(v, "i64")
     assert choice.est_ratio <= 1.01
+
+
+def test_fsst_decode_rows_random_access(rng):
+    """Random-access row decode must match the full decode's selected
+    rows without materializing the block (the FSST paper's 'fast random
+    access' claim made real — block-level zstd cannot do this)."""
+    rows = [f"def fn_{i}(x):\n    return x * {i % 37} + OFFSET_{i % 11}\n".encode()
+            * (1 + i % 3) for i in range(800)]
+    rows[17] = b""  # empty row in the middle
+    col = strings.from_pylist(rows)
+    table = fsst.build_symbol_table_best(col.data[: 1 << 15])
+    payload, _ = fsst.encode(col, table=table)
+    full = fsst.decode(payload, {}, len(col))
+    for sel in (np.array([0]), np.array([17]), np.array([799, 0, 400]),
+                rng.integers(0, 800, 50)):
+        got = fsst.decode_rows(payload, len(col), sel)
+        assert got.to_pylist() == [full[int(i)] for i in sel]
+    assert fsst.decode_rows(payload, len(col), np.array([], dtype=np.int64)).to_pylist() == []
+
+
+def test_selector_cost_penalty_is_a_knob():
+    """Whether fsst+zstd beats plain+zstd is data-dependent (the
+    selector's trial measures real final sizes per partition); the
+    encode-cost penalty is the policy layer on top and must be
+    overridable: with a crushing penalty fsst is never picked, with
+    penalty 1.0 the choice is purely the measured size."""
+    from boltspark import corpus
+
+    t = corpus.generate(400)
+    col = strings.from_pylist([s.encode() for s in t.column("content").to_pylist()])
+    table = fsst.build_symbol_table_best(col.data[: 1 << 15])
+    banned = selector.choose(col, "bytes", fsst_table=table,
+                             cost_penalty={"fsst": 1e9})
+    assert banned.codec != "fsst"
+    free = selector.choose(col, "bytes", fsst_table=table,
+                           cost_penalty={"fsst": 1.0})
+    assert free.codec in ("fsst", "plain", "dict")  # pure size decision
