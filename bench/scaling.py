@@ -181,8 +181,19 @@ def main() -> None:
         + str(sum(r["sha_mismatches"] for r in results.values()))
         + " (must be 0).",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # regenerate the measured sections but preserve manual notes kept
+    # below the appendix marker (decision records, re-confirmation runs)
+    appendix = ""
+    marker = "<!-- manual-appendix -->"
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if marker in old:
+            appendix = old[old.index(marker):]
+    with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
+        if appendix:
+            f.write("\n" + appendix)
     print(json.dumps({"results": results, "efficiency": effs}))
 
 

@@ -167,15 +167,24 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
                 mask = pmask if mask is None else (mask & pmask)
                 if not mask.any():
                     return None
+        # late materialization: when few rows survive the cascade, decode
+        # only those rows of each output column (fsst random access, dict
+        # code gather, byte-slice gather) instead of decode-all + filter
+        late = mask is not None and int(mask.sum()) * 4 < len(mask)
         arrays = []
         fields = []
         for name in out_cols:
-            values, validity, tag, codec, n_rows = blockmod.decode_block(
-                blk_cols[name][i].as_py())
             target = out_types[name]
-            arr = _to_arrow_full(values, validity, tag, target)
-            if mask is not None:
-                arr = arr.filter(pa.array(mask))
+            if late:
+                values, validity, tag, codec, _ = blockmod.decode_block_rows(
+                    blk_cols[name][i].as_py(), mask)
+                arr = _to_arrow_full(values, validity, tag, target)
+            else:
+                values, validity, tag, codec, n_rows = blockmod.decode_block(
+                    blk_cols[name][i].as_py())
+                arr = _to_arrow_full(values, validity, tag, target)
+                if mask is not None:
+                    arr = arr.filter(pa.array(mask))
             if not arr.type.equals(target):
                 arr = arr.cast(target)
             arrays.append(arr)

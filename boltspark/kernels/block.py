@@ -236,6 +236,55 @@ def decode_block(buf: bytes):
     return values, validity, tag, codec, n_rows
 
 
+def decode_block_rows(buf: bytes, mask: np.ndarray):
+    """Late materialization: decode ONLY the rows selected by ``mask``
+    (full block length) -> (dense_values_of_selected, validity_of_selected,
+    tag, codec, n_selected).
+
+    Per-codec selective paths: fsst uses its random-access row decode,
+    dict gathers only the selected codes through the dictionary, plain
+    byte arrays gather only the selected slices; fixed-width codecs
+    decode fully (cheap) and index.  The reference decompresses whole
+    pages then filters; selective decode is strictly less work when the
+    surviving fraction is small."""
+    payload, validity, meta, tag, codec, n_rows = _open(buf)
+    rows = np.nonzero(mask)[0]
+    if validity is None:
+        validity_sel = None
+        dense_idx = rows
+        n_valid = n_rows
+    else:
+        validity_sel = validity[rows]
+        dcum = np.cumsum(validity) - 1
+        dense_idx = dcum[rows[validity_sel]]
+        n_valid = int(validity.sum())
+    if codec == "fsst":
+        values = fsst.decode_rows(payload, n_valid, dense_idx)
+    elif codec == "dict":
+        uniques, codes = dictionary.decode_parts(payload, meta, n_valid, tag)
+        sel = codes[dense_idx]
+        values = strings.take(uniques, sel) if tag == BYTES else uniques[sel]
+    elif codec == "plain" and tag == BYTES:
+        # decode_plain is a zero-copy view; take copies only selected rows
+        values = strings.take(strings.decode_plain(payload, n_valid), dense_idx)
+    else:
+        full = decode_values(payload, meta, n_valid, tag, codec)
+        if tag == BYTES:
+            values = strings.take(full, dense_idx)
+        elif hasattr(full, "offsets"):  # ListColumn
+            lens = full.lengths()[dense_idx]
+            starts = full.offsets[dense_idx]
+            total = int(lens.sum())
+            src_idx = (np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+                       + np.arange(total, dtype=np.int64)) if total else np.zeros(0, np.int64)
+            offs = np.zeros(len(dense_idx) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            values = lists.ListColumn(offs, np.asarray(full.values)[src_idx])
+        else:
+            values = np.asarray(full)[dense_idx]
+    return values, validity_sel, tag, codec, len(rows)
+
+
 def _open(buf: bytes):
     # truncation anywhere in the header chain must surface as the
     # documented CorruptBlockError, never a bare struct.error

@@ -286,3 +286,15 @@ def test_decimal_column_roundtrip(spark, tmp_path):
     assert back.schema["qty"].dataType.simpleString() == "decimal(12,2)"
     diff = dfd.exceptAll(back).count() + back.exceptAll(dfd).count()
     assert diff == 0
+
+
+def test_highly_selective_predicate_late_materialization(spark, corpus_df, encoded):
+    """A <25% survivor mask flips decode into late materialization —
+    results must still match Catalyst exactly."""
+    pred = BytesPrefixPredicate(column="path", prefix=b"src/a")
+    ours = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                        columns=["path", "content", "stars"], predicate=pred)
+    theirs = corpus_df.select("path", "content", "stars").filter(
+        pred.to_spark_condition())
+    assert ours.count() == theirs.count()
+    assert ours.exceptAll(theirs).count() + theirs.exceptAll(ours).count() == 0

@@ -323,3 +323,65 @@ def test_list_block_ragged_and_nulls(rng):
     assert nn == 400 and (v2 == validity).all()
     assert (out.offsets == col.offsets).all()
     assert out.values.tobytes() == col.values.tobytes()
+
+
+def test_decode_block_rows_matches_full_decode(rng):
+    """Selective decode must equal full-decode-then-index across codecs,
+    null layouts, and types (late-materialization kernel)."""
+    from boltspark.kernels import lists
+
+    n = 1200
+    validity = rng.random(n) > 0.2
+    nv = int(validity.sum())
+    cases = [
+        ("bytes", "dict", strings.from_pylist(
+            [f"lang_{i % 7}".encode() for i in range(nv)])),
+        ("bytes", "plain", strings.from_pylist(
+            [f"row {i} text {'x' * (i % 19)}".encode() for i in range(nv)])),
+        ("bytes", "fsst", strings.from_pylist(
+            [f"def f_{i}(): return {i % 13}\n".encode() for i in range(nv)])),
+        ("i64", "for", (rng.integers(0, 500, nv) + 10**9).astype(np.int64)),
+        ("i64", "rle", np.repeat(np.arange(nv // 10 + 1), 10)[:nv].astype(np.int64)),
+        ("f64", "plain", rng.normal(size=nv)),
+    ]
+    lens = rng.integers(0, 6, nv).astype(np.int64)
+    offs = np.zeros(nv + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    cases.append(("li64", "list", lists.ListColumn(
+        offs, rng.integers(0, 99, int(lens.sum())).astype(np.int64))))
+    for tag, codec, dense in cases:
+        for val in (None, validity):
+            if codec == "fsst":
+                from boltspark.kernels import fsst as fsstmod
+                table = fsstmod.build_symbol_table_best(dense.data[: 1 << 14])
+                blk = block.encode_block(dense, tag, codec, validity=val,
+                                         outer="zstd", fsst_table=table)
+            else:
+                blk = block.encode_block(dense, tag, codec, validity=val)
+            full_v, full_val, _, _, n_rows = block.decode_block(blk)
+            mask = rng.random(n_rows) < 0.1
+            mask[0] = True  # never empty
+            sel_v, sel_val, t2, c2, n_sel = block.decode_block_rows(blk, mask)
+            assert n_sel == int(mask.sum())
+            rows = np.nonzero(mask)[0]
+            # expected: full decode indexed at selected rows
+            if full_val is not None:
+                exp_val = full_val[rows]
+                assert (sel_val == exp_val).all()
+                dcum = np.cumsum(full_val) - 1
+                didx = dcum[rows[exp_val]]
+            else:
+                assert sel_val is None
+                didx = rows
+            if tag == "bytes":
+                exp = [full_v[int(i)] for i in didx]
+                assert sel_v.to_pylist() == exp, (tag, codec)
+            elif tag.startswith("l"):
+                explens = full_v.lengths()[didx]
+                assert (sel_v.lengths() == explens).all()
+                expvals = np.concatenate([
+                    np.asarray(full_v.values)[full_v.offsets[i]:full_v.offsets[i + 1]]
+                    for i in didx]) if len(didx) else np.zeros(0, np.int64)
+                assert sel_v.values.tolist() == expvals.tolist(), (tag, codec)
+            else:
+                assert np.asarray(sel_v).tobytes() == np.asarray(full_v)[didx].tobytes(), (tag, codec)
