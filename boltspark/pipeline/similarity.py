@@ -101,6 +101,53 @@ def ann_topk(df: DataFrame, query: list[float], k: int = 10,
     )
 
 
+def banded_signatures(df: DataFrame, vec_col: str = "embedding",
+                      n_planes: int = 12, bands: int = 4,
+                      seed: int = 42) -> DataFrame:
+    """Precompute `bands` independent hyperplane signatures (one column
+    per band) — the 100 TB ANN path: run ONCE over the corpus, write with
+    ``.write.bucketBy(N, "__band_0")`` (or partitionBy at coarse card),
+    then every query filters buckets instead of scanning embeddings.
+
+    With B bands of P planes each, a query scans ~B/2^P of the corpus
+    (4 bands x 12 planes = 0.1%) with recall 1-(1-s^P)^B for signature
+    agreement rate s — versus the single-signature multi-probe variant
+    that scanned ~14% for the same recall."""
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    out = df
+    for b in range(bands):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * b)
+        out = out.withColumn(f"__band_{b}", lsh_bucket_col(vec_col, planes))
+    return out
+
+
+def ann_topk_banded(bucketed: DataFrame, query: list[float], k: int = 10,
+                    vec_col: str = "embedding", key: str = "vec_id",
+                    n_planes: int = 12, bands: int = 4,
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k over a `banded_signatures` table: candidates are
+    rows agreeing with the query's signature in ANY band (per-band
+    equality filters push to the scan / bucket pruning), scored exactly,
+    then TakeOrdered."""
+    qv = np.asarray(query, dtype=np.float64)
+    cond = None
+    for b in range(bands):
+        planes = _hyperplanes(len(query), n_planes, seed + 1000 * b)
+        qsig = 0
+        for i, p in enumerate(planes):
+            if float(qv @ p) > 0:
+                qsig |= 1 << i
+        c = F.col(f"__band_{b}") == qsig
+        cond = c if cond is None else (cond | c)
+    cands = bucketed.filter(cond)
+    return (
+        cosine_scores(cands, query, vec_col)
+        .select(key, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(key))
+        .limit(k)
+    )
+
+
 def pairwise_near_dup(df: DataFrame, threshold: float = 0.95,
                       vec_col: str = "embedding", key: str = "vec_id",
                       n_planes: int = 8, seed: int = 42) -> DataFrame:
