@@ -474,6 +474,44 @@ def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_a").cast("long"), F.col("key_b").cast("long"), "hamming")
 
 
+def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reflow-robust fingerprint (xxhash64 of normalized text): distinct
+    fingerprint count must equal distinct normalized-text count (the
+    hash is injective on this corpus), plus the surviving-doc count
+    after fingerprint dedup — both SQL-expressible."""
+    from boltspark.pipeline import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = textstats.fingerprint(docs, "text")
+    return fp.agg(
+        F.count_distinct("fingerprint").alias("n_distinct_fp"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH ANN vs brute force: the approximate top-10 must
+    recover >= 5 of the exact top-10 (the approximate result set is not
+    SQL-portable; the oracle pins the recall invariant).  The corpus
+    embeddings are RANDOM, the hardest regime for LSH — neighbors have
+    weak cosine, so recall/scan is intrinsically poor here; on clustered
+    real embeddings the same machinery prunes far harder."""
+    from boltspark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    q = [(1.0 if i % 5 == 0 else -0.2) for i in range(dim)]
+    exact = {r["vec_id"] for r in
+             similarity.brute_force_topk(emb, q, k=10).collect()}
+    bucketed = similarity.banded_signatures(emb, n_planes=5, bands=12)
+    approx = {r["vec_id"] for r in
+              similarity.ann_topk_banded(bucketed, q, k=10, n_planes=5,
+                                         bands=12).collect()}
+    recall_ok = len(exact & approx) >= 5
+    return spark.createDataFrame([(10, bool(recall_ok))],
+                                 "k long, recall_ok boolean")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic fake features over binary
     payloads via mapInPandas (rows-only check)."""
@@ -509,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "embedding_topk": _q_embedding_topk,
+        "fingerprint_dedup": _q_fingerprint_dedup,
+        "ann_recall_check": _q_ann_recall_check,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "multimodal_features": _q_multimodal_features,
@@ -560,6 +600,11 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS contains_target"
         ),
         "fsst_roundtrip": "SELECT doc_id, text FROM documents",
+        "fingerprint_dedup": (
+            "SELECT COUNT(DISTINCT regexp_replace(lower(trim(COALESCE(text, ''))),"
+            " '\\s+', ' ', 'g')) AS n_distinct_fp, COUNT(*) AS n_docs FROM documents"
+        ),
+        "ann_recall_check": "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
         "decode_range_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE n_chars BETWEEN 200 AND 900 AND n_chars IS NOT NULL"

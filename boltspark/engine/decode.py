@@ -44,6 +44,22 @@ _FIXED_STRUCT = {
 }
 
 
+def arrow_out_type(t, tz: str = "UTC") -> pa.DataType:
+    """Spark DataType -> the Arrow type decode emits for it."""
+    name = t.typeName()
+    if name == "decimal":
+        return pa.decimal128(t.precision, t.scale)
+    if name == "array":
+        return pa.list_(arrow_out_type(t.elementType, tz))
+    return {
+        "string": pa.string(), "binary": pa.binary(),
+        "timestamp": pa.timestamp("us", tz=tz),
+        "timestamp_ntz": pa.timestamp("us"),
+        "date": pa.date32(),
+        **{k: v for k, v in _FIXED_STRUCT.items()},
+    }[name]
+
+
 def _scatter_bytes(dense: strings.StringColumn, validity: np.ndarray) -> pa.Array:
     """Dense byte rows + validity -> nullable Arrow array (nulls are
     0-length, data blob unchanged)."""
@@ -263,23 +279,9 @@ def decode_table(
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     out_types = {}
     out_fields = []
-    def _arrow_out_type(t):
-        name = t.typeName()
-        if name == "decimal":
-            return pa.decimal128(t.precision, t.scale)
-        if name == "array":
-            return pa.list_(_arrow_out_type(t.elementType))
-        return {
-            "string": pa.string(), "binary": pa.binary(),
-            "timestamp": pa.timestamp("us", tz=tz),
-            "timestamp_ntz": pa.timestamp("us"),
-            "date": pa.date32(),
-            **{k: v for k, v in _FIXED_STRUCT.items()},
-        }[name]
-
     for c in out_cols:
         t = field_by_name[c].dataType
-        out_types[c] = _arrow_out_type(t)
+        out_types[c] = arrow_out_type(t, tz)
         out_fields.append(T.StructField(c, t, True))
     if include_part_id:
         out_fields.append(T.StructField(PART_ID, T.LongType(), False))

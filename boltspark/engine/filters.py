@@ -176,6 +176,11 @@ class ConstPredicate(Predicate):
     def check(self, values: np.ndarray) -> np.ndarray:
         return np.full(len(values), self.accept, dtype=bool)
 
+    def check_bytes(self, col) -> np.ndarray:
+        # value-independent: applies to any physical type (accept=True,
+        # null_allowed=False is the universal IS NOT NULL predicate)
+        return np.full(len(col), self.accept, dtype=bool)
+
     def check_range(self, vmin, vmax, has_null: bool) -> str:
         if self.accept:
             return ALL if not has_null or self.null_allowed else SOME

@@ -32,6 +32,9 @@ def get_session(app: str = "boltspark", cpus: int | None = None,
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the boltspark Python data source translates pushed filters into
+        # engine predicates (sources/datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if os.path.isdir("/dev/shm"):
         # this host's disk contends badly under parallel shuffle I/O;

@@ -1,0 +1,235 @@
+"""Spark Python Data Source for the boltspark blocks format.
+
+The idiomatic read surface on top of the engine:
+
+    spark.dataSource.register(BoltDataSource)
+    df = (spark.read.format("boltspark")
+          .option("manifest", manifest_path)
+          .load(blocks_path))
+
+Capabilities wired into Spark's own planner hooks (Data Source API v2
+for Python, Spark 4.x):
+
+* schema inference from the checkpoint manifest (the footer analog);
+* one input partition per blocks file — Spark schedules them like any
+  scan, no shuffle (each wide row is a self-contained block group);
+* ``pushFilters``: EqualTo/In/ranges/StringStartsWith/IsNotNull on
+  encoded columns translate to the engine's null-aware predicates and
+  are enforced EXACTLY (zone-map skip + dictionary-level evaluation +
+  mask cascade), so Spark drops them from its own post-filter;
+* column pruning via ``.option("columns", "a,b")`` (the Python DSv2
+  API does not yet hand the pruned schema to the reader).
+
+The primary engine path remains ``engine.decode_table`` (broadcast
+manifest join, no driver-side pair set); this source trades that for
+Spark-native ergonomics and is sized for manifests that fit the driver
+(documented).
+
+KNOWN SHARP EDGE (upstream, Spark 4.1 Python DSv2): a relation caches
+its last-planned scan, so REUSING one DataFrame object across queries
+with different filters can replay the previously pushed filters (a
+fresh ``.load()`` per query shape is always correct).  Use the
+``load()`` helper below, which returns a fresh relation each call.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
+                                    Filter, GreaterThan, GreaterThanOrEqual,
+                                    In, InputPartition, IsNotNull, LessThan,
+                                    LessThanOrEqual, StringStartsWith)
+from pyspark.sql.types import StructType
+
+META_KEY = "__table_meta__"
+
+
+def _read_manifest(manifest_path: str):
+    """Driver-side manifest load via pyarrow (no Spark session needed):
+    (table_meta dict, set of valid (part_id, run_id) pairs)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(manifest_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no manifest at {manifest_path}")
+    meta = None
+    pairs = set()
+    for f in files:
+        t = pq.read_table(f, columns=["part_id", "run_id", "column", "table_meta"])
+        cols = t.to_pydict()
+        for pid, rid, col, tm in zip(cols["part_id"], cols["run_id"],
+                                     cols["column"], cols["table_meta"]):
+            if col == META_KEY:
+                meta = meta or json.loads(tm)
+            else:
+                pairs.add((pid, rid))
+    if meta is None:
+        raise FileNotFoundError(f"no table meta in manifest at {manifest_path}")
+    return meta, pairs
+
+
+def _to_predicate(f: Filter):
+    """Map a Spark DSv2 filter to an engine predicate, or None if the
+    filter shape is not supported (Spark then applies it itself)."""
+    from ..engine import filters as ef
+
+    attr = f.attribute[0] if isinstance(getattr(f, "attribute", None), tuple) \
+        else getattr(f, "attribute", None)
+    if attr is None or (isinstance(f.attribute, tuple) and len(f.attribute) != 1):
+        return None
+    if isinstance(f, EqualTo):
+        v = f.value
+        if isinstance(v, str):
+            return ef.BytesEqPredicate(column=attr, value=v.encode())
+        if isinstance(v, bool):
+            return ef.BooleanPredicate(column=attr, value=v)
+        if isinstance(v, (int, float)):
+            return ef.RangePredicate(column=attr, lower=v, upper=v)
+        return None
+    if isinstance(f, StringStartsWith) and isinstance(f.value, str):
+        return ef.BytesPrefixPredicate(column=attr, prefix=f.value.encode())
+    if isinstance(f, GreaterThan) and isinstance(f.value, (int, float)):
+        return ef.RangePredicate(column=attr, lower=f.value, lower_inclusive=False)
+    if isinstance(f, GreaterThanOrEqual) and isinstance(f.value, (int, float)):
+        return ef.RangePredicate(column=attr, lower=f.value)
+    if isinstance(f, LessThan) and isinstance(f.value, (int, float)):
+        return ef.RangePredicate(column=attr, upper=f.value, upper_inclusive=False)
+    if isinstance(f, LessThanOrEqual) and isinstance(f.value, (int, float)):
+        return ef.RangePredicate(column=attr, upper=f.value)
+    if isinstance(f, IsNotNull):
+        # type-agnostic IS NOT NULL: accept every non-null value
+        return ef.ConstPredicate(column=attr, accept=True, null_allowed=False)
+    return None
+
+
+class BoltReader(DataSourceReader):
+    def __init__(self, blocks_path: str, manifest_path: str,
+                 columns: list[str] | None):
+        self.blocks_path = blocks_path
+        self.meta, self.valid_pairs = _read_manifest(manifest_path)
+        all_cols = self.meta["columns"]
+        self.out_cols = [c for c in (columns or all_cols)]
+        unknown = set(self.out_cols) - set(all_cols)
+        if unknown:
+            raise KeyError(f"unknown columns {unknown}; encoded: {all_cols}")
+        self.predicates = []
+
+    def pushFilters(self, filters):
+        encoded = set(self.meta["columns"])
+        for f in filters:
+            pred = _to_predicate(f)
+            if pred is not None and pred.column in encoded:
+                self.predicates.append(pred)
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
+
+    def partitions(self):
+        files = sorted(glob.glob(os.path.join(self.blocks_path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no blocks at {self.blocks_path}")
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType as ST
+
+        from ..engine import decode as dec
+
+        schema = ST.fromJson(json.loads(self.meta["schema_json"]))
+        field_by_name = {f.name: f for f in schema.fields}
+        out_types = {c: dec.arrow_out_type(field_by_name[c].dataType, "UTC")
+                     for c in self.out_cols}
+        read_cols = list(self.out_cols)
+        for p in self.predicates:
+            if p.column not in read_cols:
+                read_cols.append(p.column)
+        cols = ["part_id", "run_id"] + [f"cols.{c}" for c in read_cols]
+        pf = pq.ParquetFile(partition.value)
+        for batch in pf.iter_batches(batch_size=16, columns=cols):
+            names = batch.schema.names
+            part_arr = batch.column(names.index("part_id"))
+            run_arr = batch.column(names.index("run_id"))
+            if "cols" in names:  # selection kept the struct nested
+                cols_arr = batch.column(names.index("cols"))
+                structs = {c: cols_arr.field(c) for c in read_cols}
+            else:  # selection flattened the struct leaves to top level
+                structs = {c: batch.column(names.index(c)) for c in read_cols}
+            for i in range(batch.num_rows):
+                if (part_arr[i].as_py(), run_arr[i].as_py()) not in self.valid_pairs:
+                    continue  # orphan blocks from a crashed run
+                mask = None
+                dead = False
+                for pred in self.predicates:
+                    st = structs[pred.column][i]
+                    verdict, pmask = dec._decode_mask(
+                        st["block"].as_py(), st["stats"].as_py(), pred)
+                    if verdict == "none":
+                        dead = True
+                        break
+                    if pmask is not None:
+                        mask = pmask if mask is None else (mask & pmask)
+                        if not mask.any():
+                            dead = True
+                            break
+                if dead:
+                    continue
+                arrays = []
+                for name in self.out_cols:
+                    from ..kernels import block as blockmod
+
+                    target = out_types[name]
+                    values, validity, tag, _, _ = blockmod.decode_block(
+                        structs[name][i]["block"].as_py())
+                    arr = dec._to_arrow_full(values, validity, tag, target)
+                    if mask is not None:
+                        arr = arr.filter(pa.array(mask))
+                    if not arr.type.equals(target):
+                        arr = arr.cast(target)
+                    arrays.append(arr)
+                if arrays and len(arrays[0]):
+                    yield pa.RecordBatch.from_arrays(
+                        arrays, schema=pa.schema(
+                            [pa.field(c, out_types[c], True) for c in self.out_cols]))
+
+
+class BoltDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "boltspark"
+
+    def schema(self) -> StructType:
+        manifest = self.options.get("manifest")
+        if not manifest:
+            raise ValueError("boltspark source requires .option('manifest', path)")
+        meta, _ = _read_manifest(manifest)
+        full = StructType.fromJson(json.loads(meta["schema_json"]))
+        cols = self.options.get("columns")
+        if cols:
+            wanted = [c.strip() for c in cols.split(",")]
+            return StructType([f for c in wanted for f in full.fields if f.name == c])
+        return full
+
+    def reader(self, schema: StructType) -> BoltReader:
+        cols = self.options.get("columns")
+        columns = [c.strip() for c in cols.split(",")] if cols else None
+        return BoltReader(self.options["path"], self.options["manifest"], columns)
+
+
+def load(spark, blocks_path: str, manifest_path: str,
+         columns: list[str] | None = None):
+    """Fresh boltspark relation (registers the source if needed).  Build
+    one per query shape — see the sharp-edge note in the module doc."""
+    try:
+        spark.dataSource.register(BoltDataSource)
+    except Exception:
+        pass  # already registered
+    # runtime SQL conf: required for pushFilters to be honored
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    r = spark.read.format("boltspark").option("manifest", manifest_path)
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load(blocks_path)

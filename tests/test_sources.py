@@ -96,3 +96,43 @@ def test_scan_multi_file_follows_argument_order(spark, tmp_path):
     # b first: global row order must be b's rows then a's
     got = [r["v"] for r in scan(spark, [fb, fa], skip=75, limit=10).collect()]
     assert got == list(range(175, 180)) + list(range(0, 5))
+
+
+def test_boltspark_datasource_reads_blocks(spark, tmp_path):
+    """spark.read.format('boltspark') — the Python DSv2 surface over the
+    blocks format: schema from the manifest, exact filter pushdown into
+    engine predicates, column projection via option."""
+    from pyspark.sql import functions as F
+
+    from boltspark import corpus
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    d = str(tmp_path)
+    corpus.write_parquet(f"{d}/c.parquet", 1200, with_nullable=True)
+    df = spark.read.parquet(f"{d}/c.parquet")
+    encode_table(df, f"{d}/b", f"{d}/m", target_partition_bytes=1 << 20)
+
+    r = ds.load(spark, f"{d}/b", f"{d}/m")
+    assert r.count() == 1200
+    a = df.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
+    b = r.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+    # pushed filters are enforced exactly (fresh relation per query shape)
+    cond = (F.col("repo").startswith("org3/")) & (F.col("stars") >= 20_000)
+    flt = ds.load(spark, f"{d}/b", f"{d}/m").filter(cond).select("repo", "stars")
+    ref = df.filter(cond).select("repo", "stars")
+    assert flt.count() == ref.count()
+    assert flt.exceptAll(ref).count() + ref.exceptAll(flt).count() == 0
+
+    # projection option
+    pr = ds.load(spark, f"{d}/b", f"{d}/m", columns=["lang", "stars"])
+    assert pr.columns == ["lang", "stars"] and pr.count() == 1200
+
+    # SQL over the registered relation
+    ds.load(spark, f"{d}/b", f"{d}/m").createOrReplaceTempView("bsk_blocks")
+    top = spark.sql(
+        "SELECT lang, COUNT(*) n FROM bsk_blocks GROUP BY lang ORDER BY n DESC, lang"
+    ).first()
+    assert top["n"] > 0
