@@ -1,0 +1,72 @@
+"""Blocks-dataset compaction: many appended runs -> one consolidated run.
+
+Streaming encode (streaming/stream_encode.py) appends one run per
+micro-batch epoch; at scale that is the classic small-file problem
+(thousands of tiny parquet files + thousands of manifest (part, run)
+pairs).  ``compact_blocks`` rewrites every MANIFESTED block row into a
+fresh blocks+manifest pair under one new run id — WITHOUT re-encoding:
+block payloads move as opaque bytes, only (run_id, seq) are rewritten
+(seq re-numbered per partition over the old (run_id, seq) order, so
+block-group identity stays unique).  Orphan rows from crashed runs are
+dropped on the way (they were never visible to decode anyway).
+
+Everything is JVM-side (one shuffle on part_id to co-locate each
+partition's groups in one output file — which also restores the
+part_id row-group clustering that makes point queries prune).  The
+output is a NEW dataset path: swapping it in atomically is the
+caller's rename, the same contract as any table-format rewrite.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import SparkSession, Window, functions as F
+
+from . import manifest as manifestmod
+from .schema import PART_ID
+
+
+def compact_blocks(
+    spark: SparkSession,
+    blocks_path: str,
+    manifest_path: str,
+    out_blocks_path: str,
+    out_manifest_path: str,
+    run_id: str | None = None,
+) -> dict:
+    """Rewrite all valid blocks into one run at ``out_*``; returns
+    {"n_groups", "run_id", "wall_sec"}."""
+    t0 = time.time()
+    run_id = run_id or ("compact-" + uuid.uuid4().hex[:12])
+    meta = manifestmod.table_meta(spark, manifest_path)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    blocks = (
+        spark.read.parquet(blocks_path)
+        .join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+    )
+    # the window's own exchange co-locates each partition's groups (no
+    # separate repartition needed); the sort restores part_id clustering
+    # in the written files so point queries prune row groups again
+    w = Window.partitionBy(PART_ID).orderBy("run_id", "seq")
+    compacted = (
+        blocks.withColumn("seq", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("run_id", F.lit(run_id))
+        .sortWithinPartitions(PART_ID, "seq")
+    )
+    compacted.write.mode("error").option("compression", "none").parquet(
+        out_blocks_path)
+    stats = manifestmod.commit(
+        spark, out_blocks_path, out_manifest_path, run_id=run_id,
+        columns=meta["columns"], key_cols=tuple(meta["key_cols"]),
+        n_parts=int(meta["n_parts"]), schema_json=meta["schema_json"],
+    )
+    n_groups = int(
+        spark.read.parquet(out_manifest_path)
+        .filter(F.col("column") != manifestmod.META_KEY)
+        .agg(F.sum("n_blocks")).collect()[0][0] or 0
+    )
+    return {"n_groups": n_groups, "run_id": run_id,
+            "raw_bytes": stats["raw_bytes"], "enc_bytes": stats["enc_bytes"],
+            "wall_sec": time.time() - t0}

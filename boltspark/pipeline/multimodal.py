@@ -98,6 +98,49 @@ def synth_media_table(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_w", T.IntegerType()),
+    T.StructField("src_h", T.IntegerType()),
+    T.StructField("dst_w", T.IntegerType()),
+    T.StructField("dst_h", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, max_side: int = 224,
+                  payload_col: str = "payload", key: str = "doc_id",
+                  use_stub: bool = True) -> DataFrame:
+    """Aspect-preserving resize over mapInPandas: the target-geometry
+    math and the Arrow batch plumbing are real; the pixel work is the
+    environment-stubbed decode (swap ``use_stub=False`` with codec libs).
+    The stub output is deterministic (sha256 of payload+geometry) so
+    the distributed path is testable end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"]).astype("int64")
+            h = pdf["meta"].map(lambda m: m["height"]).astype("int64")
+            scale = np.minimum(1.0, max_side / np.maximum(w, h).clip(lower=1))
+            dw = np.maximum(1, np.round(w * scale)).astype("int32")
+            dh = np.maximum(1, np.round(h * scale)).astype("int32")
+            if use_stub:
+                resized = [
+                    hashlib.sha256((p or b"") + pystruct.pack("<ii", a, b)).digest()
+                    for p, a, b in zip(pdf[payload_col], dw, dh)
+                ]
+            else:  # pragma: no cover
+                resized = [real_decode(p, {"resize": (a, b)})
+                           for p, a, b in zip(pdf[payload_col], dw, dh)]
+            yield pd.DataFrame({
+                "doc_id": pdf[key].astype("int64"),
+                "src_w": w.astype("int32"), "src_h": h.astype("int32"),
+                "dst_w": dw, "dst_h": dh, "resized": resized,
+            })
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled frame index
     (pure built-ins — the decode itself happens in extract_features)."""

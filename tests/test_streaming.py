@@ -59,3 +59,38 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
                       run_id="stream-000000000007")
     assert r2.total_raw_bytes == 0
     assert decode_table(spark, out, man).count() == 200
+
+
+def test_compact_blocks_merges_runs(spark, tmp_path):
+    """Compaction folds many appended runs into ONE without re-encoding:
+    decode is multiset-identical, the manifest shrinks to one run, and
+    the file count drops (the streaming small-file fix)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from boltspark import corpus
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.compact import compact_blocks
+
+    d = str(tmp_path)
+    corpus.write_parquet(f"{d}/c.parquet", 1500)
+    df = spark.read.parquet(f"{d}/c.parquet").withColumn(
+        "__b", F.abs(F.xxhash64("path")) % 3)
+    for epoch in range(3):
+        encode_table(df.filter(F.col("__b") == epoch).drop("__b"),
+                     f"{d}/b", f"{d}/m", n_parts=8, resume=False,
+                     run_id=f"stream-{epoch:06d}")
+    before = decode_table(spark, f"{d}/b", f"{d}/m")
+    n_files_before = len(glob.glob(f"{d}/b/*.parquet"))
+
+    res = compact_blocks(spark, f"{d}/b", f"{d}/m", f"{d}/b2", f"{d}/m2")
+    after = decode_table(spark, f"{d}/b2", f"{d}/m2")
+    assert after.count() == before.count() == 1500
+    a = before.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
+    b = after.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+    runs = spark.read.parquet(f"{d}/b2").select("run_id").distinct().collect()
+    assert [r["run_id"] for r in runs] == [res["run_id"]]
+    n_files_after = len(glob.glob(f"{d}/b2/*.parquet"))
+    assert n_files_after < n_files_before
