@@ -61,11 +61,19 @@ def _column_stats(values, tag: str, validity) -> str:
         if n:
             import pyarrow.compute as pc
 
+            from ..kernels import bloom
+
             arr = strings.to_arrow(values)
             vmin = pc.min(arr).as_py() or b""
             vmax = pc.max(arr).as_py() or b""
             stats = {"vmin_pfx": vmin[:24].hex(), "vmax_pfx": vmax[:24].hex(),
                      "vmin_exact": len(vmin) <= 24, "vmax_exact": len(vmax) <= 24}
+            uniq = pc.unique(arr)
+            if len(uniq) <= bloom.MAX_DISTINCT:
+                # equality zone filter (parquet bloom analog): built over
+                # EVERY distinct value, so a miss is a certain skip
+                stats["bloom"] = bloom.build(
+                    u.as_py() for u in uniq).hex()
         else:
             stats = {}
     elif tag in lists.LIST_TAGS:

@@ -226,11 +226,19 @@ class BytesEqPredicate(Predicate):
         # sharing that prefix (exact bound sharpens the comparison)
         below = v < vmin_pfx
         above = v > vmax_pfx if vmax_exact else v[: len(vmax_pfx)] > vmax_pfx
-        if (below or above) and not (has_null and self.null_allowed):
+        nulls_keep = has_null and self.null_allowed
+        if (below or above) and not nulls_keep:
             return NONE
         if (vmin_exact and vmax_exact and vmin_pfx == vmax_pfx == v
                 and (not has_null or self.null_allowed)):
             return ALL
+        # equality bloom (parquet-bloom analog): a miss is a certain skip
+        bl = stats.get("bloom")
+        if bl is not None and not nulls_keep and not below and not above:
+            from ..kernels import bloom
+
+            if not bloom.maybe_contains(bytes.fromhex(bl), v):
+                return NONE
         return SOME
 
     def check_bytes(self, col) -> np.ndarray:

@@ -298,3 +298,24 @@ def test_highly_selective_predicate_late_materialization(spark, corpus_df, encod
         pred.to_spark_condition())
     assert ours.count() == theirs.count()
     assert ours.exceptAll(theirs).count() + theirs.exceptAll(ours).count() == 0
+
+
+def test_bloom_skips_absent_equality(spark, encoded):
+    """A needle absent from the table must produce zero rows AND skip
+    every block at the zone level (bloom, not decode+empty-mask)."""
+    import json
+
+    from boltspark.engine.decode import _decode_mask
+    from boltspark.engine.filters import BytesEqPredicate
+
+    pred = BytesEqPredicate(column="lang", value=b"zz-not-a-lang")
+    out = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                       columns=["repo"], predicate=pred)
+    assert out.count() == 0
+    # kernel-level: the zone check alone rejects (blocks never opened)
+    blocks = spark.read.parquet(encoded.out_path).select(
+        F.col("cols.lang.stats").alias("st")).limit(5).collect()
+    for r in blocks:
+        st = json.loads(r["st"])
+        assert "bloom" in st
+        assert pred.check_zone(st) == "none"

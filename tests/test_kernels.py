@@ -385,3 +385,15 @@ def test_decode_block_rows_matches_full_decode(rng):
                 assert sel_v.values.tolist() == expvals.tolist(), (tag, codec)
             else:
                 assert np.asarray(sel_v).tobytes() == np.asarray(full_v)[didx].tobytes(), (tag, codec)
+
+
+def test_bloom_never_false_negative(rng):
+    from boltspark.kernels import bloom
+
+    vals = [rng.bytes(int(rng.integers(1, 30))) for _ in range(3000)]
+    bl = bloom.build(set(vals))
+    assert all(bloom.maybe_contains(bl, v) for v in vals)
+    # false-positive rate sane at this load
+    misses = sum(not bloom.maybe_contains(bl, b"absent-%d" % i)
+                 for i in range(2000))
+    assert misses > 1000, f"fp rate too high: {(2000 - misses) / 2000}"
