@@ -43,7 +43,7 @@ from .varint import CorruptBlockError
 
 MAGIC = b"BSK1"
 
-CODEC_IDS = ("plain", "rle", "dict", "for", "bitpack", "fsst", "list")
+CODEC_IDS = ("plain", "rle", "dict", "for", "bitpack", "fsst", "list", "split")
 OUTER_CODECS = ("none", "zstd", "gzip", "snappy", "lz4")
 
 _HDR = struct.Struct("<4sBBBBQ")
@@ -121,8 +121,32 @@ def _decode_bitpack(payload, meta, n, tag):
     return vals.astype(dtype_of(tag))
 
 
+def _encode_split(values, tag):
+    """Byte-stream split (the Parquet BYTE_STREAM_SPLIT the reference
+    names in its Thrift model but cannot read): transpose the value
+    bytes so each byte plane is contiguous — float sign/exponent planes
+    become highly repetitive and the outer compressor eats them."""
+    if tag in (BOOL, BYTES):
+        raise TypeError("split codec applies to fixed-width numeric types")
+    v = np.ascontiguousarray(values, dtype=dtype_of(tag))
+    if len(v) == 0:
+        return b"", {}
+    planes = v.view(np.uint8).reshape(len(v), v.dtype.itemsize)
+    return np.ascontiguousarray(planes.T).tobytes(), {}
+
+
+def _decode_split(payload, meta, n, tag):
+    dt = dtype_of(tag)
+    isz = dt.itemsize
+    if len(payload) < n * isz:
+        raise CorruptBlockError("split: truncated payload")
+    planes = np.frombuffer(payload, np.uint8, n * isz).reshape(isz, n)
+    return np.ascontiguousarray(planes.T).reshape(-1).view(dt)
+
+
 _CODECS = {
     "plain": (_encode_plain, _decode_plain),
+    "split": (_encode_split, _decode_split),
     "rle": (_encode_rle, _decode_rle),
     "dict": (dictionary.encode, dictionary.decode),
     "for": (foref.encode, foref.decode),

@@ -61,7 +61,10 @@ def encode(col: ListColumn, tag: str) -> tuple[bytes, dict]:
     lwidth = bitpack.min_bit_width(int(lengths.max()) if len(lengths) else 0)
     lstream = rle.encode_hybrid(lengths, lwidth)
     values = np.ascontiguousarray(col.values, dtype=dtype_of(value_tag))
-    choice = selector.choose(values, value_tag, outer=None)
+    # trial WITH the outer compressor: codecs like byte-stream split only
+    # pay through it (the block layer applies the actual outer pass, so
+    # only choice.codec is used here)
+    choice = selector.choose(values, value_tag, outer="zstd")
     try:
         vpayload, vmeta = block.encode_values(values, value_tag, choice.codec)
         inner = choice.codec

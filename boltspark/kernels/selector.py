@@ -20,6 +20,13 @@ from . import block, rle, strings
 from .types import BOOL, BYTES
 
 SAMPLE_VALUES = 1024
+# fixed-width samples are cheap; a big sample (256-512 KB) is needed for
+# the OUTER trial to reflect real-block zstd behavior — zstd's ratio on
+# byte-plane data keeps improving past 64 KB inputs, so small samples
+# bias the decision toward plain/'none' (measured: split+zstd on f32
+# noise is 0.93 at 16 Ki values but 0.86-0.88 at >=64 Ki, matching real
+# 4 MB blocks).  The trial runs once per (partition, column).
+SAMPLE_FIXED_VALUES = 65536
 SAMPLE_BLOB_BYTES = 64 << 10
 DEFAULT_OUTER = "zstd"
 # outer compression must win by this factor on the sample to be applied
@@ -50,11 +57,11 @@ class CodecChoice:
     est_ratio: float  # sample encoded bytes / sample raw bytes
 
 
-def _sample_fixed(values: np.ndarray) -> np.ndarray:
-    if len(values) <= SAMPLE_VALUES:
+def _sample_fixed(values: np.ndarray, n: int = SAMPLE_FIXED_VALUES) -> np.ndarray:
+    if len(values) <= n:
         return values
-    step = len(values) // SAMPLE_VALUES
-    return values[::step][:SAMPLE_VALUES]
+    step = len(values) // n
+    return values[::step][:n]
 
 
 def _sample_bytes(col: strings.StringColumn) -> strings.StringColumn:
@@ -135,6 +142,10 @@ def candidate_codecs(stats: ColumnStats, tag: str) -> list[str]:
         cands.append("for")
         if stats.vmin is not None and stats.vmin >= 0:
             cands.append("bitpack")
+    if tag in ("f32", "f64"):
+        # byte-stream split only pays THROUGH the outer compressor; the
+        # trial measures final (post-outer) sizes, so it competes fairly
+        cands.append("split")
     return cands
 
 

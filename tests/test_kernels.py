@@ -397,3 +397,33 @@ def test_bloom_never_false_negative(rng):
     misses = sum(not bloom.maybe_contains(bl, b"absent-%d" % i)
                  for i in range(2000))
     assert misses > 1000, f"fp rate too high: {(2000 - misses) / 2000}"
+
+
+def test_split_codec_roundtrip_bit_exact(rng):
+    """Byte-stream split (the BYTE_STREAM_SPLIT the reference's Thrift
+    model names but its readers reject) round-trips bit-exact."""
+    odd = np.frombuffer(np.uint64(0x7FF8000000000001).tobytes(), "<f8")[0]
+    cases = [
+        ("f64", np.concatenate([rng.normal(size=3000), [0.0, -0.0, np.nan, odd]])),
+        ("f32", rng.normal(size=3000).astype(np.float32)),
+        ("i64", rng.integers(0, 10**12, 3000)),
+        ("i32", rng.integers(-50000, 50000, 3000).astype(np.int32)),
+    ]
+    for tag, v in cases:
+        blk = block.encode_block(v, tag, "split", outer="zstd")
+        out = np.asarray(block.decode_block(blk)[0])
+        assert out.tobytes() == np.ascontiguousarray(v).tobytes(), tag
+        with pytest.raises(CorruptBlockError):
+            block.decode_block(blk[: len(blk) - 7])
+
+
+def test_selector_picks_split_for_large_float_noise(rng):
+    """At real block sizes the exponent byte-plane pays through zstd;
+    the trial-encoding selector must see it (the win only appears past
+    ~256 KB inputs where zstd blocks align with planes — smaller inputs
+    correctly keep plain)."""
+    from boltspark.kernels import selector
+
+    v = (rng.normal(size=300_000) * 0.1).astype(np.float32)
+    ch = selector.choose(v, "f32")
+    assert ch.codec == "split" and ch.outer == "zstd", (ch.codec, ch.outer)
