@@ -271,6 +271,86 @@ class BytesEqPredicate(Predicate):
 
 
 @dataclass
+class InPredicate(Predicate):
+    """value IN (set) for any physical type — the dictionary-pushdown
+    workhorse (evaluated once per distinct value), zone-checked against
+    min/max bounds and, for byte columns, the per-block bloom filter
+    (every needle missing the bloom => whole block skipped)."""
+
+    column: str
+    values: tuple = ()
+    null_allowed: bool = False
+
+    def _byte_values(self) -> list[bytes]:
+        return [v if isinstance(v, bytes) else str(v).encode()
+                for v in self.values]
+
+    def check(self, values) -> np.ndarray:
+        if hasattr(values, "offsets"):
+            return self.check_bytes(values)
+        if not self.values:
+            return np.zeros(len(values), dtype=bool)
+        return np.isin(values, np.asarray(list(self.values)))
+
+    def check_bytes(self, col) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..kernels.strings import to_arrow
+
+        if not self.values:
+            return np.zeros(len(col), dtype=bool)
+        vals = pa.array(self._byte_values(), pa.large_binary())
+        return np.asarray(pc.is_in(to_arrow(col), value_set=vals))
+
+    def check_zone(self, stats: dict) -> str:
+        nulls_keep = stats.get("has_null", False) and self.null_allowed
+        if not self.values:
+            return SOME if nulls_keep else NONE
+        z = _bytes_zone_bounds(stats)
+        if z is not None:
+            vmin_pfx, vmax_pfx, vmin_exact, vmax_exact, _ = z
+            bl = stats.get("bloom")
+
+            def possible(v: bytes) -> bool:
+                below = v < vmin_pfx
+                above = v > vmax_pfx if vmax_exact else v[: len(vmax_pfx)] > vmax_pfx
+                if below or above:
+                    return False
+                if bl is not None:
+                    from ..kernels import bloom
+
+                    return bloom.maybe_contains(bytes.fromhex(bl), v)
+                return True
+
+            if not nulls_keep and not any(possible(v) for v in self._byte_values()):
+                return NONE
+            return SOME
+        vmin, vmax = stats.get("vmin"), stats.get("vmax")
+        if vmin is None or vmax is None:
+            return SOME
+        try:
+            if not nulls_keep and all(v < vmin or v > vmax for v in self.values):
+                return NONE
+        except TypeError:
+            return SOME
+        return SOME
+
+    def to_spark_condition(self):
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        vals = [v.decode("utf-8") if isinstance(v, bytes) else v
+                for v in self.values]
+        cond = c.isin(vals)
+        if self.null_allowed:
+            cond = cond | c.isNull()
+        else:
+            cond = cond & c.isNotNull()
+        return cond
+
+
+@dataclass
 class BytesPrefixPredicate(Predicate):
     """Byte-array predicate: value starts with ``prefix`` — exercises the
     byte-array dictionary filter path the reference left unimplemented."""

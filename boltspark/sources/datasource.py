@@ -91,6 +91,14 @@ def _to_predicate(f: Filter):
         return None
     if isinstance(f, StringStartsWith) and isinstance(f.value, str):
         return ef.BytesPrefixPredicate(column=attr, prefix=f.value.encode())
+    if isinstance(f, In):
+        vals = tuple(f.value)
+        if all(isinstance(v, str) for v in vals):
+            return ef.InPredicate(column=attr, values=tuple(v.encode() for v in vals))
+        if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+               for v in vals):
+            return ef.InPredicate(column=attr, values=vals)
+        return None
     if isinstance(f, GreaterThan) and isinstance(f.value, (int, float)):
         return ef.RangePredicate(column=attr, lower=f.value, lower_inclusive=False)
     if isinstance(f, GreaterThanOrEqual) and isinstance(f.value, (int, float)):

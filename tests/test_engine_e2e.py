@@ -319,3 +319,29 @@ def test_bloom_skips_absent_equality(spark, encoded):
         st = json.loads(r["st"])
         assert "bloom" in st
         assert pred.check_zone(st) == "none"
+
+
+def test_in_predicate_matches_catalyst(spark, corpus_df, encoded):
+    from boltspark.engine.filters import InPredicate
+
+    for pred in (
+        InPredicate(column="lang", values=(b"py", b"rs", b"zz-absent")),
+        InPredicate(column="stars", values=(12345, 54321, 99999999)),
+        InPredicate(column="stars", values=(), null_allowed=True),  # only nulls... none match
+    ):
+        ours = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                            columns=["repo", "lang", "stars"], predicate=pred)
+        theirs = corpus_df.select("repo", "lang", "stars").filter(
+            pred.to_spark_condition())
+        assert ours.count() == theirs.count(), pred
+        assert ours.exceptAll(theirs).count() + theirs.exceptAll(ours).count() == 0
+
+
+def test_in_pushdown_via_datasource(spark, corpus_df, encoded):
+    from boltspark.sources import datasource as ds
+
+    r = ds.load(spark, encoded.out_path, encoded.manifest_path).filter(
+        F.col("lang").isin("py", "rs")).select("repo", "lang")
+    ref = corpus_df.filter(F.col("lang").isin("py", "rs")).select("repo", "lang")
+    assert r.count() == ref.count()
+    assert r.exceptAll(ref).count() + ref.exceptAll(r).count() == 0
