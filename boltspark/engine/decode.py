@@ -168,15 +168,21 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
     """Row-independent decoder: every input row is one complete block
     group (all columns), so there is no regrouping state at all."""
 
-    def decode_row(blk_cols, st_cols, i: int, part_id: int):
+    def decode_row(blk_cols, st_cols, i: int, part_id: int, n_rows: int):
         # conjunctive cascade (row_group_reader.rs:204-258): each
         # predicate column narrows the surviving mask in turn; an
         # all-false mask short-circuits the remaining columns
         mask = None
         for pred in predicates:
+            blk_scalar = blk_cols[pred.column][i]
+            if not blk_scalar.is_valid:
+                # column absent from this group's run (schema evolution):
+                # the whole column is null here
+                if pred.null_allowed:
+                    continue  # every row survives this predicate
+                return None
             verdict, pmask = _decode_mask(
-                blk_cols[pred.column][i].as_py(), st_cols[pred.column][i].as_py(),
-                pred)
+                blk_scalar.as_py(), st_cols[pred.column][i].as_py(), pred)
             if verdict == "none":
                 return None
             if pmask is not None:
@@ -191,13 +197,19 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
         fields = []
         for name in out_cols:
             target = out_types[name]
-            if late:
+            blk_scalar = blk_cols[name][i]
+            if not blk_scalar.is_valid:
+                # schema evolution: rows from runs that predate this
+                # column read back as nulls
+                n_out = int(mask.sum()) if mask is not None else n_rows
+                arr = pa.nulls(n_out, target)
+            elif late:
                 values, validity, tag, codec, _ = blockmod.decode_block_rows(
-                    blk_cols[name][i].as_py(), mask)
+                    blk_scalar.as_py(), mask)
                 arr = _to_arrow_full(values, validity, tag, target)
             else:
-                values, validity, tag, codec, n_rows = blockmod.decode_block(
-                    blk_cols[name][i].as_py())
+                values, validity, tag, codec, _ = blockmod.decode_block(
+                    blk_scalar.as_py())
                 arr = _to_arrow_full(values, validity, tag, target)
                 if mask is not None:
                     arr = arr.filter(pa.array(mask))
@@ -216,12 +228,14 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
         for batch in batches:
             names = batch.schema.names
             part_arr = batch.column(names.index(PART_ID))
+            nrows_arr = batch.column(names.index("n_rows"))
             blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
                         for c in read_cols}
             st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
                        for p in predicates}
             for i in range(batch.num_rows):
-                out = decode_row(blk_cols, st_cols, i, part_arr[i].as_py())
+                out = decode_row(blk_cols, st_cols, i, part_arr[i].as_py(),
+                                 nrows_arr[i].as_py())
                 if out is not None:
                     yield out
 
@@ -290,13 +304,16 @@ def decode_table(
     # explicit leaf projection: only the requested block chunks (plus the
     # predicate columns' stats strings) are in the ReadSchema — parquet
     # never reads the other columns' bytes
-    proj = [F.col(PART_ID), F.col("run_id")]
+    proj = [F.col(PART_ID), F.col("run_id"), F.col("n_rows")]
     for c in read_cols:
         proj.append(F.col("cols").getField(c).getField("block").alias(f"__blk_{c}"))
     for p in predicates:
         proj.append(
             F.col("cols").getField(p.column).getField("stats").alias(f"__st_{p.column}"))
-    blocks = spark.read.parquet(blocks_path)
+    # mergeSchema: appended runs may have added columns (schema
+    # evolution); groups from older runs carry null struct leaves that
+    # decode null-fills below
+    blocks = spark.read.option("mergeSchema", "true").parquet(blocks_path)
     if part_ids is not None:
         # scan-level filter: pruning shows in PushedFilters and prunes
         # row groups via part_id min/max stats

@@ -96,7 +96,9 @@ def commit(
         for c in columns
     ])).alias("m")
     agg = (
-        spark.read.parquet(blocks_path)
+        # mergeSchema: appended runs may carry different column sets and
+        # parquet otherwise picks an arbitrary file's schema
+        spark.read.option("mergeSchema", "true").parquet(blocks_path)
         .filter(F.col("run_id") == run_id)
         .select(PART_ID, "run_id", "n_rows", melt)
         .select(PART_ID, "run_id", "n_rows", "m.*")
@@ -130,16 +132,54 @@ def commit(
     return {"raw_bytes": int(totals["r"] or 0), "enc_bytes": int(totals["e"] or 0)}
 
 
+def merge_metas(metas: list[dict]) -> dict:
+    """Merge per-run table metas into one table view (schema evolution):
+    columns = ordered union across runs (run order = sorted run ids for
+    determinism), schema fields merged by name — a type CONFLICT raises,
+    a column missing from a run simply null-fills at decode.  n_parts
+    must agree across runs (partition identity is sacred)."""
+    if not metas:
+        raise FileNotFoundError("no table meta rows")
+    n_parts = {int(m["n_parts"]) for m in metas}
+    if len(n_parts) != 1:
+        raise ValueError(f"manifest mixes partition counts {sorted(n_parts)}; "
+                         "appended runs must reuse the table's n_parts")
+    columns: list[str] = []
+    fields: dict[str, dict] = {}
+    for m in metas:
+        schema = json.loads(m["schema_json"])
+        by_name = {f["name"]: f for f in schema["fields"]}
+        for c in m["columns"]:
+            f = by_name[c]
+            if c not in fields:
+                columns.append(c)
+                fields[c] = f
+            elif fields[c]["type"] != f["type"]:
+                raise ValueError(
+                    f"column {c!r} type conflict across runs: "
+                    f"{fields[c]['type']} vs {f['type']}")
+    return {
+        "columns": columns,
+        "key_cols": metas[0]["key_cols"],
+        "n_parts": n_parts.pop(),
+        "schema_json": json.dumps(
+            {"type": "struct", "fields": [fields[c] for c in columns]}),
+    }
+
+
 def table_meta(spark: SparkSession, manifest_path: str) -> dict:
-    """Collect ONLY the table-meta row (one row per run; first wins)."""
+    """Collect ONLY the table-meta rows (one per run) and merge them —
+    appended runs may add columns (schema evolution)."""
     rows = (
         spark.read.parquet(manifest_path)
         .filter(F.col("column") == META_KEY)
-        .select("table_meta").limit(1).collect()
+        .select("run_id", "table_meta").collect()
     )
     if not rows:
         raise FileNotFoundError(f"no table meta in manifest at {manifest_path}")
-    return json.loads(rows[0]["table_meta"])
+    metas = [json.loads(r["table_meta"])
+             for r in sorted(rows, key=lambda r: r["run_id"])]
+    return merge_metas(metas)
 
 
 def valid_pairs_df(spark: SparkSession, manifest_path: str) -> DataFrame:

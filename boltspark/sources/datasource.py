@@ -55,7 +55,7 @@ def _read_manifest(manifest_path: str):
     files = sorted(glob.glob(os.path.join(manifest_path, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no manifest at {manifest_path}")
-    meta = None
+    metas = []
     pairs = set()
     for f in files:
         t = pq.read_table(f, columns=["part_id", "run_id", "column", "table_meta"])
@@ -63,11 +63,14 @@ def _read_manifest(manifest_path: str):
         for pid, rid, col, tm in zip(cols["part_id"], cols["run_id"],
                                      cols["column"], cols["table_meta"]):
             if col == META_KEY:
-                meta = meta or json.loads(tm)
+                metas.append((rid, json.loads(tm)))
             else:
                 pairs.add((pid, rid))
-    if meta is None:
+    if not metas:
         raise FileNotFoundError(f"no table meta in manifest at {manifest_path}")
+    from ..engine.manifest import merge_metas
+
+    meta = merge_metas([m for _, m in sorted(metas, key=lambda x: x[0])])
     return meta, pairs
 
 
@@ -155,17 +158,24 @@ class BoltReader(DataSourceReader):
         for p in self.predicates:
             if p.column not in read_cols:
                 read_cols.append(p.column)
-        cols = ["part_id", "run_id"] + [f"cols.{c}" for c in read_cols]
         pf = pq.ParquetFile(partition.value)
+        # schema evolution: this file's run may predate some columns
+        file_cols = {f.name for f in pf.schema_arrow.field("cols").type}
+        present = [c for c in read_cols if c in file_cols]
+        for p in self.predicates:
+            if p.column not in file_cols and not p.null_allowed:
+                return  # whole-file skip: the column is all-null here
+        cols = ["part_id", "run_id", "n_rows"] + [f"cols.{c}" for c in present]
         for batch in pf.iter_batches(batch_size=16, columns=cols):
             names = batch.schema.names
             part_arr = batch.column(names.index("part_id"))
             run_arr = batch.column(names.index("run_id"))
+            nrows_arr = batch.column(names.index("n_rows"))
             if "cols" in names:  # selection kept the struct nested
                 cols_arr = batch.column(names.index("cols"))
-                structs = {c: cols_arr.field(c) for c in read_cols}
+                structs = {c: cols_arr.field(c) for c in present}
             else:  # selection flattened the struct leaves to top level
-                structs = {c: batch.column(names.index(c)) for c in read_cols}
+                structs = {c: batch.column(names.index(c)) for c in present}
             for i in range(batch.num_rows):
                 if (part_arr[i].as_py(), run_arr[i].as_py()) not in self.valid_pairs:
                     continue  # orphan blocks from a crashed run
@@ -190,6 +200,12 @@ class BoltReader(DataSourceReader):
                     from ..kernels import block as blockmod
 
                     target = out_types[name]
+                    if name not in structs or not structs[name][i].is_valid:
+                        # evolved column: null-fill for pre-evolution rows
+                        n_out = int(mask.sum()) if mask is not None \
+                            else nrows_arr[i].as_py()
+                        arrays.append(pa.nulls(n_out, target))
+                        continue
                     values, validity, tag, _, _ = blockmod.decode_block(
                         structs[name][i]["block"].as_py())
                     arr = dec._to_arrow_full(values, validity, tag, target)

@@ -345,3 +345,48 @@ def test_in_pushdown_via_datasource(spark, corpus_df, encoded):
     ref = corpus_df.filter(F.col("lang").isin("py", "rs")).select("repo", "lang")
     assert r.count() == ref.count()
     assert r.exceptAll(ref).count() + ref.exceptAll(r).count() == 0
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """A later run may ADD columns: older rows read back as nulls, the
+    merged manifest schema is deterministic, predicates honor null
+    semantics on pre-evolution rows, and type conflicts raise."""
+    d = str(tmp_path)
+    df1 = spark.range(120).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"),
+        F.concat(F.lit("body"), F.col("id")).alias("content"))
+    encode_table(df1, f"{d}/b", f"{d}/m", n_parts=4, resume=False, run_id="run1")
+    df2 = spark.range(120, 170).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"),
+        F.concat(F.lit("body"), F.col("id")).alias("content"),
+        (F.col("id") % 7).alias("extra"))
+    encode_table(df2, f"{d}/b", f"{d}/m", n_parts=4, resume=False, run_id="run2")
+
+    out = decode_table(spark, f"{d}/b", f"{d}/m")
+    assert out.columns == ["repo", "path", "commit", "content", "extra"]
+    assert out.count() == 170
+    assert out.filter(F.col("extra").isNull()).count() == 120
+    got = {r["path"]: r["extra"] for r in out.filter(F.col("extra").isNotNull()).collect()}
+    assert got == {str(i): i % 7 for i in range(120, 170)}
+
+    # predicate on the evolved column: null semantics over old rows
+    pred = RangePredicate(column="extra", lower=0, upper=3)
+    sel = decode_table(spark, f"{d}/b", f"{d}/m", columns=["path", "extra"],
+                       predicate=pred)
+    exp = sum(1 for i in range(120, 170) if i % 7 <= 3)
+    assert sel.count() == exp
+    pred_n = RangePredicate(column="extra", lower=0, upper=3, null_allowed=True)
+    sel_n = decode_table(spark, f"{d}/b", f"{d}/m", columns=["path", "extra"],
+                         predicate=pred_n)
+    assert sel_n.count() == exp + 120
+
+    # type conflict must raise loudly
+    df3 = spark.range(5).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("x").alias("content"),
+        F.lit("not-a-long").alias("extra"))
+    encode_table(df3, f"{d}/b", f"{d}/m", n_parts=4, resume=False, run_id="run3")
+    with pytest.raises(ValueError, match="type conflict"):
+        decode_table(spark, f"{d}/b", f"{d}/m")

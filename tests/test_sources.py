@@ -136,3 +136,29 @@ def test_boltspark_datasource_reads_blocks(spark, tmp_path):
         "SELECT lang, COUNT(*) n FROM bsk_blocks GROUP BY lang ORDER BY n DESC, lang"
     ).first()
     assert top["n"] > 0
+
+
+def test_boltspark_datasource_schema_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    d = str(tmp_path)
+    df1 = spark.range(60).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("body").alias("content"))
+    encode_table(df1, f"{d}/b", f"{d}/m", n_parts=3, resume=False, run_id="r1")
+    df2 = spark.range(60, 90).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("body").alias("content"),
+        (F.col("id") % 5).alias("extra"))
+    encode_table(df2, f"{d}/b", f"{d}/m", n_parts=3, resume=False, run_id="r2")
+
+    r = ds.load(spark, f"{d}/b", f"{d}/m")
+    assert "extra" in r.columns
+    assert r.count() == 90
+    assert r.filter(F.col("extra").isNull()).count() == 60
+    # pushed range on the evolved column skips pre-evolution files wholesale
+    sel = ds.load(spark, f"{d}/b", f"{d}/m").filter(F.col("extra") >= 3)
+    assert sel.count() == sum(1 for i in range(60, 90) if i % 5 >= 3)
