@@ -94,3 +94,34 @@ def test_compact_blocks_merges_runs(spark, tmp_path):
     assert [r["run_id"] for r in runs] == [res["run_id"]]
     n_files_after = len(glob.glob(f"{d}/b2/*.parquet"))
     assert n_files_after < n_files_before
+
+
+def test_streaming_dedup_first_occurrence_only(spark, tmp_path):
+    """applyInPandasWithState dedup: a document's fingerprint seen in an
+    earlier micro-batch suppresses later copies; within one batch,
+    duplicates collapse to one row."""
+    from boltspark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "docs_in")
+    ckpt = str(tmp_path / "ckpt")
+
+    def batch(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append").parquet(src)
+
+    # batch 1: A, B, and an in-batch duplicate of A (reflowed whitespace)
+    batch([(1, "alpha doc body"), (2, "beta doc body"), (3, "alpha   doc body")])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (dedup_stream(stream).writeStream.format("memory")
+         .queryName("dedup_out").outputMode("update")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: duplicate of A and B again + new C
+        batch([(4, "alpha doc body"), (5, "gamma doc body"), (6, "beta doc body")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["doc_id"]: r["text"] for r in spark.sql(
+        "select * from dedup_out").collect()}
+    assert set(rows) == {1, 2, 5}, rows  # 3/4/6 are dups; 5 is new
