@@ -43,7 +43,10 @@ def compact_blocks(
     meta = manifestmod.table_meta(spark, manifest_path)
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     blocks = (
-        spark.read.parquet(blocks_path)
+        # mergeSchema: runs may have evolved the column set; compaction
+        # must carry the UNION (older groups keep null leaves for the
+        # columns they predate)
+        spark.read.option("mergeSchema", "true").parquet(blocks_path)
         .join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
     )
     # the window's own exchange co-locates each partition's groups (no

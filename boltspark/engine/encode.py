@@ -68,12 +68,17 @@ def _column_stats(values, tag: str, validity) -> str:
             vmax = pc.max(arr).as_py() or b""
             stats = {"vmin_pfx": vmin[:24].hex(), "vmax_pfx": vmax[:24].hex(),
                      "vmin_exact": len(vmin) <= 24, "vmax_exact": len(vmax) <= 24}
-            uniq = pc.unique(arr)
-            if len(uniq) <= bloom.MAX_DISTINCT:
-                # equality zone filter (parquet bloom analog): built over
-                # EVERY distinct value, so a miss is a certain skip
-                stats["bloom"] = bloom.build(
-                    u.as_py() for u in uniq).hex()
+            # equality zone filter (parquet bloom analog), only for
+            # key-like short strings: equality needles target ids/paths/
+            # tags, while multi-KB blobs would pay the unique() hash for
+            # a filter nobody probes
+            if len(values.data) <= 256 * n:
+                uniq = pc.unique(arr)
+                if len(uniq) <= bloom.MAX_DISTINCT:
+                    # built over EVERY distinct value: a miss is a
+                    # certain skip
+                    stats["bloom"] = bloom.build(
+                        u.as_py() for u in uniq).hex()
         else:
             stats = {}
     elif tag in lists.LIST_TAGS:
@@ -185,8 +190,12 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                 key = (part_id, name)
                 choice = choice_cache.get(key)
                 if choice is None:
-                    if codec_override and name in codec_override:
+                    if (codec_override and name in codec_override
+                            and tag not in lists.LIST_TAGS):
                         # expert knob: pin the codec, still trial the outer
+                        # (list columns always use the composite list codec
+                        # — overrides apply to their element stream only
+                        # via the inner selector)
                         forced = codec_override[name]
                         if forced == "fsst" and name not in fsst_tables:
                             fsst_tables[name] = fsst.build_symbol_table_best(

@@ -125,3 +125,29 @@ def test_streaming_dedup_first_occurrence_only(spark, tmp_path):
     rows = {r["doc_id"]: r["text"] for r in spark.sql(
         "select * from dedup_out").collect()}
     assert set(rows) == {1, 2, 5}, rows  # 3/4/6 are dups; 5 is new
+
+
+def test_compact_preserves_evolved_columns(spark, tmp_path):
+    """Compacting a dataset whose later runs added columns must carry
+    the UNION schema (older groups keep null leaves)."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.compact import compact_blocks
+
+    d = str(tmp_path)
+    df1 = spark.range(80).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("b").alias("content"))
+    encode_table(df1, f"{d}/b", f"{d}/m", n_parts=4, resume=False, run_id="r1")
+    df2 = spark.range(80, 120).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("b").alias("content"),
+        (F.col("id") % 3).alias("extra"))
+    encode_table(df2, f"{d}/b", f"{d}/m", n_parts=4, resume=False, run_id="r2")
+
+    compact_blocks(spark, f"{d}/b", f"{d}/m", f"{d}/b2", f"{d}/m2")
+    before = decode_table(spark, f"{d}/b", f"{d}/m").select("path", "extra")
+    after = decode_table(spark, f"{d}/b2", f"{d}/m2").select("path", "extra")
+    assert after.columns == ["path", "extra"]
+    assert before.exceptAll(after).count() + after.exceptAll(before).count() == 0
