@@ -134,15 +134,15 @@ def _to_arrow_full(values, validity, tag: str, target: pa.DataType | None = None
     return pa.array(full, mask=~validity)
 
 
-def _decode_mask(blk, stats_json: str, predicate: Predicate):
+def _decode_mask(blk, stats: dict, predicate: Predicate):
     """Predicate column fast path -> (verdict, mask).
 
-    Zone-map stats answer without touching payload bytes whenever they
-    can — ``all``/``none`` return BEFORE the block is even opened (the
-    reference's uncovered pages are never decompressed,
-    primitive_column_reader.rs:515-521).  Dictionary blocks evaluate the
-    predicate once per distinct value and map over codes."""
-    stats = json.loads(stats_json)
+    Zone-map stats (a typed struct row, see schema._STATS_ARROW) answer
+    without touching payload bytes whenever they can — ``all``/``none``
+    return BEFORE the block is even opened (the reference's uncovered
+    pages are never decompressed, primitive_column_reader.rs:515-521).
+    Dictionary blocks evaluate the predicate once per distinct value and
+    map over codes."""
     zone = predicate.check_zone(stats)
     if zone == NONE:
         return "none", None
@@ -319,6 +319,27 @@ def decode_table(
         # row groups via part_id min/max stats
         blocks = blocks.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))
     blocks = blocks.select(*proj)
+    # JVM-side zone prefilter: the typed stats are real columns, so
+    # groups whose [vmin, vmax] cannot match a numeric range predicate
+    # are dropped BEFORE their block bytes cross the JVM->Python
+    # boundary (Python re-checks zones for everything that remains —
+    # this is an additional cut, never the only one).  Null stats
+    # (evolved columns, list columns) conservatively pass.
+    from .filters import RangePredicate as _RP
+
+    for p in predicates:
+        if isinstance(p, _RP) and (p.lower is not None or p.upper is not None):
+            st = F.col(f"__st_{p.column}")
+            keep = F.lit(True)
+            if p.lower is not None:
+                keep = keep & (st.getField("vmax").isNull()
+                               | (st.getField("vmax") >= float(p.lower)))
+            if p.upper is not None:
+                keep = keep & (st.getField("vmin").isNull()
+                               | (st.getField("vmin") <= float(p.upper)))
+            if p.null_allowed:
+                keep = keep | F.coalesce(st.getField("has_null"), F.lit(True))
+            blocks = blocks.filter(keep)
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     if part_ids is not None:
         valid = valid.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))

@@ -52,8 +52,12 @@ class EncodeResult:
     wall_sec: float
 
 
-def _column_stats(values, tag: str, validity) -> str:
+def _column_stats(values, tag: str, validity) -> dict:
+    """Typed zone-map stats dict matching schema._STATS_ARROW."""
     has_null = validity is not None and not bool(validity.all())
+    stats = {"vmin": None, "vmax": None, "vmin_pfx": None, "vmax_pfx": None,
+             "vmin_exact": None, "vmax_exact": None,
+             "has_null": has_null, "bloom": None}
     if tag == "bytes":
         # prefix min/max keeps stats rows small but still zone-usable
         # (filters._bytes_zone_bounds is the reader side)
@@ -66,8 +70,8 @@ def _column_stats(values, tag: str, validity) -> str:
             arr = strings.to_arrow(values)
             vmin = pc.min(arr).as_py() or b""
             vmax = pc.max(arr).as_py() or b""
-            stats = {"vmin_pfx": vmin[:24].hex(), "vmax_pfx": vmax[:24].hex(),
-                     "vmin_exact": len(vmin) <= 24, "vmax_exact": len(vmax) <= 24}
+            stats.update(vmin_pfx=vmin[:24], vmax_pfx=vmax[:24],
+                         vmin_exact=len(vmin) <= 24, vmax_exact=len(vmax) <= 24)
             # equality zone filter (parquet bloom analog), only for
             # key-like short strings: equality needles target ids/paths/
             # tags, while multi-KB blobs would pay the unique() hash for
@@ -77,19 +81,23 @@ def _column_stats(values, tag: str, validity) -> str:
                 if len(uniq) <= bloom.MAX_DISTINCT:
                     # built over EVERY distinct value: a miss is a
                     # certain skip
-                    stats["bloom"] = bloom.build(
-                        u.as_py() for u in uniq).hex()
-        else:
-            stats = {}
+                    stats["bloom"] = bloom.build(u.as_py() for u in uniq)
     elif tag in lists.LIST_TAGS:
-        stats = {}  # no zone maps over list columns (no order semantics)
-    else:
-        stats = {}
-        if len(values):
-            stats["vmin"] = float(np.min(values)) if tag in ("f32", "f64") else int(np.min(values))
-            stats["vmax"] = float(np.max(values)) if tag in ("f32", "f64") else int(np.max(values))
-    stats["has_null"] = has_null
-    return json.dumps(stats, separators=(",", ":"))
+        pass  # no zone maps over list columns (no order semantics)
+    elif len(values):
+        # bounds stored as double; int bounds beyond 2^53 widen OUTWARD
+        # so zone verdicts stay conservative-correct
+        vmin, vmax = np.min(values), np.max(values)
+        if tag in ("f32", "f64"):
+            stats.update(vmin=float(vmin), vmax=float(vmax))
+        else:
+            lo, hi = float(vmin), float(vmax)
+            if int(lo) > int(vmin):
+                lo = float(np.nextafter(lo, -np.inf))
+            if int(hi) < int(vmax):
+                hi = float(np.nextafter(hi, np.inf))
+            stats.update(vmin=lo, vmax=hi)
+    return stats
 
 
 def _decimal_unscaled_i64(arr: pa.Array) -> np.ndarray:
@@ -230,6 +238,8 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                     )
                 dt = (time.perf_counter() - t0) * 1000
                 raw = values.nbytes if hasattr(values, "nbytes") else np.asarray(values).nbytes
+                from .schema import _STATS_ARROW
+
                 col_structs.append(pa.StructArray.from_arrays(
                     [
                         pa.array([blk], pa.large_binary()),
@@ -238,7 +248,8 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                         pa.array([int(raw)], pa.int64()),
                         pa.array([len(blk)], pa.int64()),
                         pa.array([dt], pa.float64()),
-                        pa.array([_column_stats(values, tag, validity)], pa.string()),
+                        pa.array([_column_stats(values, tag, validity)],
+                                 _STATS_ARROW),
                     ],
                     fields=list(cols_type.field(0).type),
                 ))

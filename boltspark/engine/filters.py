@@ -188,17 +188,17 @@ class ConstPredicate(Predicate):
 
 
 def _bytes_zone_bounds(stats: dict):
-    """Decode the byte-column zone-map stats written by the encoder:
+    """Read the byte-column zone-map stats written by the encoder:
     (vmin_pfx, vmax_pfx, vmin_exact, vmax_exact, has_null) or None.
     ``*_pfx`` are the first 24 bytes of the true min/max; ``*_exact``
     says the value fit entirely (so the prefix IS the bound)."""
     pmin, pmax = stats.get("vmin_pfx"), stats.get("vmax_pfx")
     if pmin is None or pmax is None:
         return None
-    return (bytes.fromhex(pmin), bytes.fromhex(pmax),
-            bool(stats.get("vmin_exact", False)),
-            bool(stats.get("vmax_exact", False)),
-            bool(stats.get("has_null", False)))
+    return (bytes(pmin), bytes(pmax),
+            bool(stats.get("vmin_exact") or False),
+            bool(stats.get("vmax_exact") or False),
+            bool(stats.get("has_null") or False))
 
 
 @dataclass
@@ -237,7 +237,7 @@ class BytesEqPredicate(Predicate):
         if bl is not None and not nulls_keep and not below and not above:
             from ..kernels import bloom
 
-            if not bloom.maybe_contains(bytes.fromhex(bl), v):
+            if not bloom.maybe_contains(bytes(bl), v):
                 return NONE
         return SOME
 
@@ -320,7 +320,7 @@ class InPredicate(Predicate):
                 if bl is not None:
                     from ..kernels import bloom
 
-                    return bloom.maybe_contains(bytes.fromhex(bl), v)
+                    return bloom.maybe_contains(bytes(bl), v)
                 return True
 
             if not nulls_keep and not any(possible(v) for v in self._byte_values()):

@@ -28,6 +28,35 @@ from pyspark.sql import types as T
 
 PART_ID = "part_id"
 
+# typed zone-map stats: REAL parquet columns instead of a JSON string,
+# so (a) parquet row-group min/max stats exist on vmin/vmax themselves,
+# (b) a JVM-side prefilter can drop non-matching groups before they
+# ever cross into Python, and (c) the bloom rides as raw binary (half
+# the hex size).  Numeric bounds are stored as double (exact for the
+# i64 ranges the corpus uses; conservative-correct regardless since
+# zone checks only widen).
+_STATS_ARROW = pa.struct([
+    pa.field("vmin", pa.float64(), True),
+    pa.field("vmax", pa.float64(), True),
+    pa.field("vmin_pfx", pa.binary(), True),
+    pa.field("vmax_pfx", pa.binary(), True),
+    pa.field("vmin_exact", pa.bool_(), True),
+    pa.field("vmax_exact", pa.bool_(), True),
+    pa.field("has_null", pa.bool_(), True),
+    pa.field("bloom", pa.binary(), True),
+])
+
+_STATS_SPARK = T.StructType([
+    T.StructField("vmin", T.DoubleType(), True),
+    T.StructField("vmax", T.DoubleType(), True),
+    T.StructField("vmin_pfx", T.BinaryType(), True),
+    T.StructField("vmax_pfx", T.BinaryType(), True),
+    T.StructField("vmin_exact", T.BooleanType(), True),
+    T.StructField("vmax_exact", T.BooleanType(), True),
+    T.StructField("has_null", T.BooleanType(), True),
+    T.StructField("bloom", T.BinaryType(), True),
+])
+
 # per-encoded-column struct: the page-header fields of the reference
 # (codec, sizes, statistics) + the encoded block bytes
 _COL_ARROW_FIELDS = [
@@ -37,7 +66,7 @@ _COL_ARROW_FIELDS = [
     pa.field("raw_bytes", pa.int64(), False),
     pa.field("enc_bytes", pa.int64(), False),
     pa.field("enc_ms", pa.float64(), False),
-    pa.field("stats", pa.string(), False),  # JSON zone-map stats
+    pa.field("stats", _STATS_ARROW, False),
 ]
 
 _COL_SPARK_STRUCT = T.StructType([
@@ -47,7 +76,7 @@ _COL_SPARK_STRUCT = T.StructType([
     T.StructField("raw_bytes", T.LongType(), False),
     T.StructField("enc_bytes", T.LongType(), False),
     T.StructField("enc_ms", T.DoubleType(), False),
-    T.StructField("stats", T.StringType(), False),
+    T.StructField("stats", _STATS_SPARK, False),
 ])
 
 

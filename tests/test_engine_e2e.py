@@ -303,8 +303,6 @@ def test_highly_selective_predicate_late_materialization(spark, corpus_df, encod
 def test_bloom_skips_absent_equality(spark, encoded):
     """A needle absent from the table must produce zero rows AND skip
     every block at the zone level (bloom, not decode+empty-mask)."""
-    import json
-
     from boltspark.engine.decode import _decode_mask
     from boltspark.engine.filters import BytesEqPredicate
 
@@ -316,8 +314,8 @@ def test_bloom_skips_absent_equality(spark, encoded):
     blocks = spark.read.parquet(encoded.out_path).select(
         F.col("cols.lang.stats").alias("st")).limit(5).collect()
     for r in blocks:
-        st = json.loads(r["st"])
-        assert "bloom" in st
+        st = r["st"].asDict()
+        assert st["bloom"] is not None
         assert pred.check_zone(st) == "none"
 
 

@@ -63,7 +63,7 @@ def test_predicate_scan_reads_only_block_and_stats(spark, encoded):
     schemas = [s for s in _read_schemas(_plan(decoded)) if "cols:struct" in s]
     assert schemas
     for s in schemas:
-        assert "lang:struct<block:binary,stats:string>" in s, s
+        assert "lang:struct<block:binary,stats:struct<" in s, s
         assert "content" not in s, s
 
 
