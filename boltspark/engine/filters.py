@@ -48,7 +48,7 @@ class Predicate:
         return SOME
 
     def check_zone(self, stats: dict) -> str:
-        """Dispatch the block's JSON zone-map stats to ``check_range``.
+        """Dispatch the block's zone-map stats row to ``check_range``.
         Byte predicates override this to use the stored min/max prefixes
         (the reference defines check_range but never wires it into a
         reader — fixed_length_filter.rs:91-114; we call it before ever
