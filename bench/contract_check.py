@@ -1,8 +1,9 @@
 """Local replica of the driver's correctness gate: run each queries()
 entry and its oracle_sql() via DuckDB at sf0.01; compare rows, schema
 (column names), and a value hash after sorting columns by name and rows
-by all columns (floats rounded to tolerate formatting only — values must
-already be rounded in the queries)."""
+by all columns.  NOTE: canon() hashes raw float64 bits with NO rounding —
+float columns must be pre-rounded identically in BOTH the Spark query and
+the oracle SQL, or the hash will spuriously mismatch."""
 import sys, json, hashlib
 sys.path.insert(0, '/root/repo')
 import duckdb, pandas as pd, numpy as np

@@ -65,11 +65,9 @@ def compact_blocks(
         columns=meta["columns"], key_cols=tuple(meta["key_cols"]),
         n_parts=int(meta["n_parts"]), schema_json=meta["schema_json"],
     )
-    n_groups = int(
-        spark.read.parquet(out_manifest_path)
-        .filter(F.col("column") != manifestmod.META_KEY)
-        .agg(F.sum("n_blocks")).collect()[0][0] or 0
-    )
+    # count actual block-group rows (manifest n_blocks is per
+    # (part_id, column), so summing it would multiply by column count)
+    n_groups = spark.read.parquet(out_blocks_path).count()
     return {"n_groups": n_groups, "run_id": run_id,
             "raw_bytes": stats["raw_bytes"], "enc_bytes": stats["enc_bytes"],
             "wall_sec": time.time() - t0}

@@ -5,7 +5,7 @@ the role of (page bytes + PageHeader) in the reference
 (/root/reference/src/metadata/page_header.rs:22-32).  Layout, all
 little-endian:
 
-    magic   "BSK1"                      (4 bytes)
+    magic   "BSK2"                      (4 bytes)
     codec   u8  (index into CODEC_IDS)
     tag     u8  (physical type, index into types.ALL_TAGS)
     flags   u8  (bit0: has_nulls, bit1: outer-compressed payload)
@@ -41,7 +41,7 @@ from . import bitpack, dictionary, foref, fsst, lists, rle, strings
 from .types import ALL_TAGS, BOOL, BYTES, dtype_of, tag_of
 from .varint import CorruptBlockError
 
-MAGIC = b"BSK1"
+MAGIC = b"BSK2"  # bumped: wide layout + CRC coverage changed vs BSK1
 
 CODEC_IDS = ("plain", "rle", "dict", "for", "bitpack", "fsst", "list", "split")
 OUTER_CODECS = ("none", "zstd", "gzip", "snappy", "lz4")
@@ -319,7 +319,14 @@ def _open(buf: bytes):
 
 
 def _open_unchecked(buf: bytes):
-    if len(buf) < _HDR.size or buf[:4] != MAGIC:
+    if len(buf) < _HDR.size:
+        raise CorruptBlockError("block: truncated header")
+    if buf[:4] != MAGIC:
+        got = bytes(buf[:4])
+        if got[:3] == MAGIC[:3]:  # older/newer BSK format, not corruption
+            raise CorruptBlockError(
+                f"block: format version {got!r}, this reader expects "
+                f"{MAGIC!r} — re-encode the dataset")
         raise CorruptBlockError("block: bad magic")
     _, codec_id, tag_id, flags, outer_id, n_rows = _HDR.unpack_from(buf, 0)
     if codec_id >= len(CODEC_IDS) or tag_id >= len(ALL_TAGS) or outer_id >= len(OUTER_CODECS):

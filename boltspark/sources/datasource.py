@@ -182,9 +182,18 @@ class BoltReader(DataSourceReader):
                 mask = None
                 dead = False
                 for pred in self.predicates:
-                    st = structs[pred.column][i]
+                    leaf = structs.get(pred.column)
+                    if leaf is None or not leaf[i].is_valid:
+                        # column absent from this group's run (schema
+                        # evolution / compacted mixed runs): all-null here
+                        # — mirror engine decode_row's rule exactly
+                        if pred.null_allowed:
+                            continue
+                        dead = True
+                        break
+                    st = leaf[i]
                     verdict, pmask = dec._decode_mask(
-                        st["block"].as_py(), st["stats"].as_py(), pred)
+                        st["block"].as_py(), st["stats"].as_py() or {}, pred)
                     if verdict == "none":
                         dead = True
                         break

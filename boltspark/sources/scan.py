@@ -18,6 +18,7 @@ ColumnPruning / PushDownPredicate (SURVEY.md §4: "free").
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from collections.abc import Iterator
@@ -53,10 +54,16 @@ def scan(
         # list (the reference reads files in argument order), then by the
         # parquet-native per-file row index.  monotonically_increasing_id
         # would follow Spark's split packing, not the file order.
+        # normalize both sides to an absolute scheme-less path and compare
+        # for EQUALITY (a suffix match mis-ranks when one given path is a
+        # path-suffix of another, e.g. 'x/a.parquet' vs '/data/x/a.parquet')
+        # file_path may be 'file:/p', 'file:///p', or bare '/p'
+        fp_norm = F.regexp_replace(F.col("_metadata.file_path"),
+                                   r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/")
         fp = F.col("_metadata.file_path")
         rank = None
         for i, f in enumerate(files):
-            cond = fp.endswith(f.split("://")[-1])
+            cond = fp_norm == os.path.abspath(f.split("://")[-1])
             rank = F.when(cond, i) if rank is None else rank.when(cond, i)
         rank = rank.otherwise(len(files))
         w_cols = columns or list(df.columns)

@@ -162,3 +162,41 @@ def test_boltspark_datasource_schema_evolution(spark, tmp_path):
     # pushed range on the evolved column skips pre-evolution files wholesale
     sel = ds.load(spark, f"{d}/b", f"{d}/m").filter(F.col("extra") >= 3)
     assert sel.count() == sum(1 for i in range(60, 90) if i % 5 >= 3)
+
+
+def test_boltspark_datasource_filter_on_compacted_evolved(spark, tmp_path):
+    """ADVICE r2 (medium): after compaction, one file mixes groups from
+    runs that predate an evolved column (null struct leaves) with groups
+    that have it.  A pushed filter on the evolved column must treat the
+    null leaves as all-null — mirroring engine decode_row — instead of
+    crashing on None stats."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.engine.compact import compact_blocks
+    from boltspark.sources import datasource as ds
+
+    d = str(tmp_path)
+    df1 = spark.range(60).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("body").alias("content"))
+    encode_table(df1, f"{d}/b", f"{d}/m", n_parts=3, resume=False, run_id="r1")
+    df2 = spark.range(60, 90).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("body").alias("content"),
+        (F.col("id") % 5).alias("extra"))
+    encode_table(df2, f"{d}/b", f"{d}/m", n_parts=3, resume=False, run_id="r2")
+    compact_blocks(spark, f"{d}/b", f"{d}/m", f"{d}/b2", f"{d}/m2")
+
+    sel = ds.load(spark, f"{d}/b2", f"{d}/m2").filter(F.col("extra") >= 3)
+    assert sel.count() == sum(1 for i in range(60, 90) if i % 5 >= 3)
+    # string equality on the evolved-at-r2 path: same null-leaf rule for
+    # byte predicates
+    df3 = spark.range(90, 100).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.lit("c").alias("commit"), F.lit("body").alias("content"),
+        (F.col("id") % 5).alias("extra"),
+        F.lit("tagged").alias("label"))
+    encode_table(df3, f"{d}/b2", f"{d}/m2", n_parts=3, resume=False, run_id="r3")
+    lbl = ds.load(spark, f"{d}/b2", f"{d}/m2").filter(F.col("label") == "tagged")
+    assert lbl.count() == 10
