@@ -452,26 +452,57 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_CLONE_OFFSET = 10_000_000
+
+
+def _with_planted_clones(spark: SparkSession, sf_dir: str, k: int):
+    """documents UNION k planted near-duplicate clones with EXACTLY known
+    ground truth (the reference's formulaic self-verifying fixture trick,
+    test_utils.rs:77-144): clone text uppercases the first character —
+    byte-different, but the lowercased token sequence is identical, so
+    word-3-gram Jaccard is exactly 1.0 and the simhash is bit-identical
+    (hamming 0).  Clone key = source key + _CLONE_OFFSET.  Seeds are the
+    k smallest doc_ids with >= 100 chars (SQL-reproducible selection)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    seeds = (docs.filter(F.length(F.coalesce(F.col("text"), F.lit(""))) >= 100)
+             .orderBy("doc_id").limit(k))
+    clones = seeds.select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"),
+        F.concat(F.upper(F.substring("text", 1, 1)),
+                 F.expr("substring(text, 2)")).alias("text"),
+    )
+    return docs.unionByName(clones)
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by 3-gram Jaccard (rows-only
-    check: not SQL-expressible)."""
+    """MinHash-LSH near-dup detection with planted ground truth: 20
+    byte-different clones must come back as candidate pairs and verify
+    at word-3-gram Jaccard exactly 1.0 — a full row-level oracle."""
     from boltspark.pipeline import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    pairs = dedup.lsh_candidate_pairs(docs, n_hashes=32, bands=8)
-    return dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.8).select(
-        F.col("key_a").cast("long"), F.col("key_b").cast("long"),
+    corpus2 = _with_planted_clones(spark, sf_dir, k=20)
+    pairs = dedup.lsh_candidate_pairs(corpus2, n_hashes=32, bands=8)
+    verified = dedup.ngram_jaccard(corpus2, pairs).filter(F.col("jaccard") >= 0.8)
+    return verified.filter(F.col("key_b") == F.col("key_a") + _CLONE_OFFSET).select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
         F.round("jaccard", 6).alias("jaccard"),
     )
 
 
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup detection with planted ground truth: 25 clones
+    with identical token streams must pair with their source at hamming
+    exactly 0 through the 16-bit-chunk blocking join."""
     from boltspark.pipeline import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return dedup.simhash_near_pairs(docs, max_hamming=3).select(
-        F.col("key_a").cast("long"), F.col("key_b").cast("long"), "hamming")
+    corpus2 = _with_planted_clones(spark, sf_dir, k=25)
+    pairs = dedup.simhash_near_pairs(corpus2, max_hamming=3)
+    return pairs.filter(F.col("key_b") == F.col("key_a") + _CLONE_OFFSET).select(
+        F.col("key_a").cast("long").alias("key_a"),
+        F.col("key_b").cast("long").alias("key_b"),
+        F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,13 +544,18 @@ def _q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic fake features over binary
-    payloads via mapInPandas (rows-only check)."""
+    """Multimodal plumbing with a REAL oracle: payloads are the utf-8
+    bytes of documents.text riding the binary-media path (mapInPandas
+    feature extraction); DuckDB recomputes sha256 + byte length from the
+    source table directly."""
     from boltspark.pipeline import multimodal
 
-    media = multimodal.synth_media_table(spark, 200)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    media = multimodal.media_from_text(docs)
     feats = multimodal.extract_features(media)
-    return feats.select("doc_id", "payload_sha", "n_bytes").orderBy("doc_id")
+    return feats.select("doc_id", "payload_sha",
+                        F.col("n_bytes").cast("long").alias("n_bytes"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -605,6 +641,29 @@ def oracle_sql() -> dict[str, str]:
             " '\\s+', ' ', 'g')) AS n_distinct_fp, COUNT(*) AS n_docs FROM documents"
         ),
         "ann_recall_check": "SELECT CAST(10 AS BIGINT) AS k, TRUE AS recall_ok",
+        # planted near-dup ground truth: clones uppercase the first char
+        # (byte-different, token-identical), so jaccard is exactly 1.0 and
+        # simhash hamming exactly 0; seeds = k smallest doc_ids >=100 chars
+        "minhash_near_dups": (
+            "SELECT CAST(doc_id AS BIGINT) AS key_a, "
+            "CAST(doc_id + 10000000 AS BIGINT) AS key_b, "
+            "CAST(1.0 AS DOUBLE) AS jaccard FROM documents "
+            "WHERE length(COALESCE(text, '')) >= 100 ORDER BY doc_id LIMIT 20"
+        ),
+        "simhash_near_dups": (
+            "SELECT CAST(doc_id AS BIGINT) AS key_a, "
+            "CAST(doc_id + 10000000 AS BIGINT) AS key_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM documents "
+            "WHERE length(COALESCE(text, '')) >= 100 ORDER BY doc_id LIMIT 25"
+        ),
+        # DuckDB sha256(varchar) hashes the utf-8 bytes — exactly the
+        # payload the media table carries
+        "multimodal_features": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "sha256(COALESCE(text, '')) AS payload_sha, "
+            "CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes "
+            "FROM documents"
+        ),
         "decode_range_filter": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE n_chars BETWEEN 200 AND 900 AND n_chars IS NOT NULL"

@@ -78,6 +78,24 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def media_from_text(df: DataFrame, text_col: str = "text",
+                    key: str = "doc_id") -> DataFrame:
+    """Media table derived from a text column: payload = the utf-8 bytes
+    (an oracle-recomputable stand-in for image/audio payloads — sha256
+    and byte length are exactly checkable from the source table), plus
+    the typed MEDIA_META struct.  Pure built-ins; the downstream
+    extract_features/resize path is identical to real binary media."""
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
+    meta = F.struct(
+        F.lit("text").alias("media_type"), F.lit("utf-8").alias("format"),
+        F.lit(0).cast("int").alias("width"), F.lit(0).cast("int").alias("height"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.lit(0).cast("int").alias("sample_rate"),
+    )
+    return df.select(F.col(key).cast("long").alias("doc_id"),
+                     payload.alias("payload"), meta.alias("meta"))
+
+
 def synth_media_table(spark, n_rows: int = 200, seed: int = 42) -> DataFrame:
     """Deterministic fake media table: binary payloads + typed metadata."""
     rng = np.random.default_rng(seed)
