@@ -205,6 +205,33 @@ def _q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("val").cast("double").alias("val"))
 
 
+def _q_roundtrip_nullable_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null elements INSIDE list values (element-validity bitmap,
+    kernels/lists.py — the def-level-at-depth case the reference refuses,
+    rep_def_parser.rs:36-46): embeddings with every (vec_id+idx)%97==0
+    element nulled, round-tripped and exploded for the oracle."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when((F.col("vec_id") + i) % 97 == 0,
+                                F.lit(None)).otherwise(x),
+        ).alias("embedding"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_nulllist_")
+    encode_table(emb, f"{d}/blocks", f"{d}/manifest", key_cols=("vec_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    return back.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode("embedding").alias("idx", "val"),
+    ).select("vec_id", F.col("idx").cast("long").alias("idx"),
+             F.col("val").cast("double").alias("val"))
+
+
 def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decimal(12,2) scaled-int64 storage, exact round-trip (the
     reference rejects decimals: primitive_column_reader.rs:450-455)."""
@@ -558,12 +585,48 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_bytes").cast("long").alias("n_bytes"))
 
 
+def _q_roundtrip_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-column encode (engine/nest.py): a MEDIA_META-shaped struct
+    (nullable, with a nullable leaf) rides through encode_table as
+    flattened leaf columns and reassembles on decode; the oracle
+    recomputes every leaf (and the null-struct rows) from the source
+    table."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+        F.when(F.col("n_chars").isNotNull(), F.struct(
+            F.lit("text").alias("media_type"),
+            F.lit("utf-8").alias("format"),
+            F.col("n_chars").cast("int").alias("width"),
+            (F.col("n_chars") % 256).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+        )).alias("meta"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_media_")
+    encode_table(media, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    return back.select(
+        "doc_id",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
         "roundtrip_lineitem": _q_roundtrip_lineitem,
         "roundtrip_events": _q_roundtrip_events,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
+        "roundtrip_nullable_list": _q_roundtrip_nullable_list,
         "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_flags": _q_roundtrip_flags,
         "decode_bool_eq": _q_decode_bool_eq,
@@ -571,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_const_pred": _q_decode_const_pred,
         "point_query_partition": _q_point_query_partition,
         "fsst_roundtrip": _q_fsst_roundtrip,
+        "roundtrip_media_meta": _q_roundtrip_media_meta,
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
         "decode_dict_eq": _q_decode_dict_eq,
@@ -610,6 +674,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding[u.i] AS DOUBLE) AS val "
             "FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding))) AS u(i)"
         ),
+        "roundtrip_nullable_list": (
+            "SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS idx, "
+            "CASE WHEN (vec_id + u.i - 1) % 97 = 0 THEN NULL "
+            "ELSE CAST(embedding[u.i] AS DOUBLE) END AS val "
+            "FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding))) AS u(i)"
+        ),
         "roundtrip_decimal": (
             "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
             "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty, "
@@ -636,6 +706,14 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS contains_target"
         ),
         "fsst_roundtrip": "SELECT doc_id, text FROM documents",
+        "roundtrip_media_meta": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "sha256(COALESCE(text, '')) AS payload_sha, "
+            "CASE WHEN n_chars IS NOT NULL THEN 'text' END AS media_type, "
+            "CASE WHEN n_chars IS NOT NULL THEN CAST(n_chars AS BIGINT) END AS width, "
+            "CASE WHEN n_chars IS NOT NULL THEN CAST(n_chars % 256 AS BIGINT) END "
+            "AS height FROM documents"
+        ),
         "fingerprint_dedup": (
             "SELECT COUNT(DISTINCT regexp_replace(lower(trim(COALESCE(text, ''))),"
             " '\\s+', ' ', 'g')) AS n_distinct_fp, COUNT(*) AS n_docs FROM documents"

@@ -64,6 +64,7 @@ def compact_blocks(
         spark, out_blocks_path, out_manifest_path, run_id=run_id,
         columns=meta["columns"], key_cols=tuple(meta["key_cols"]),
         n_parts=int(meta["n_parts"]), schema_json=meta["schema_json"],
+        logical_schema_json=meta.get("logical_schema_json"),
     )
     # count actual block-group rows (manifest n_blocks is per
     # (part_id, column), so summing it would multiply by column count)

@@ -82,8 +82,14 @@ def _list_to_arrow(col: lists.ListColumn, validity: np.ndarray | None,
                    elem_type: pa.DataType) -> pa.Array:
     """Dense ListColumn (+ optional validity) -> Arrow large_list array.
     Null rows are zero-length (offset repeats), flagged via the validity
-    bitmap — the rep/def-level reconstruction of nested data."""
-    values = pa.array(col.values)
+    bitmap; null ELEMENTS scatter back from the element-validity bitmap
+    — the rep/def-level reconstruction of nested data."""
+    if col.elem_validity is not None:
+        full = blockmod.scatter_nulls_fixed(np.asarray(col.values),
+                                            col.elem_validity)
+        values = pa.array(full, mask=~col.elem_validity)
+    else:
+        values = pa.array(col.values)
     if validity is None:
         offsets = np.ascontiguousarray(col.offsets)
         bufs = [None, pa.py_buffer(offsets)]
@@ -270,23 +276,43 @@ def decode_table(
     back-compat); ``n_tasks`` optionally repartitions for parallelism
     when the blocks dataset has too few scan splits.
     """
+    import dataclasses
+
     from pyspark.sql import functions as F, types as T
 
+    from . import nest
+
     meta = manifestmod.table_meta(spark, manifest_path)
-    all_cols = meta["columns"]
-    out_cols = list(columns or all_cols)
-    unknown = set(out_cols) - set(all_cols)
+    all_cols = meta["columns"]  # flat storage names
+    logical = T.StructType.fromJson(
+        json.loads(meta.get("logical_schema_json") or meta["schema_json"]))
+    logical_by_name = {f.name: f for f in logical.fields}
+    out_logical = list(columns or [f.name for f in logical.fields])
+    unknown = set(out_logical) - set(logical_by_name)
     if unknown:
         # column resolution by name, unknown -> error (row_group_reader.rs:107-113)
-        raise KeyError(f"unknown columns {unknown}; encoded: {all_cols}")
+        raise KeyError(f"unknown columns {unknown}; encoded: "
+                       f"{list(logical_by_name)}")
+    # expand struct columns to their encoded leaves (engine/nest.py)
+    out_cols = []
+    for c in out_logical:
+        f = logical_by_name[c]
+        out_cols += nest.leaf_names(c, f.dataType, f.nullable)
     predicates = ([] if predicate is None
                   else predicate if isinstance(predicate, list) else [predicate])
     read_cols = list(out_cols)
+    resolved = []
     for pred in predicates:
         if pred.column not in all_cols:
-            raise KeyError(f"predicate column {pred.column} not encoded")
+            # dotted struct-leaf path ('meta.width') -> flat leaf name
+            leaf = nest.resolve_leaf(pred.column, logical)
+            if leaf is None or leaf not in all_cols:
+                raise KeyError(f"predicate column {pred.column} not encoded")
+            pred = dataclasses.replace(pred, column=leaf)
+        resolved.append(pred)
         if pred.column not in read_cols:
             read_cols.append(pred.column)
+    predicates = resolved
 
     schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
     field_by_name = {f.name: f for f in schema.fields}
@@ -346,7 +372,20 @@ def decode_table(
     blocks = blocks.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
     if n_tasks:
         blocks = blocks.repartition(n_tasks)
-    return blocks.mapInArrow(
+    decoded = blocks.mapInArrow(
         _make_decoder(read_cols, out_cols, out_types, predicates, include_part_id),
         out_schema,
     )
+    if any(isinstance(logical_by_name[c].dataType, T.StructType)
+           for c in out_logical):
+        # reassemble struct columns from their leaves — pure JVM
+        # struct/when expressions, no Python node, no shuffle
+        sel = [
+            nest.rebuild_expr(c, logical_by_name[c].dataType,
+                              logical_by_name[c].nullable).alias(c)
+            for c in out_logical
+        ]
+        if include_part_id:
+            sel.append(F.col(PART_ID))
+        decoded = decoded.select(*sel)
+    return decoded

@@ -26,6 +26,7 @@ import pyarrow as pa
 from ..kernels import block as blockmod
 from ..kernels import fsst, lists, selector, strings
 from . import manifest as manifestmod
+from . import nest
 from .partitioner import (
     DEFAULT_TARGET_PARTITION_BYTES,
     PART_COL,
@@ -121,11 +122,15 @@ def _to_kernel(arr: pa.Array, tag: str):
         import pyarrow.compute as pc
 
         flat = arr.flatten()
-        if flat.null_count:
-            raise TypeError("null elements inside list values unsupported")
         lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
         offsets = np.zeros(len(arr) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
+        if flat.null_count:
+            # null elements INSIDE list values: dense valid elements +
+            # an element-validity bitmap (kernels/lists.py)
+            ev = np.asarray(flat.is_valid())
+            dense = flat.drop_null().to_numpy(zero_copy_only=False)
+            return lists.ListColumn(offsets, dense, ev), validity
         return lists.ListColumn(offsets, flat.to_numpy(zero_copy_only=False)), validity
     if pa.types.is_decimal(arr.type):
         return _decimal_unscaled_i64(arr), validity
@@ -312,6 +317,9 @@ def encode_table(
     spark = df.sparkSession
     columns = list(columns or df.columns)
     run_id = run_id or uuid.uuid4().hex[:12]
+    if any(nest.SEP in c for c in list(columns) + list(key_cols)):
+        raise ValueError(r"column names may not contain \x1f (reserved for"
+                         " struct-leaf flattening)")
     if manifestmod.run_exists(spark, manifest_path, run_id):
         # idempotent replay (streaming epoch retried after a successful
         # commit): the data is already fully manifested — do nothing
@@ -335,8 +343,29 @@ def encode_table(
         n_parts = num_partitions(total_bytes, target_partition_bytes,
                                  min_parts=spark.sparkContext.defaultParallelism)
 
-    keyed = with_partition_id(df.select(*dict.fromkeys(list(key_cols) + columns)),
-                              key_cols, n_parts)
+    # struct columns flatten to \x1f-joined leaf columns (one select,
+    # JVM-side) and reassemble at decode — engine/nest.py; the manifest
+    # records BOTH the flat storage schema and the logical schema
+    from pyspark.sql import types as T
+
+    logical_schema = df.select(*columns).schema
+    storage_schema_json = logical_schema.json()
+    logical_schema_json = None
+    df_sel = df.select(*dict.fromkeys(list(key_cols) + columns))
+    if nest.has_struct(logical_schema):
+        for k in key_cols:
+            if isinstance(df_sel.schema[k].dataType, T.StructType):
+                raise TypeError(f"struct column {k!r} cannot be a key column")
+        flat_exprs, flat_schema = nest.flatten_exprs(logical_schema)
+        extra_keys = [k for k in key_cols if k not in columns]
+        from pyspark.sql import functions as F
+
+        df_sel = df_sel.select(*([F.col(k) for k in extra_keys] + flat_exprs))
+        columns = [f.name for f in flat_schema.fields]
+        storage_schema_json = flat_schema.json()
+        logical_schema_json = logical_schema.json()
+
+    keyed = with_partition_id(df_sel, key_cols, n_parts)
     if n_done:
         from pyspark.sql import functions as F
 
@@ -360,7 +389,8 @@ def encode_table(
     # runs are invisible because decode joins blocks ⨝ manifest
     stats = manifestmod.commit(
         spark, out_path, manifest_path, run_id=run_id, columns=columns,
-        key_cols=key_cols, n_parts=n_parts, schema_json=df.select(*columns).schema.json(),
+        key_cols=key_cols, n_parts=n_parts, schema_json=storage_schema_json,
+        logical_schema_json=logical_schema_json,
     )
     return EncodeResult(
         out_path=out_path, manifest_path=manifest_path, run_id=run_id,

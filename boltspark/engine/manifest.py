@@ -75,6 +75,7 @@ def commit(
     key_cols: tuple[str, ...],
     n_parts: int,
     schema_json: str,
+    logical_schema_json: str | None = None,
 ) -> dict:
     """Aggregate this run's blocks into manifest rows and append them.
 
@@ -117,6 +118,9 @@ def commit(
     meta = json.dumps({
         "columns": columns, "key_cols": list(key_cols), "n_parts": n_parts,
         "schema_json": schema_json,
+        # logical (pre-flatten) schema when struct columns were encoded;
+        # None/absent means storage schema IS the logical schema
+        "logical_schema_json": logical_schema_json,
     })
     meta_row = spark.createDataFrame(
         [(-1, run_id, META_KEY, 0, 0, 0, 0.0, 0, "", "", meta)],
@@ -158,12 +162,33 @@ def merge_metas(metas: list[dict]) -> dict:
                 raise ValueError(
                     f"column {c!r} type conflict across runs: "
                     f"{fields[c]['type']} vs {f['type']}")
+    # merge the logical (pre-flatten) schemas the same way; a run without
+    # one contributes its storage schema (they coincide for flat tables)
+    lcolumns: list[str] = []
+    lfields: dict[str, dict] = {}
+    any_logical = False
+    for m in metas:
+        lj = m.get("logical_schema_json")
+        any_logical = any_logical or bool(lj)
+        lschema = json.loads(lj or m["schema_json"])
+        for f in lschema["fields"]:
+            c = f["name"]
+            if c not in lfields:
+                lcolumns.append(c)
+                lfields[c] = f
+            elif lfields[c]["type"] != f["type"]:
+                raise ValueError(
+                    f"logical column {c!r} type conflict across runs: "
+                    f"{lfields[c]['type']} vs {f['type']}")
     return {
         "columns": columns,
         "key_cols": metas[0]["key_cols"],
         "n_parts": n_parts.pop(),
         "schema_json": json.dumps(
             {"type": "struct", "fields": [fields[c] for c in columns]}),
+        "logical_schema_json": json.dumps(
+            {"type": "struct", "fields": [lfields[c] for c in lcolumns]}
+        ) if any_logical else None,
     }
 
 

@@ -1,0 +1,106 @@
+"""Struct-column support: flatten to encoded leaves, reassemble on decode.
+
+The reference's schema walker classifies List/Map/Struct nodes and
+tracks definition levels at depth (src/metadata/utils.rs:24-31,88-209;
+src/utils/rep_def_parser.rs:36-46).  boltspark's kernel layer encodes
+LEAF streams only — so struct columns are handled at the DataFrame
+level, where Spark does the work JVM-side:
+
+* encode: ``struct<a,b>`` flattens to leaf columns ``s\\x1fa``/``s\\x1fb``
+  (a plain ``select`` — no Python), each encoded like any other column
+  with its own codec choice, zone maps and pushdown;
+* a hidden boolean leaf ``s\\x1f#defined`` records struct-level validity
+  for NULLABLE structs, so a null struct and a struct of nulls decode
+  back distinctly (the definition-level distinction at depth);
+* decode: leaves reassemble with ``F.struct`` under an ``F.when`` on
+  the validity leaf — pure JVM expressions, no extra shuffle;
+* predicates may target leaves by dotted path (``meta.width``), which
+  resolves to the flat leaf name and pushes down exactly like a
+  top-level column (zone-map skip + mask cascade).
+
+``\\x1f`` (ASCII unit separator) cannot appear in sane column names;
+``encode_table`` rejects names containing it up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F, types as T
+
+SEP = "\x1f"
+DEFINED = SEP + "#defined"
+
+
+def has_struct(schema: T.StructType) -> bool:
+    return any(isinstance(f.dataType, T.StructType) for f in schema.fields)
+
+
+def flatten_exprs(schema: T.StructType) -> tuple[list[Column], T.StructType]:
+    """(select expressions, flat schema) flattening every struct column
+    of ``schema`` to leaf columns.  Non-struct columns pass through."""
+    exprs: list[Column] = []
+    fields: list[T.StructField] = []
+
+    def walk(expr: Column, name: str, dtype: T.DataType, nullable: bool):
+        if isinstance(dtype, T.StructType):
+            if nullable:
+                exprs.append(expr.isNotNull().alias(name + DEFINED))
+                fields.append(T.StructField(name + DEFINED, T.BooleanType(), False))
+            for f in dtype.fields:
+                # a leaf under a nullable ancestor is nullable in storage
+                # even if declared non-null (getField of NULL is NULL)
+                walk(expr.getField(f.name), name + SEP + f.name,
+                     f.dataType, f.nullable or nullable)
+        else:
+            exprs.append(expr.alias(name))
+            fields.append(T.StructField(name, dtype, nullable))
+
+    for f in schema.fields:
+        walk(F.col(f.name), f.name, f.dataType, f.nullable)
+    return exprs, T.StructType(fields)
+
+
+def leaf_names(name: str, dtype: T.DataType, nullable: bool) -> list[str]:
+    """Flat storage column names for one logical column."""
+    if not isinstance(dtype, T.StructType):
+        return [name]
+    out = [name + DEFINED] if nullable else []
+    for f in dtype.fields:
+        out += leaf_names(name + SEP + f.name, f.dataType, f.nullable or nullable)
+    return out
+
+
+def rebuild_expr(name: str, dtype: T.DataType, nullable: bool) -> Column:
+    """Expression reassembling one logical column from its decoded leaf
+    columns (pure JVM: struct/when/col — no Python evaluation node)."""
+    if not isinstance(dtype, T.StructType):
+        return F.col(name)
+    inner = F.struct(*[
+        rebuild_expr(name + SEP + f.name, f.dataType, f.nullable or nullable)
+        .alias(f.name)
+        for f in dtype.fields
+    ])
+    if nullable:
+        return F.when(F.col(name + DEFINED), inner).otherwise(
+            F.lit(None).cast(dtype))
+    return inner
+
+
+def resolve_leaf(path: str, schema: T.StructType) -> str | None:
+    """Dotted predicate path ('meta.width') -> flat leaf name, or None
+    if the path does not name a leaf of ``schema``."""
+    parts = path.split(".")
+    fields = schema.fields
+    flat = parts[0]
+    dtype = None
+    for i, p in enumerate(parts):
+        match = next((f for f in fields if f.name == p), None)
+        if match is None:
+            return None
+        dtype = match.dataType
+        if i:
+            flat += SEP + p
+        if isinstance(dtype, T.StructType):
+            fields = dtype.fields
+        elif i != len(parts) - 1:
+            return None  # path descends into a non-struct
+    return None if isinstance(dtype, T.StructType) else flat

@@ -37,17 +37,26 @@ LIST_TAGS = {"li32": "i32", "li64": "i64", "lf32": "f32", "lf64": "f64"}
 
 @dataclass(frozen=True)
 class ListColumn:
-    """Dense list column: offsets (int64, len n+1) + flat element values."""
+    """Dense list column: offsets (int64, len n+1) + flat element values.
+
+    ``elem_validity`` (the definition-level analog one nesting level
+    down — the reference's rep_def_parser refuses nested nulls at read,
+    rep_def_parser.rs:36-46; we carry them) marks null ELEMENTS inside
+    list values: ``offsets`` then count every element slot including
+    nulls, while ``values`` holds only the valid (dense) elements."""
 
     offsets: np.ndarray
     values: np.ndarray
+    elem_validity: np.ndarray | None = None  # bool per element slot
 
     def __len__(self) -> int:
         return len(self.offsets) - 1
 
     @property
     def nbytes(self) -> int:
-        return self.values.nbytes + self.offsets.nbytes
+        ev = self.elem_validity
+        return (self.values.nbytes + self.offsets.nbytes
+                + (ev.nbytes if ev is not None else 0))
 
     def lengths(self) -> np.ndarray:
         return np.diff(self.offsets)
@@ -71,11 +80,19 @@ def encode(col: ListColumn, tag: str) -> tuple[bytes, dict]:
     except (TypeError, ValueError):
         vpayload, vmeta = block.encode_values(values, value_tag, "plain")
         inner = "plain"
+    ev = b""
+    meta = {"inner": inner, "vmeta": vmeta, "n_values": len(values)}
+    if col.elem_validity is not None:
+        # element-validity bitmap between the length and value streams
+        # (mirrors the row-validity design in block.py)
+        ev = bitpack.pack_bools(col.elem_validity)
+        meta["ev"] = True
+        meta["n_slots"] = int(len(col.elem_validity))
     payload = (
         struct.pack("<BBQ", block.CODEC_IDS.index(inner), lwidth, len(lstream))
-        + lstream + vpayload
+        + lstream + ev + vpayload
     )
-    return payload, {"inner": inner, "vmeta": vmeta, "n_values": len(values)}
+    return payload, meta
 
 
 def decode(payload: bytes, meta: dict, n: int, tag: str) -> ListColumn:
@@ -96,10 +113,23 @@ def decode(payload: bytes, meta: dict, n: int, tag: str) -> ListColumn:
     lengths = rle.decode_hybrid(payload[pos : pos + llen], lwidth, n).astype(np.int64)
     pos += llen
     n_values = int(meta["n_values"])
-    if int(lengths.sum()) != n_values:
+    elem_validity = None
+    if meta.get("ev"):
+        n_slots = int(meta["n_slots"])
+        if int(lengths.sum()) != n_slots:
+            raise CorruptBlockError("list: lengths do not sum to slot count")
+        nbytes = (n_slots + 7) // 8
+        if len(payload) < pos + nbytes:
+            raise CorruptBlockError("list: truncated element-validity bitmap")
+        elem_validity = bitpack.unpack_bools(payload[pos : pos + nbytes], n_slots)
+        pos += nbytes
+        if int(elem_validity.sum()) != n_values:
+            raise CorruptBlockError("list: element validity does not sum to "
+                                    "value count")
+    elif int(lengths.sum()) != n_values:
         raise CorruptBlockError("list: lengths do not sum to value count")
     values = block.decode_values(payload[pos:], meta.get("vmeta", {}),
                                  n_values, value_tag, inner)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    return ListColumn(offsets, np.asarray(values))
+    return ListColumn(offsets, np.asarray(values), elem_validity)

@@ -388,3 +388,86 @@ def test_schema_evolution_on_append(spark, tmp_path):
     encode_table(df3, f"{d}/b", f"{d}/m", n_parts=4, resume=False, run_id="run3")
     with pytest.raises(ValueError, match="type conflict"):
         decode_table(spark, f"{d}/b", f"{d}/m")
+
+
+def test_struct_column_roundtrip(spark, tmp_path):
+    """Struct columns flatten to encoded leaves and reassemble on decode
+    (engine/nest.py): nested structs, null structs vs structs-of-nulls,
+    projection, and dotted-path predicate pushdown."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import RangePredicate
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t-"), F.col("id")).alias("content"),
+        F.when(F.col("id") % 7 != 0, F.struct(
+            F.lit("image").alias("media_type"),
+            (F.col("id") % 13).cast("int").alias("width"),
+            F.when(F.col("id") % 5 != 0, (F.col("id") % 17).cast("int"))
+            .alias("height"),
+            F.struct((F.col("id") * 2).alias("a"),
+                     F.lit("z").alias("b")).alias("inner"),
+        )).alias("meta"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=4,
+                 resume=False)
+    back = decode_table(spark, f"{d}/b", f"{d}/m")
+    assert (back.schema["meta"].dataType.simpleString()
+            == df.schema["meta"].dataType.simpleString())
+    assert back.count() == 300
+    assert df.exceptAll(back).count() + back.exceptAll(df).count() == 0
+    # null-struct vs struct-with-null-leaf distinction survives
+    assert (back.filter(F.col("meta").isNull()).count()
+            == df.filter(F.col("meta").isNull()).count())
+    assert (back.filter(F.col("meta").isNotNull()
+                        & F.col("meta.height").isNull()).count()
+            == df.filter(F.col("meta").isNotNull()
+                         & F.col("meta.height").isNull()).count())
+    # projection decodes only the struct's leaves
+    proj = decode_table(spark, f"{d}/b", f"{d}/m", columns=["doc_id", "meta"])
+    assert proj.columns == ["doc_id", "meta"] and proj.count() == 300
+    # dotted-path predicate resolves to the flat leaf and pushes down
+    pred = RangePredicate(column="meta.width", lower=5, upper=8)
+    got = decode_table(spark, f"{d}/b", f"{d}/m", columns=["doc_id"],
+                       predicate=pred).count()
+    exp = df.filter((F.col("meta.width") >= 5) & (F.col("meta.width") <= 8)).count()
+    assert got == exp
+    # unknown dotted path errors loudly
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        decode_table(spark, f"{d}/b", f"{d}/m",
+                     predicate=RangePredicate(column="meta.nope", lower=0)).count()
+
+
+def test_struct_column_compact_and_resume(spark, tmp_path):
+    """Struct tables survive compaction (logical schema rides the
+    manifest) and reject \\x1f in user column names."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.compact import compact_blocks
+
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.struct((F.col("id") % 9).cast("int").alias("w"),
+                 F.concat(F.lit("s"), F.col("id") % 4).alias("tag")).alias("m"),
+    )
+    d = str(tmp_path)
+    encode_table(df.filter(F.col("doc_id") < 60), f"{d}/b", f"{d}/m",
+                 key_cols=("doc_id",), n_parts=3, resume=False, run_id="r1")
+    encode_table(df.filter(F.col("doc_id") >= 60), f"{d}/b", f"{d}/m",
+                 key_cols=("doc_id",), n_parts=3, resume=False, run_id="r2")
+    compact_blocks(spark, f"{d}/b", f"{d}/m", f"{d}/b2", f"{d}/m2")
+    back = decode_table(spark, f"{d}/b2", f"{d}/m2")
+    assert (back.schema["m"].dataType.simpleString()
+            == df.schema["m"].dataType.simpleString())
+    assert df.exceptAll(back).count() + back.exceptAll(df).count() == 0
+
+    bad = df.withColumnRenamed("m", "a\x1fb")
+    with _pytest.raises(ValueError):
+        encode_table(bad, f"{d}/b3", f"{d}/m3", key_cols=("doc_id",),
+                     n_parts=2, resume=False)

@@ -427,3 +427,49 @@ def test_selector_picks_split_for_large_float_noise(rng):
     v = (rng.normal(size=300_000) * 0.1).astype(np.float32)
     ch = selector.choose(v, "f32")
     assert ch.codec == "split" and ch.outer == "zstd", (ch.codec, ch.outer)
+
+
+def test_list_block_null_elements_roundtrip():
+    """Element-validity bitmap inside the list codec: null elements
+    round-trip exactly; validity/value-count mismatches raise."""
+    import numpy as np
+
+    from boltspark.kernels import block, lists
+    from boltspark.kernels.varint import CorruptBlockError
+
+    offsets = np.array([0, 3, 3, 7, 8], dtype=np.int64)  # slot counts
+    ev = np.array([1, 0, 1, 1, 1, 0, 0, 1], dtype=bool)  # 8 slots, 5 valid
+    dense = np.array([1.5, 2.5, 3.5, 4.5, 5.5], dtype=np.float64)
+    col = lists.ListColumn(offsets, dense, ev)
+    blk = block.encode_block(col, "lf64", "list")
+    out, validity, tag, codec, n = block.decode_block(blk)
+    assert n == 4 and validity is None and tag == "lf64"
+    assert np.array_equal(out.offsets, offsets)
+    assert np.array_equal(out.elem_validity, ev)
+    assert np.array_equal(out.values, dense)
+
+    # late-materialized row gather keeps slot/dense mapping straight
+    mask = np.array([True, False, True, False])
+    sel, _, _, _, nsel = block.decode_block_rows(blk, mask)
+    assert nsel == 2
+    assert np.array_equal(sel.offsets, [0, 3, 7])
+    assert np.array_equal(sel.elem_validity, ev[[0, 1, 2, 3, 4, 5, 6]])
+    assert np.array_equal(sel.values, [1.5, 2.5, 3.5, 4.5])
+
+    # corrupted bitmap count raises loudly
+    bad = lists.ListColumn(offsets, dense[:4], ev)
+    try:
+        block.encode_block(bad, "lf64", "list")
+        payload_ok = True
+    except Exception:
+        payload_ok = False
+    # (encode does not cross-check; decode must) — flip a meta-recorded
+    # count by re-encoding with inconsistent inputs and expect decode to
+    # catch the lengths/validity mismatch
+    if payload_ok:
+        import pytest
+
+        with pytest.raises(CorruptBlockError):
+            block.decode_block(block.encode_block(
+                lists.ListColumn(np.array([0, 9], np.int64), dense, ev),
+                "lf64", "list"))
