@@ -346,25 +346,15 @@ def decode_table(
         blocks = blocks.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))
     blocks = blocks.select(*proj)
     # JVM-side zone prefilter: the typed stats are real columns, so
-    # groups whose [vmin, vmax] cannot match a numeric range predicate
-    # are dropped BEFORE their block bytes cross the JVM->Python
-    # boundary (Python re-checks zones for everything that remains —
-    # this is an additional cut, never the only one).  Null stats
-    # (evolved columns, list columns) conservatively pass.
-    from .filters import RangePredicate as _RP
-
+    # groups that provably cannot match a predicate (numeric range OR
+    # byte min/max-prefix bounds) are dropped BEFORE their block bytes
+    # cross the JVM->Python boundary (Python re-checks zones for
+    # everything that remains — this is an additional cut, never the
+    # only one).  Null stats (evolved columns, list columns)
+    # conservatively pass.
     for p in predicates:
-        if isinstance(p, _RP) and (p.lower is not None or p.upper is not None):
-            st = F.col(f"__st_{p.column}")
-            keep = F.lit(True)
-            if p.lower is not None:
-                keep = keep & (st.getField("vmax").isNull()
-                               | (st.getField("vmax") >= float(p.lower)))
-            if p.upper is not None:
-                keep = keep & (st.getField("vmin").isNull()
-                               | (st.getField("vmin") <= float(p.upper)))
-            if p.null_allowed:
-                keep = keep | F.coalesce(st.getField("has_null"), F.lit(True))
+        keep = p.jvm_zone_keep(F.col(f"__st_{p.column}"))
+        if keep is not None:
             blocks = blocks.filter(keep)
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     if part_ids is not None:

@@ -67,6 +67,13 @@ class Predicate:
             keep |= ~validity
         return keep
 
+    def jvm_zone_keep(self, st):
+        """Optional JVM-side zone prefilter: a Column over the typed
+        stats struct ``st`` that is False only for groups this predicate
+        can PROVABLY never match (conservative: null stats pass, Python
+        re-checks everything that remains).  None = no JVM prefilter."""
+        return None
+
     def dict_mask(self, uniques, codes: np.ndarray,
                   validity: np.ndarray | None) -> np.ndarray:
         """Dictionary fast path: predicate on distincts, gather by code."""
@@ -143,6 +150,22 @@ class RangePredicate(Predicate):
             cond = cond & c.isNotNull()
         return cond
 
+    def jvm_zone_keep(self, st):
+        from pyspark.sql import functions as F
+
+        if self.lower is None and self.upper is None:
+            return None
+        keep = F.lit(True)
+        if self.lower is not None:
+            keep = keep & (st.getField("vmax").isNull()
+                           | (st.getField("vmax") >= float(self.lower)))
+        if self.upper is not None:
+            keep = keep & (st.getField("vmin").isNull()
+                           | (st.getField("vmin") <= float(self.upper)))
+        if self.null_allowed:
+            keep = keep | F.coalesce(st.getField("has_null"), F.lit(True))
+        return keep
+
 
 @dataclass
 class BooleanPredicate(Predicate):
@@ -185,6 +208,26 @@ class ConstPredicate(Predicate):
         if self.accept:
             return ALL if not has_null or self.null_allowed else SOME
         return SOME if (has_null and self.null_allowed) else NONE
+
+
+def _jvm_bytes_not_above(v, st):
+    """JVM keep-leg: NOT (v[:len(vmax_pfx)] > vmax_pfx), sharpened to
+    v > vmax_pfx when the stored max is exact.  Uses the identity
+    v[:len(p)] > p  ⟺  v > p AND NOT startswith(v, p), which avoids a
+    per-row-length substring."""
+    from pyspark.sql import functions as F
+
+    pmax = st.getField("vmax_pfx")
+    exact = F.coalesce(st.getField("vmax_exact"), F.lit(False))
+    above = F.when(exact, v > pmax).otherwise((v > pmax) & ~v.startswith(pmax))
+    return pmax.isNull() | ~above
+
+
+def _jvm_bytes_not_below_eq(v, st):
+    """JVM keep-leg for equality needles: NOT (v < vmin_pfx); prefix <=
+    full value, so v < vmin_pfx implies v < vmin."""
+    pmin = st.getField("vmin_pfx")
+    return pmin.isNull() | (v >= pmin)
 
 
 def _bytes_zone_bounds(stats: dict):
@@ -269,6 +312,15 @@ class BytesEqPredicate(Predicate):
             cond = cond & c.isNotNull()
         return cond
 
+    def jvm_zone_keep(self, st):
+        from pyspark.sql import functions as F
+
+        v = F.lit(self.value)
+        keep = _jvm_bytes_not_below_eq(v, st) & _jvm_bytes_not_above(v, st)
+        if self.null_allowed:
+            keep = keep | F.coalesce(st.getField("has_null"), F.lit(True))
+        return keep
+
 
 @dataclass
 class InPredicate(Predicate):
@@ -349,6 +401,33 @@ class InPredicate(Predicate):
             cond = cond & c.isNotNull()
         return cond
 
+    def jvm_zone_keep(self, st):
+        from pyspark.sql import functions as F
+
+        if not self.values or len(self.values) > 16:
+            return None  # big needle sets: not worth the expression tree
+        if all(isinstance(v, (bytes, str)) for v in self.values):
+            legs = [
+                _jvm_bytes_not_below_eq(F.lit(v), st)
+                & _jvm_bytes_not_above(F.lit(v), st)
+                for v in self._byte_values()
+            ]
+        elif all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                 for v in self.values):
+            legs = [
+                (st.getField("vmax").isNull() | (st.getField("vmax") >= float(v)))
+                & (st.getField("vmin").isNull() | (st.getField("vmin") <= float(v)))
+                for v in self.values
+            ]
+        else:
+            return None
+        keep = legs[0]
+        for leg in legs[1:]:
+            keep = keep | leg
+        if self.null_allowed:
+            keep = keep | F.coalesce(st.getField("has_null"), F.lit(True))
+        return keep
+
 
 @dataclass
 class BytesPrefixPredicate(Predicate):
@@ -410,3 +489,20 @@ class BytesPrefixPredicate(Predicate):
         else:
             cond = cond & c.isNotNull()
         return cond
+
+    def jvm_zone_keep(self, st):
+        from pyspark.sql import functions as F
+
+        if not self.prefix:
+            return None
+        p = F.lit(self.prefix)
+        pmin = st.getField("vmin_pfx")
+        # below leg is conclusive only while the stored prefix covers the
+        # needle (or the stored min is exact) — check_zone mirrors this
+        conclusive = ((F.octet_length(pmin) >= len(self.prefix))
+                      | F.coalesce(st.getField("vmin_exact"), F.lit(False)))
+        below = conclusive & (F.substring(pmin, 1, len(self.prefix)) > p)
+        keep = (pmin.isNull() | ~below) & _jvm_bytes_not_above(p, st)
+        if self.null_allowed:
+            keep = keep | F.coalesce(st.getField("has_null"), F.lit(True))
+        return keep

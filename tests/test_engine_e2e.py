@@ -471,3 +471,87 @@ def test_struct_column_compact_and_resume(spark, tmp_path):
     with _pytest.raises(ValueError):
         encode_table(bad, f"{d}/b3", f"{d}/m3", key_cols=("doc_id",),
                      n_parts=2, resume=False)
+
+
+def test_jvm_zone_prefilter_is_conservative_superset(spark):
+    """The JVM-side zone prefilter (Predicate.jvm_zone_keep) may only
+    drop groups the Python zone check also rejects: for every crafted
+    stats row, python check_zone != 'none' implies the JVM keep column
+    is True.  And across the grid it must actually prune something."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from boltspark.engine.filters import (NONE, BytesEqPredicate,
+                                          BytesPrefixPredicate, InPredicate,
+                                          RangePredicate)
+    from boltspark.engine.schema import _STATS_SPARK
+
+    stats_rows = []
+    for pmin, pmax in itertools.product(
+            [None, b"apple", b"mango"], [None, b"mango", b"zebra"]):
+        if (pmin is None) != (pmax is None):
+            continue
+        for vex, hx in itertools.product([False, True], [False, True]):
+            for vmin, vmax in [(None, None), (10.0, 90.0), (500.0, 900.0)]:
+                stats_rows.append({
+                    "vmin": vmin, "vmax": vmax, "vmin_pfx": pmin,
+                    "vmax_pfx": pmax, "vmin_exact": vex, "vmax_exact": vex,
+                    "has_null": hx, "bloom": None,
+                })
+    df = spark.createDataFrame([(s,) for s in stats_rows],
+                               schema=f"st struct<{','.join(f'{f.name}:{f.dataType.simpleString()}' for f in _STATS_SPARK.fields)}>")
+    preds = []
+    for na in (False, True):
+        preds += [
+            BytesEqPredicate(column="c", value=b"mango", null_allowed=na),
+            BytesEqPredicate(column="c", value=b"aa", null_allowed=na),
+            BytesEqPredicate(column="c", value=b"zz", null_allowed=na),
+            BytesPrefixPredicate(column="c", prefix=b"man", null_allowed=na),
+            BytesPrefixPredicate(column="c", prefix=b"zz", null_allowed=na),
+            InPredicate(column="c", values=(b"aa", b"zz"), null_allowed=na),
+            InPredicate(column="c", values=(5, 1000), null_allowed=na),
+            RangePredicate(column="c", lower=50.0, upper=600.0, null_allowed=na),
+        ]
+    pruned_any = False
+    for pred in preds:
+        keep_col = pred.jvm_zone_keep(F.col("st"))
+        assert keep_col is not None
+        got = [r["k"] for r in df.select(keep_col.alias("k")).collect()]
+        for s, k in zip(stats_rows, got):
+            py = pred.check_zone(s)
+            if py != NONE:
+                assert k, (pred, s, py)
+            if not k:
+                pruned_any = True
+    assert pruned_any
+
+
+def test_byte_predicate_prefilter_parity(spark, tmp_path):
+    """End-to-end parity: decode with byte predicates (which now also
+    prefilter JVM-side) returns exactly the rows Catalyst returns on the
+    source table."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import (BytesEqPredicate,
+                                          BytesPrefixPredicate, InPredicate)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path)
+    encode_table(docs, f"{d}/b", f"{d}/m", key_cols=("doc_id",),
+                 target_partition_bytes=1 << 19, resume=False)
+    cases = [
+        (BytesEqPredicate(column="lang", value=b"en"), F.col("lang") == "en"),
+        (BytesPrefixPredicate(column="source", prefix=b"src1"),
+         F.col("source").startswith("src1")),
+        (InPredicate(column="lang", values=(b"de", b"fr")),
+         F.col("lang").isin("de", "fr")),
+        (InPredicate(column="n_chars", values=(100, 200, 300)),
+         F.col("n_chars").isin(100, 200, 300)),
+    ]
+    for pred, cond in cases:
+        got = decode_table(spark, f"{d}/b", f"{d}/m", columns=["doc_id"],
+                           predicate=pred).count()
+        exp = docs.filter(cond & F.col(pred.column).isNotNull()).count()
+        assert got == exp, (pred, got, exp)

@@ -148,3 +148,24 @@ def test_resume_antijoin_prunes_partitions(spark, encoded):
         key_cols=("repo", "path", "commit"), target_partition_bytes=1 << 20,
     )
     assert res.n_partitions >= 1
+
+
+def test_byte_predicate_stats_filter_is_jvm_side(spark, encoded):
+    """Byte predicates (equality / IN / prefix) must put a zone filter on
+    the typed stats struct in the JVM plan, so non-matching groups are
+    dropped before their block bytes cross into Python (ADVICE r2 #5 /
+    VERDICT r2 next #4)."""
+    from boltspark.engine.filters import (BytesEqPredicate,
+                                          BytesPrefixPredicate, InPredicate)
+
+    for pred in (BytesEqPredicate(column="lang", value=b"en"),
+                 InPredicate(column="lang", values=(b"de", b"fr")),
+                 BytesPrefixPredicate(column="lang", prefix=b"e")):
+        df = decode_table(spark, encoded.out_path, encoded.manifest_path,
+                          columns=["path"], predicate=pred)
+        plan = _plan(df)
+        # Catalyst inlines the __st_lang alias back to the struct path, so
+        # the JVM filter (and even the parquet PushedFilters) reference
+        # cols.lang.stats.* directly
+        filt = [ln for ln in plan.splitlines() if "Filter" in ln]
+        assert any("lang.stats" in ln for ln in filt), plan
