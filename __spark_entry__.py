@@ -126,6 +126,25 @@ def _q_decode_dict_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
 
 
+def _q_dsv2_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native read surface: spark.read.format('boltspark') with
+    pushed filters (EqualTo + range -> engine predicates, enforced
+    exactly incl. the Spark 4.1 filter-replay sharp edge: fresh load()
+    per query shape — sources/datasource.py)."""
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_dsv2_")
+    encode_table(docs, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    r = ds.load(spark, f"{d}/blocks", f"{d}/manifest")
+    return (r.filter((F.col("lang") == "en") & (F.col("n_chars") >= 300))
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "lang",
+                    F.col("n_chars").cast("long").alias("n_chars")))
+
+
 def _q_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-selector statistics as a declarative aggregation: distinct
     count, distinct ratio and average byte length per string column."""
@@ -361,6 +380,43 @@ def _q_point_query_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_point_query_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-partition point query (row_range): rows [k, k+n) of one
+    partition in encode order must equal the k..k+n smallest doc_ids of
+    that partition with bit-identical text (partition rows are sorted by
+    key).  Partition hashes are not SQL-portable, so the oracle pins the
+    verification invariants (the point_query_partition pattern)."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_rowrange_")
+    res = encode_table(docs, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                       target_partition_bytes=4 << 20, block_bytes=16 << 10,
+                       resume=False)
+    pid, k, n = 1, 5, 12
+    part = docs.withColumn(
+        "p", F.pmod(F.xxhash64("doc_id"), F.lit(res.n_partitions))
+    ).filter(F.col("p") == pid)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    exp = (part.select("doc_id", "text", (F.row_number().over(w) - 1).alias("pos"))
+           .filter((F.col("pos") >= k) & (F.col("pos") < k + n)))
+    got = decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                       columns=["doc_id", "text"], part_ids=[pid],
+                       row_range=(k, k + n))
+    je = exp.select("doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("h0"))
+    jg = got.select("doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("h1"))
+    j = je.join(jg, "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("h0").isNull() | F.col("h1").isNull()
+                     | (F.col("h0") != F.col("h1")), 1).otherwise(0))
+        .cast("long").alias("n_mismatch"),
+    )
+
+
 def _q_fsst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FSST symbol-table compression pinned on the text column
     (codec_override): greedy-parse encode + vectorized decode must be
@@ -561,7 +617,7 @@ def _q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [(1.0 if i % 5 == 0 else -0.2) for i in range(dim)]
     exact = {r["vec_id"] for r in
              similarity.brute_force_topk(emb, q, k=10).collect()}
-    bucketed = similarity.banded_signatures(emb, n_planes=5, bands=12)
+    bucketed = similarity.banded_signatures(emb, n_planes=5, bands=12, dim=dim)
     approx = {r["vec_id"] for r in
               similarity.ann_topk_banded(bucketed, q, k=10, n_planes=5,
                                          bands=12).collect()}
@@ -633,11 +689,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_float_range": _q_decode_float_range,
         "decode_const_pred": _q_decode_const_pred,
         "point_query_partition": _q_point_query_partition,
+        "point_query_rows": _q_point_query_rows,
         "fsst_roundtrip": _q_fsst_roundtrip,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
         "decode_dict_eq": _q_decode_dict_eq,
+        "dsv2_filtered_read": _q_dsv2_filtered_read,
         "selector_stats": _q_selector_stats,
         "run_length_stats": _q_run_length_stats,
         "manifest_rowcounts": _q_manifest_rowcounts,
@@ -705,6 +763,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT TRUE AS has_rows, CAST(0 AS BIGINT) AS n_mismatch, "
             "TRUE AS contains_target"
         ),
+        "point_query_rows": (
+            "SELECT CAST(12 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"
+        ),
         "fsst_roundtrip": "SELECT doc_id, text FROM documents",
         "roundtrip_media_meta": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
@@ -753,6 +814,10 @@ def oracle_sql() -> dict[str, str]:
         "decode_dict_eq": (
             "SELECT doc_id, lang FROM documents "
             "WHERE lang = 'en' AND lang IS NOT NULL"
+        ),
+        "dsv2_filtered_read": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE lang = 'en' AND n_chars >= 300"
         ),
         "selector_stats": (
             "SELECT * FROM ("

@@ -170,15 +170,24 @@ def _decode_mask(blk, stats: dict, predicate: Predicate):
 
 
 def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
-                  predicates: list[Predicate], include_part_id: bool):
+                  predicates: list[Predicate], include_part_id: bool,
+                  row_window: tuple[int, int, dict] | None = None):
     """Row-independent decoder: every input row is one complete block
-    group (all columns), so there is no regrouping state at all."""
+    group (all columns), so there is no regrouping state at all.
 
-    def decode_row(blk_cols, st_cols, i: int, part_id: int, n_rows: int):
+    ``row_window`` = (start, end, {(run_id, seq) -> partition-global row
+    offset of the group}) implements the mid-partition positional slice
+    (the reference positions INSIDE a row group after skipping whole
+    ones, row_group_reader.rs:188-198): boundary groups decode only the
+    overlapping rows via the same late-materialization gather predicates
+    use."""
+
+    def decode_row(blk_cols, st_cols, i: int, part_id: int, n_rows: int,
+                   base_mask: np.ndarray | None = None):
         # conjunctive cascade (row_group_reader.rs:204-258): each
         # predicate column narrows the surviving mask in turn; an
         # all-false mask short-circuits the remaining columns
-        mask = None
+        mask = base_mask
         for pred in predicates:
             blk_scalar = blk_cols[pred.column][i]
             if not blk_scalar.is_valid:
@@ -239,9 +248,26 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
                         for c in read_cols}
             st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
                        for p in predicates}
+            if row_window is not None:
+                run_arr = batch.column(names.index("run_id"))
+                seq_arr = batch.column(names.index("seq"))
             for i in range(batch.num_rows):
+                n_rows = nrows_arr[i].as_py()
+                base_mask = None
+                if row_window is not None:
+                    start, end, offsets = row_window
+                    goff = offsets.get((run_arr[i].as_py(), seq_arr[i].as_py()))
+                    if goff is None:
+                        continue  # group outside the slice (orphan/pruned)
+                    lo = max(start - goff, 0)
+                    hi = min(end - goff, n_rows)
+                    if hi <= lo:
+                        continue
+                    if lo > 0 or hi < n_rows:  # boundary group: partial rows
+                        base_mask = np.zeros(n_rows, dtype=bool)
+                        base_mask[lo:hi] = True
                 out = decode_row(blk_cols, st_cols, i, part_arr[i].as_py(),
-                                 nrows_arr[i].as_py())
+                                 n_rows, base_mask)
                 if out is not None:
                     yield out
 
@@ -257,6 +283,8 @@ def decode_table(
     include_part_id: bool = False,
     n_tasks: int | None = None,
     part_ids: list[int] | None = None,
+    seq_range: tuple[int, int] | None = None,
+    row_range: tuple[int, int] | None = None,
     shuffle: bool | None = None,  # retained for API compat; decode never shuffles
 ):
     """Reconstruct the encoded table (or a projected, filtered slice).
@@ -270,6 +298,16 @@ def decode_table(
     blocks are ever read (parquet predicate pushdown on part_id prunes
     whole row groups — the analog of the reference's skip() hopping row
     groups from footer arithmetic, local_file_reader.rs:126-171).
+
+    ``seq_range=(lo, hi)`` additionally prunes block groups by their
+    inclusive seq interval (pushed to the parquet scan).  ``row_range=
+    (start, end)`` is the MID-PARTITION point query (requires exactly
+    one part id): rows [start, end) of that partition in its encode
+    order — whole groups outside the slice are pruned by a pushed seq
+    filter from manifest-free block arithmetic (one tiny metadata scan),
+    and boundary groups decode only the overlapping rows (the analog of
+    positioning inside a row group after skipping whole ones,
+    row_group_reader.rs:188-198).
 
     The wide blocks layout makes every row a complete block group, so
     decode needs NO shuffle (``shuffle`` is accepted and ignored for
@@ -327,10 +365,43 @@ def decode_table(
         out_fields.append(T.StructField(PART_ID, T.LongType(), False))
     out_schema = T.StructType(out_fields)
 
+    row_window = None
+    if row_range is not None:
+        if part_ids is None or len(part_ids) != 1:
+            raise ValueError("row_range requires exactly one part_id")
+        start, end = int(row_range[0]), int(row_range[1])
+        if end <= start:
+            raise ValueError(f"empty row_range {row_range}")
+        # one tiny metadata scan (seq/n_rows leaves only, part_id pruned,
+        # orphans excluded) -> partition-global group offsets; a point
+        # query's group list is O(partition bytes / block bytes) rows
+        valid0 = manifestmod.valid_pairs_df(spark, manifest_path)
+        groups = (
+            spark.read.option("mergeSchema", "true").parquet(blocks_path)
+            .filter(F.col(PART_ID) == int(part_ids[0]))
+            .select(PART_ID, "run_id", "seq", "n_rows")
+            .join(F.broadcast(valid0), [PART_ID, "run_id"], "inner")
+            .collect()
+        )
+        offsets = {}
+        goff = 0
+        seqs_hit = []
+        for r in sorted(groups, key=lambda r: (r["run_id"], r["seq"])):
+            if goff < end and goff + r["n_rows"] > start:
+                offsets[(r["run_id"], r["seq"])] = goff
+                seqs_hit.append(int(r["seq"]))
+            goff += r["n_rows"]
+        row_window = (start, end, offsets)
+        if seqs_hit and seq_range is None:
+            # pushed seq interval prunes non-overlapping groups at scan
+            seq_range = (min(seqs_hit), max(seqs_hit))
+
     # explicit leaf projection: only the requested block chunks (plus the
     # predicate columns' stats strings) are in the ReadSchema — parquet
     # never reads the other columns' bytes
     proj = [F.col(PART_ID), F.col("run_id"), F.col("n_rows")]
+    if row_window is not None:
+        proj.append(F.col("seq"))
     for c in read_cols:
         proj.append(F.col("cols").getField(c).getField("block").alias(f"__blk_{c}"))
     for p in predicates:
@@ -344,6 +415,11 @@ def decode_table(
         # scan-level filter: pruning shows in PushedFilters and prunes
         # row groups via part_id min/max stats
         blocks = blocks.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))
+    if seq_range is not None:
+        # seq interval pushdown (mid-partition skip): tasks write groups
+        # in seq order, so parquet row-group min/max stats prune here too
+        blocks = blocks.filter(
+            (F.col("seq") >= int(seq_range[0])) & (F.col("seq") <= int(seq_range[1])))
     blocks = blocks.select(*proj)
     # JVM-side zone prefilter: the typed stats are real columns, so
     # groups that provably cannot match a predicate (numeric range OR
@@ -363,7 +439,8 @@ def decode_table(
     if n_tasks:
         blocks = blocks.repartition(n_tasks)
     decoded = blocks.mapInArrow(
-        _make_decoder(read_cols, out_cols, out_types, predicates, include_part_id),
+        _make_decoder(read_cols, out_cols, out_types, predicates,
+                      include_part_id, row_window),
         out_schema,
     )
     if any(isinstance(logical_by_name[c].dataType, T.StructType)

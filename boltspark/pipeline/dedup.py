@@ -294,7 +294,9 @@ def simhash_near_pairs(df: DataFrame, key: str = "doc_id",
             F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the dedup shuffle then carries only the
+        # near pairs, not the non-near majority of chunk collisions
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs

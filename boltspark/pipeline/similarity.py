@@ -103,7 +103,7 @@ def ann_topk(df: DataFrame, query: list[float], k: int = 10,
 
 def banded_signatures(df: DataFrame, vec_col: str = "embedding",
                       n_planes: int = 12, bands: int = 4,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, dim: int | None = None) -> DataFrame:
     """Precompute `bands` independent hyperplane signatures (one column
     per band) — the 100 TB ANN path: run ONCE over the corpus, write with
     ``.write.bucketBy(N, "__band_0")`` (or partitionBy at coarse card),
@@ -112,8 +112,12 @@ def banded_signatures(df: DataFrame, vec_col: str = "embedding",
     With B bands of P planes each, a query scans ~B/2^P of the corpus
     (4 bands x 12 planes = 0.1%) with recall 1-(1-s^P)^B for signature
     agreement rate s — versus the single-signature multi-probe variant
-    that scanned ~14% for the same recall."""
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    that scanned ~14% for the same recall.
+
+    Pass ``dim`` when known (callers usually know it) to skip the
+    fallback probe job that reads one row for the vector width."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
     out = df
     for b in range(bands):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * b)
@@ -150,10 +154,13 @@ def ann_topk_banded(bucketed: DataFrame, query: list[float], k: int = 10,
 
 def pairwise_near_dup(df: DataFrame, threshold: float = 0.95,
                       vec_col: str = "embedding", key: str = "vec_id",
-                      n_planes: int = 8, seed: int = 42) -> DataFrame:
+                      n_planes: int = 8, seed: int = 42,
+                      dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: only vectors
-    sharing a hyperplane-signature bucket are compared exactly."""
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    sharing a hyperplane-signature bucket are compared exactly.  Pass
+    ``dim`` when known to skip the one-row width probe job."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
     planes = _hyperplanes(dim, n_planes, seed)
     b = df.withColumn("__sig", lsh_bucket_col(vec_col, planes)).select(
         key, vec_col, "__sig")

@@ -555,3 +555,61 @@ def test_byte_predicate_prefilter_parity(spark, tmp_path):
                            predicate=pred).count()
         exp = docs.filter(cond & F.col(pred.column).isNotNull()).count()
         assert got == exp, (pred, got, exp)
+
+
+def test_row_range_mid_partition_point_query(spark, tmp_path):
+    """decode_table(part_ids=[p], row_range=(k, k+n)) returns exactly
+    rows [k, k+n) of the partition in encode order, pruning whole block
+    groups via a pushed seq filter and slicing boundary groups
+    (reference analog: row_group_reader.rs:188-198)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = str(tmp_path)
+    res = encode_table(docs, f"{d}/b", f"{d}/m", key_cols=("doc_id",),
+                       target_partition_bytes=2 << 20, block_bytes=8 << 10,
+                       resume=False)
+    pid = 1
+    part = docs.withColumn(
+        "p", F.pmod(F.xxhash64("doc_id"), F.lit(res.n_partitions))
+    ).filter(F.col("p") == pid)
+    ordered = [r["doc_id"] for r in part.orderBy("doc_id").collect()]
+    n_groups = (spark.read.parquet(f"{d}/b")
+                .filter(F.col("part_id") == pid).count())
+    assert n_groups >= 3, "need a multi-group partition to exercise the skip"
+
+    for k, n in [(0, 5), (7, 11), (len(ordered) - 4, 50), (3, len(ordered))]:
+        got = sorted(r["doc_id"] for r in decode_table(
+            spark, f"{d}/b", f"{d}/m", columns=["doc_id"],
+            part_ids=[pid], row_range=(k, k + n)).collect())
+        assert got == sorted(ordered[k:k + n]), (k, n)
+
+    # the seq interval is pushed to the parquet scan
+    df = decode_table(spark, f"{d}/b", f"{d}/m", columns=["doc_id"],
+                      part_ids=[pid], row_range=(7, 18))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*seq", plan), plan
+
+    # invalid shapes raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_table(spark, f"{d}/b", f"{d}/m", row_range=(0, 5))
+    with _pytest.raises(ValueError):
+        decode_table(spark, f"{d}/b", f"{d}/m", part_ids=[pid],
+                     row_range=(5, 5))
+
+    # row_range composes with a predicate (mask intersection)
+    from boltspark.engine.filters import RangePredicate
+
+    pred = RangePredicate(column="n_chars", lower=400)
+    got = sorted(r["doc_id"] for r in decode_table(
+        spark, f"{d}/b", f"{d}/m", columns=["doc_id", "n_chars"],
+        part_ids=[pid], row_range=(5, 25), predicate=pred).collect())
+    by_pos = part.orderBy("doc_id").collect()[5:25]
+    exp = sorted(r["doc_id"] for r in by_pos
+                 if r["n_chars"] is not None and r["n_chars"] >= 400)
+    assert got == exp
