@@ -14,14 +14,19 @@ Python"):
   gather.  The size cost is identical (2 bytes per literal).
 * Encode is TRUE left-to-right greedy (longest match at each position,
   the paper's parse), vectorized as a lockstep chain walk: first the
-  longest symbol match length at every position (per-length hashed
-  probes over 2-byte-prefix-gated candidates), then rows — split into
-  bounded *segments* so one giant row cannot serialize the walk — all
-  advance in lockstep: one gather per step moves every live segment to
-  its next token.  Step count is bounded by the segment byte size; work
-  is O(total tokens) with vector width = number of segments.  Matches
+  longest symbol match at every position — one injective multiply-shift
+  hash probe per symbol LENGTH CLASS (descending; tables have 2-5
+  distinct lengths), then a direct 65536-entry table for 2-byte symbols
+  and a 256-entry table for singles.  Then rows — split into bounded
+  *segments* so one giant row cannot serialize the walk — all advance
+  in lockstep: one gather per step moves every live segment to its next
+  token.  Step count is bounded by the segment byte size; work is
+  O(total tokens) with vector width = number of segments.  Matches
   never bridge a segment end (same rule as row ends), which costs a
-  fraction of a percent of ratio and buys full vectorization.
+  fraction of a percent of ratio and buys full vectorization.  The
+  match phase streams the buffer in bounded chunks (one strided window
+  copy per chunk, no full-buffer fancy gathers) to respect this host's
+  small-working-set requirement.
 
 Round-trip is bit-exact for arbitrary bytes (escapes cover everything).
 """
@@ -87,9 +92,6 @@ def build_symbol_table(sample: bytes, generations: int = _GENERATIONS) -> list[b
                     counts[merged] += 1
             prev = tok
             pos += len(tok)
-        # (self-overlapping symbols are fine for the greedy parse — the
-        # old priority-claim scheme needed to exclude them, the lockstep
-        # walk does not)
         ranked = sorted(counts, key=lambda s: -_gain(counts[s], len(s)))
         table = ranked[:MAX_SYMBOLS]
     # longest-first makes priority order deterministic for equal gains
@@ -131,20 +133,80 @@ def _sym_value(sym: bytes) -> int:
     return int.from_bytes(sym, "little")
 
 
-_HASH_BITS = 16
+_HASH_BITS = 12  # 4096 slots: u64 table = 32 KB, cache-resident for the probe gathers
 _SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0xFF51AFD7ED558CCD, 0x2545F4914F6CDD1D)
 
 
-def _build_hash_table(vals: np.ndarray):
-    """Injective multiply-shift hash table for ≤255 symbol values.
-    Returns (salt, slot_val, slot_code) or None if no salt works."""
-    for salt in _SALTS:
-        slots = ((vals * np.uint64(salt)) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
-        if len(np.unique(slots)) == len(vals):
-            slot_val = np.zeros(1 << _HASH_BITS, dtype=np.uint64)
-            slot_code = np.full(1 << _HASH_BITS, 255, dtype=np.uint8)
-            return salt, slots, slot_val, slot_code
+def _find_salt(keys: np.ndarray):
+    """Multiply-shift salt injective over ``keys`` (≤255 values), or
+    None.  Tries the fixed salts then a deterministic odd-constant scan."""
+    cands = list(_SALTS) + [(_SALTS[0] + 2 * i + 1) & 0xFFFFFFFFFFFFFFFF
+                            for i in range(512)]
+    for salt in cands:
+        slots = (keys * np.uint64(salt)) >> np.uint64(64 - _HASH_BITS)
+        if len(np.unique(slots)) == len(keys):
+            return salt
     return None
+
+
+def _match_tables(table: list[bytes]):
+    """Probe tables for the vectorized EXACT longest-match:
+
+    * ``classes`` — for each symbol length >= 3 (descending), an
+      injective multiply-shift hash over that length-class's values:
+      (length, salt, slot_val, slot_code).  One vector probe per length
+      class; tables have few distinct lengths, so this is 2-5 probes.
+      If no injective salt exists (never observed; ≤255 keys over 2^16
+      slots), the lowest-priority values are evicted until one does.
+    * ``short2`` — direct 65536-entry code table for 2-byte symbols.
+    * ``lut1`` — 256-entry table for single-byte symbols.
+    """
+    lut1 = np.full(256, LITERAL, dtype=np.uint8)
+    short2 = np.full(1 << 16, LITERAL, dtype=np.uint8)
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for code, sym in enumerate(table):
+        l = len(sym)
+        if l == 1:
+            if lut1[sym[0]] == LITERAL:
+                lut1[sym[0]] = code
+        elif l == 2:
+            k = int.from_bytes(sym, "little")
+            if short2[k] == LITERAL:
+                short2[k] = code
+        else:
+            by_len.setdefault(l, []).append((_sym_value(sym), code))
+    classes = []
+    for l in sorted(by_len, reverse=True):
+        pairs = by_len[l]
+        salt = None
+        while pairs:
+            keys = np.array(sorted(v for v, _ in pairs), dtype=np.uint64)
+            salt = _find_salt(keys)
+            if salt is not None:
+                break
+            pairs = pairs[:-1]  # evict the last-ranked symbol
+        if not pairs or salt is None:
+            continue
+        # empty slots hold the all-ones sentinel: a masked window of
+        # length < 8 has zero top bytes, so it can never equal it (the
+        # l == 8 class keeps an explicit code check)
+        slot_val = np.full(1 << _HASH_BITS, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        slot_code = np.full(1 << _HASH_BITS, LITERAL, dtype=np.uint8)
+        for v, c in pairs:
+            h = ((v * salt) & 0xFFFFFFFFFFFFFFFF) >> (64 - _HASH_BITS)
+            slot_val[h] = v
+            slot_code[h] = c
+        classes.append((l, np.uint64(salt), slot_val, slot_code))
+    return lut1, short2, classes
+
+
+# bounded-chunk streaming for the match phase: windows/rooms/codes for
+# one chunk fit in cache-ish working sets (host memory-bandwidth cliff)
+_MATCH_CHUNK = 1 << 17
+
+_MASK_BY_LEN = np.array(
+    [0] + [(1 << (8 * l)) - 1 for l in range(1, 8)] + [0xFFFFFFFFFFFFFFFF],
+    dtype=np.uint64)
 
 
 # long rows are split into independent parse segments of this many bytes
@@ -204,104 +266,98 @@ def encode(col: StringColumn, tag: str = "bytes",
     # independently and the chain walk below is lockstep across segments
     seg_bounds = _segment_bounds(col.offsets, n)
 
-    # --- longest symbol match length/code at every position ---------------
+    # --- symbol match length/code at every position ------------------------
     # (uint8 everywhere: this host is memory-bandwidth-bound, so the
-    # full-buffer arrays must stay as narrow as the values allow)
+    # full-buffer arrays must stay as narrow as the values allow; the
+    # chunk loop keeps the u64 window working set bounded)
     code_at = np.full(n, LITERAL, dtype=np.uint8)
     len_at = np.ones(n, dtype=np.uint8)  # literal advances 1 byte
     if table and n:
-        by_len: dict[int, list[tuple[int, int]]] = {}
-        for code, sym in enumerate(table):
-            by_len.setdefault(len(sym), []).append((_sym_value(sym), code))
-
-        # 2-byte prefix gate: only positions whose next two bytes prefix
-        # some multi-byte symbol enter the per-length match loop.  This is
-        # the vector analog of the FSST paper's first-bytes lookup.
+        lut1, short2, classes = _match_tables(table)
         padded = np.zeros(n + MAX_SYMBOL_LEN, dtype=np.uint8)
         padded[:n] = buf
-        multi = [s for s in table if len(s) >= 2]
-        if multi:
-            # next segment bound at/after each position, for bridge checks
-            plbits = np.zeros(1 << 16, dtype=np.uint8)
-            for s in multi:
-                plbits[int.from_bytes(s[:2], "little")] |= 1 << (len(s) - 2)
-            pref = padded[:n].astype(np.uint16) | (
-                padded[1 : n + 1].astype(np.uint16) << np.uint16(8))
-            cand_bits = plbits[pref]
-            cand = np.nonzero(cand_bits)[0]
-            cand_bits = cand_bits[cand]
-            del pref
-            # build 8-byte windows only at candidate positions
-            w_cand = np.zeros(len(cand), dtype=np.uint64)
-            for k in range(MAX_SYMBOL_LEN):
-                w_cand |= padded[cand + k].astype(np.uint64) << np.uint64(8 * k)
-            # room to the candidate's segment end (searchsorted over the
-            # sparse bounds array replaces a full-buffer cumsum)
-            room = seg_bounds[np.searchsorted(seg_bounds, cand, side="right")] - cand
-            unmatched = np.ones(len(cand), dtype=bool)
-            for l in sorted(by_len, reverse=True):
-                if l < 2:
-                    continue
-                syms = by_len[l]
-                vals = np.array([v for v, _ in sorted(syms)], dtype=np.uint64)
-                codes_for_val = np.array([c for _, c in sorted(syms)], dtype=np.uint8)
-                live = np.nonzero(
-                    unmatched & (room >= l)
-                    & ((cand_bits >> np.uint8(l - 2)) & np.uint8(1)).astype(bool)
-                )[0]
-                if not len(live):
-                    continue
-                mask = np.uint64((1 << (8 * l)) - 1) if l < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
-                wl = w_cand[live] & mask
-                ht = _build_hash_table(vals)
-                if ht is not None:  # O(1) multiply-shift lookup (fast path)
-                    salt, slots, slot_val, slot_code = ht
-                    slot_val[slots] = vals
-                    slot_code[slots] = codes_for_val
-                    h = ((wl * np.uint64(salt)) >> np.uint64(64 - _HASH_BITS)).astype(np.int64)
-                    mcodes = slot_code[h]
-                    hit = (mcodes != 255) & (slot_val[h] == wl)
-                else:  # collision fallback: binary search
-                    idx = np.searchsorted(vals, wl)
-                    idx[idx == len(vals)] = 0
-                    hit = vals[idx] == wl
-                    mcodes = codes_for_val[idx]
-                sel = live[hit]
-                p = cand[sel]
-                if not len(p):
-                    continue
-                code_at[p] = mcodes[hit]
-                len_at[p] = l
-                unmatched[sel] = False
+        shift = np.uint64(64 - _HASH_BITS)
+        # 2-byte prefix gate over the len>=3 classes (the paper's
+        # first-bytes lookup): identifier-heavy corpora pass it rarely,
+        # natural text passes it mostly — each chunk samples its own
+        # pass rate and compresses the probe lanes only when that wins
+        gate2 = np.zeros(1 << 16, dtype=bool)
+        for s in table:
+            if len(s) >= 3:
+                gate2[int.from_bytes(s[:2], "little")] = True
+        from numpy.lib.stride_tricks import sliding_window_view
 
-        # single-byte symbols fill positions with no multi-byte match
-        singles = [(s[0], c) for c, s in enumerate(table) if len(s) == 1]
-        if singles:
-            lut1 = np.full(256, 255, dtype=np.uint8)
-            for b, c in singles:
-                lut1[b] = c
-            c1 = lut1[buf]
-            one = (code_at == LITERAL) & (c1 != 255)
-            code_at[one] = c1[one]  # len_at stays 1
+        for a in range(0, n, _MATCH_CHUNK):
+            b = min(a + _MATCH_CHUNK, n)
+            m = b - a
+            # 8-byte LE windows: one strided copy, reinterpreted as u64
+            w = np.ascontiguousarray(
+                sliding_window_view(padded[a : a + m + MAX_SYMBOL_LEN - 1],
+                                    MAX_SYMBOL_LEN)).view(np.uint64).ravel()
+            # max usable match length per position = clip(next segment
+            # bound - pos, 8): default 8, then positions within 7 bytes
+            # of a bound get their distance written — descending k so the
+            # NEAREST bound wins for short segments (O(8 x bounds), no
+            # full-width cumsum)
+            maxlen = np.full(m, MAX_SYMBOL_LEN, dtype=np.uint8)
+            for k in range(MAX_SYMBOL_LEN - 1, 0, -1):
+                p = seg_bounds - k
+                p = p[(p >= a) & (p < b)]
+                maxlen[p - a] = k
+            # shortest class first, longest last: later (longer) hits
+            # overwrite, so the result is the exact longest match with
+            # no per-class bookkeeping
+            codes = lut1[buf[a:b]]  # unknown bytes already map to LITERAL
+            lens = np.ones(m, dtype=np.uint8)
+            pref16 = w.view(np.uint16)[::4]
+            c2 = short2[pref16]
+            two = (c2 != LITERAL) & (maxlen >= 2)
+            np.copyto(codes, c2, where=two)
+            np.copyto(lens, np.uint8(2), where=two)
+            # sampled gate rate decides the probe layout for this chunk
+            g = gate2[pref16]
+            if float(g[::67].mean()) < 0.55:
+                cand = np.nonzero(g)[0]
+                wp, mlp = w[cand], maxlen[cand]
+                cp = np.full(len(cand), LITERAL, dtype=np.uint8)
+                lp = np.zeros(len(cand), dtype=np.uint8)
+            else:
+                cand = None
+                wp, mlp, cp, lp = w, maxlen, codes, lens
+            for l, salt, slot_val, slot_code in reversed(classes):
+                # in-place hash: wl survives for the compare, h reuses it
+                wl = np.bitwise_and(wp, _MASK_BY_LEN[l])
+                h = wl * salt
+                np.right_shift(h, shift, out=h)
+                # empty-slot sentinel ~0 cannot equal a masked window for
+                # l < 8 (its top bytes are zero); l == 8 re-checks code
+                cc = slot_code[h]
+                hit = slot_val[h] == wl
+                hit &= mlp >= l
+                if l == MAX_SYMBOL_LEN:  # sentinel can collide at l == 8
+                    hit &= cc != LITERAL
+                np.copyto(cp, cc, where=hit)
+                np.copyto(lp, np.uint8(l), where=hit)
+            if cand is not None:
+                hit3 = lp > 0
+                sel = cand[hit3]
+                codes[sel] = cp[hit3]
+                lens[sel] = lp[hit3]
+            code_at[a:b] = codes
+            len_at[a:b] = lens
 
     # --- lockstep greedy walk: all segments advance together --------------
     token_start = _greedy_token_starts(len_at, seg_bounds, n)
+    # boolean selection, never materialized positions (np.nonzero over a
+    # dense token mask measured ~100 ms on 5 MB blocks)
     codes_stream = code_at[token_start]
     # literal tokens are single bytes at their start positions
     literals = buf[token_start & (code_at == LITERAL)].tobytes()
 
-    # tokens per row: prefix-sum of token starts sampled at row offsets
-    # per-row token counts without an n-length int64 cumsum: reduceat the
-    # (narrow) token-start flags at the row starts, patching empty rows
-    # (reduceat with equal adjacent indices returns the single element)
-    token_counts = np.zeros(n_rows, dtype=np.uint64)
-    nonempty = col.offsets[:-1] < col.offsets[1:]
-    if n and nonempty.any():
-        # rows are contiguous, so segments between consecutive NONEMPTY
-        # row starts cover each row's bytes exactly (empty rows own none)
-        lo = col.offsets[:-1][nonempty]
-        token_counts[nonempty] = np.add.reduceat(
-            token_start.view(np.uint8), lo, dtype=np.int64).astype(np.uint64)
+    # tokens per row: one int32 running count sampled at the row offsets
+    cz = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(token_start, dtype=np.int32, out=cz[1:])
+    token_counts = (cz[col.offsets[1:]] - cz[col.offsets[:-1]]).astype(np.uint64)
     tc_width = bitpack.min_bit_width(int(token_counts.max()) if n_rows else 0)
 
     sym_blob = b"".join(table)
