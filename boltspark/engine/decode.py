@@ -51,6 +51,9 @@ def arrow_out_type(t, tz: str = "UTC") -> pa.DataType:
         return pa.decimal128(t.precision, t.scale)
     if name == "array":
         return pa.list_(arrow_out_type(t.elementType, tz))
+    if name == "struct":
+        return pa.struct([pa.field(f.name, arrow_out_type(f.dataType, tz), True)
+                          for f in t.fields])
     return {
         "string": pa.string(), "binary": pa.binary(),
         "timestamp": pa.timestamp("us", tz=tz),

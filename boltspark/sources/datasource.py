@@ -76,12 +76,15 @@ def _read_manifest(manifest_path: str):
 
 def _to_predicate(f: Filter):
     """Map a Spark DSv2 filter to an engine predicate, or None if the
-    filter shape is not supported (Spark then applies it itself)."""
+    filter shape is not supported (Spark then applies it itself).
+    Struct-leaf references arrive as attribute tuples ('meta', 'width')
+    and become dotted paths the reader resolves to flat leaf names."""
     from ..engine import filters as ef
 
-    attr = f.attribute[0] if isinstance(getattr(f, "attribute", None), tuple) \
-        else getattr(f, "attribute", None)
-    if attr is None or (isinstance(f.attribute, tuple) and len(f.attribute) != 1):
+    attr = getattr(f, "attribute", None)
+    if isinstance(attr, tuple):
+        attr = ".".join(attr)
+    if attr is None:
         return None
     if isinstance(f, EqualTo):
         v = f.value
@@ -119,20 +122,41 @@ def _to_predicate(f: Filter):
 class BoltReader(DataSourceReader):
     def __init__(self, blocks_path: str, manifest_path: str,
                  columns: list[str] | None):
+        from pyspark.sql.types import StructType as ST
+
+        from ..engine import nest
+
         self.blocks_path = blocks_path
         self.meta, self.valid_pairs = _read_manifest(manifest_path)
-        all_cols = self.meta["columns"]
-        self.out_cols = [c for c in (columns or all_cols)]
-        unknown = set(self.out_cols) - set(all_cols)
+        all_flat = self.meta["columns"]
+        self.logical = ST.fromJson(json.loads(
+            self.meta.get("logical_schema_json") or self.meta["schema_json"]))
+        by_name = {f.name: f for f in self.logical.fields}
+        self.out_cols = [c for c in (columns or list(by_name))]
+        unknown = set(self.out_cols) - set(by_name)
         if unknown:
-            raise KeyError(f"unknown columns {unknown}; encoded: {all_cols}")
+            raise KeyError(f"unknown columns {unknown}; encoded: {list(by_name)}")
+        # flat storage leaves backing the logical projection
+        self.out_leaves = []
+        for c in self.out_cols:
+            f = by_name[c]
+            self.out_leaves += nest.leaf_names(c, f.dataType, f.nullable)
+        self.logical_by_name = by_name
+        self.all_flat = set(all_flat)
         self.predicates = []
 
     def pushFilters(self, filters):
-        encoded = set(self.meta["columns"])
+        import dataclasses
+
+        from ..engine import nest
+
         for f in filters:
             pred = _to_predicate(f)
-            if pred is not None and pred.column in encoded:
+            if pred is not None and pred.column not in self.all_flat:
+                leaf = nest.resolve_leaf(pred.column, self.logical)
+                pred = (dataclasses.replace(pred, column=leaf)
+                        if leaf is not None and leaf in self.all_flat else None)
+            if pred is not None and pred.column in self.all_flat:
                 self.predicates.append(pred)
             else:
                 yield f  # unsupported: Spark evaluates it post-scan
@@ -149,12 +173,41 @@ class BoltReader(DataSourceReader):
         from pyspark.sql.types import StructType as ST
 
         from ..engine import decode as dec
+        from ..engine import nest
 
-        schema = ST.fromJson(json.loads(self.meta["schema_json"]))
-        field_by_name = {f.name: f for f in schema.fields}
-        out_types = {c: dec.arrow_out_type(field_by_name[c].dataType, "UTC")
-                     for c in self.out_cols}
-        read_cols = list(self.out_cols)
+        flat_schema = ST.fromJson(json.loads(self.meta["schema_json"]))
+        flat_by_name = {f.name: f for f in flat_schema.fields}
+        out_types = {c: dec.arrow_out_type(flat_by_name[c].dataType, "UTC")
+                     for c in self.out_leaves}
+        logical_types = {c: dec.arrow_out_type(
+            self.logical_by_name[c].dataType, "UTC") for c in self.out_cols}
+
+        def assemble(name, dtype, nullable, leaves: dict):
+            """Leaf arrays -> logical array (recursive struct rebuild)."""
+            from pyspark.sql.types import StructType as _ST
+
+            if not isinstance(dtype, _ST):
+                return leaves[name]
+            children = [
+                assemble(name + nest.SEP + f.name, f.dataType,
+                         f.nullable or nullable, leaves)
+                for f in dtype.fields
+            ]
+            target = dec.arrow_out_type(dtype, "UTC")
+            fields = list(target)
+            mask = None
+            if nullable:
+                import pyarrow.compute as pc
+
+                valid = leaves[name + nest.DEFINED]
+                mask = pc.invert(valid.combine_chunks() if isinstance(
+                    valid, pa.ChunkedArray) else valid)
+                if mask.null_count:
+                    mask = mask.fill_null(True)
+            return pa.StructArray.from_arrays(
+                children, fields=fields, mask=mask)
+
+        read_cols = list(self.out_leaves)
         for p in self.predicates:
             if p.column not in read_cols:
                 read_cols.append(p.column)
@@ -204,8 +257,8 @@ class BoltReader(DataSourceReader):
                             break
                 if dead:
                     continue
-                arrays = []
-                for name in self.out_cols:
+                leaf_arrays = {}
+                for name in self.out_leaves:
                     from ..kernels import block as blockmod
 
                     target = out_types[name]
@@ -213,7 +266,7 @@ class BoltReader(DataSourceReader):
                         # evolved column: null-fill for pre-evolution rows
                         n_out = int(mask.sum()) if mask is not None \
                             else nrows_arr[i].as_py()
-                        arrays.append(pa.nulls(n_out, target))
+                        leaf_arrays[name] = pa.nulls(n_out, target)
                         continue
                     values, validity, tag, _, _ = blockmod.decode_block(
                         structs[name][i]["block"].as_py())
@@ -222,11 +275,17 @@ class BoltReader(DataSourceReader):
                         arr = arr.filter(pa.array(mask))
                     if not arr.type.equals(target):
                         arr = arr.cast(target)
-                    arrays.append(arr)
+                    leaf_arrays[name] = arr
+                arrays = [
+                    assemble(c, self.logical_by_name[c].dataType,
+                             self.logical_by_name[c].nullable, leaf_arrays)
+                    for c in self.out_cols
+                ]
                 if arrays and len(arrays[0]):
                     yield pa.RecordBatch.from_arrays(
                         arrays, schema=pa.schema(
-                            [pa.field(c, out_types[c], True) for c in self.out_cols]))
+                            [pa.field(c, logical_types[c], True)
+                             for c in self.out_cols]))
 
 
 class BoltDataSource(DataSource):
@@ -239,7 +298,8 @@ class BoltDataSource(DataSource):
         if not manifest:
             raise ValueError("boltspark source requires .option('manifest', path)")
         meta, _ = _read_manifest(manifest)
-        full = StructType.fromJson(json.loads(meta["schema_json"]))
+        full = StructType.fromJson(json.loads(
+            meta.get("logical_schema_json") or meta["schema_json"]))
         cols = self.options.get("columns")
         if cols:
             wanted = [c.strip() for c in cols.split(",")]

@@ -200,3 +200,38 @@ def test_boltspark_datasource_filter_on_compacted_evolved(spark, tmp_path):
     encode_table(df3, f"{d}/b2", f"{d}/m2", n_parts=3, resume=False, run_id="r3")
     lbl = ds.load(spark, f"{d}/b2", f"{d}/m2").filter(F.col("label") == "tagged")
     assert lbl.count() == 10
+
+
+def test_boltspark_datasource_struct_columns(spark, tmp_path):
+    """DSv2 exposes the LOGICAL schema for struct tables: leaves decode
+    and reassemble into struct values (null structs preserved), and a
+    pushed filter on a struct leaf resolves to the flat leaf name."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    df = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("b-"), F.col("id")).alias("content"),
+        F.when(F.col("id") % 6 != 0, F.struct(
+            (F.col("id") % 11).cast("int").alias("w"),
+            F.concat(F.lit("t"), F.col("id") % 3).alias("tag"),
+        )).alias("m"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=3,
+                 resume=False)
+    r = ds.load(spark, f"{d}/b", f"{d}/m")
+    assert (r.schema["m"].dataType.simpleString()
+            == df.schema["m"].dataType.simpleString())
+    assert r.count() == 150
+    assert df.exceptAll(r).count() + r.exceptAll(df).count() == 0
+    assert (r.filter(F.col("m").isNull()).count()
+            == df.filter(F.col("m").isNull()).count())
+    # pushed filter on a struct leaf (attribute tuple -> dotted path)
+    sel = ds.load(spark, f"{d}/b", f"{d}/m").filter(F.col("m.w") >= 7)
+    assert sel.count() == df.filter(F.col("m.w") >= 7).count()
+    # projection of just the struct
+    pr = ds.load(spark, f"{d}/b", f"{d}/m", columns=["doc_id", "m"])
+    assert pr.columns == ["doc_id", "m"] and pr.count() == 150
