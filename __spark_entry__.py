@@ -251,6 +251,53 @@ def _q_roundtrip_nullable_list(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("val").cast("double").alias("val"))
 
 
+def _q_roundtrip_string_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<string> columns (lbytes list codec: hybrid-RLE lengths +
+    selector-coded flattened byte stream): null arrays and element order
+    round-trip exactly; output exploded for the oracle."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("n_chars").isNotNull(),
+               F.split(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 64),
+                       " ")).alias("tags"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_strlist_")
+    encode_table(src, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    return back.select(
+        "doc_id", F.posexplode_outer("tags").alias("pos", "tag")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tag")
+
+
+def _q_roundtrip_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map<string,long> columns: flatten to two aligned list leaves
+    (engine/nest.py), rebuild with map_from_arrays; null map vs empty
+    map preserved.  Output exploded to (key, value) rows."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("n_chars").isNotNull(), F.create_map(
+            F.lit("n_chars"), F.col("n_chars").cast("long"),
+            F.lit("n2"), (F.col("n_chars") * 2).cast("long"),
+        )).alias("props"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_map_")
+    encode_table(src, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    return back.select(
+        "doc_id", F.explode_outer("props").alias("key", "value")
+    ).select("doc_id", "key", F.col("value").cast("long").alias("value"))
+
+
 def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decimal(12,2) scaled-int64 storage, exact round-trip (the
     reference rejects decimals: primitive_column_reader.rs:450-455)."""
@@ -683,6 +730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": _q_roundtrip_events,
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_nullable_list": _q_roundtrip_nullable_list,
+        "roundtrip_string_list": _q_roundtrip_string_list,
+        "roundtrip_map": _q_roundtrip_map,
         "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_flags": _q_roundtrip_flags,
         "decode_bool_eq": _q_decode_bool_eq,
@@ -737,6 +786,25 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN (vec_id + u.i - 1) % 97 = 0 THEN NULL "
             "ELSE CAST(embedding[u.i] AS DOUBLE) END AS val "
             "FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding))) AS u(i)"
+        ),
+        "roundtrip_string_list": (
+            "WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE WHEN n_chars IS NOT NULL THEN "
+            "string_split(substr(COALESCE(text, ''), 1, 64), ' ') END AS tags "
+            "FROM documents) "
+            "SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tags[u.i] AS tag "
+            "FROM t, LATERAL UNNEST(generate_series(1, len(tags))) AS u(i) "
+            "WHERE tags IS NOT NULL "
+            "UNION ALL SELECT doc_id, NULL, NULL FROM t WHERE tags IS NULL"
+        ),
+        "roundtrip_map": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'n_chars' AS key, "
+            "CAST(n_chars AS BIGINT) AS value FROM documents "
+            "WHERE n_chars IS NOT NULL "
+            "UNION ALL SELECT CAST(doc_id AS BIGINT), 'n2', "
+            "CAST(n_chars * 2 AS BIGINT) FROM documents WHERE n_chars IS NOT NULL "
+            "UNION ALL SELECT CAST(doc_id AS BIGINT), NULL, NULL "
+            "FROM documents WHERE n_chars IS NULL"
         ),
         "roundtrip_decimal": (
             "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "

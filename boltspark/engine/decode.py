@@ -87,7 +87,14 @@ def _list_to_arrow(col: lists.ListColumn, validity: np.ndarray | None,
     Null rows are zero-length (offset repeats), flagged via the validity
     bitmap; null ELEMENTS scatter back from the element-validity bitmap
     — the rep/def-level reconstruction of nested data."""
-    if col.elem_validity is not None:
+    if hasattr(col.values, "offsets"):  # lbytes: StringColumn elements
+        if col.elem_validity is not None:
+            values = _scatter_bytes(col.values, col.elem_validity)
+        else:
+            values = strings.to_arrow(col.values)
+        if not values.type.equals(elem_type):
+            values = values.cast(elem_type)
+    elif col.elem_validity is not None:
         full = blockmod.scatter_nulls_fixed(np.asarray(col.values),
                                             col.elem_validity)
         values = pa.array(full, mask=~col.elem_validity)
@@ -131,9 +138,13 @@ def _to_arrow_full(values, validity, tag: str, target: pa.DataType | None = None
             return strings.to_arrow(values)
         return _scatter_bytes(values, validity)
     if tag in lists.LIST_TAGS:
-        elem = target.value_type if target is not None and (
-            pa.types.is_list(target) or pa.types.is_large_list(target)
-        ) else pa.from_numpy_dtype(values.values.dtype)
+        if target is not None and (pa.types.is_list(target)
+                                   or pa.types.is_large_list(target)):
+            elem = target.value_type
+        elif hasattr(values.values, "offsets"):  # lbytes without target
+            elem = pa.large_binary()
+        else:
+            elem = pa.from_numpy_dtype(values.values.dtype)
         return _list_to_arrow(values, validity, elem)
     if target is not None and pa.types.is_decimal(target):
         return _decimal_from_i64(values, validity, target)
@@ -446,10 +457,10 @@ def decode_table(
                       include_part_id, row_window),
         out_schema,
     )
-    if any(isinstance(logical_by_name[c].dataType, T.StructType)
+    if any(isinstance(logical_by_name[c].dataType, (T.StructType, T.MapType))
            for c in out_logical):
-        # reassemble struct columns from their leaves — pure JVM
-        # struct/when expressions, no Python node, no shuffle
+        # reassemble struct/map columns from their leaves — pure JVM
+        # struct/map_from_arrays/when expressions, no Python node, no shuffle
         sel = [
             nest.rebuild_expr(c, logical_by_name[c].dataType,
                               logical_by_name[c].nullable).alias(c)

@@ -125,13 +125,18 @@ def _to_kernel(arr: pa.Array, tag: str):
         lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
         offsets = np.zeros(len(arr) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
+        is_bytes = lists.LIST_TAGS[tag] == "bytes"
         if flat.null_count:
             # null elements INSIDE list values: dense valid elements +
             # an element-validity bitmap (kernels/lists.py)
             ev = np.asarray(flat.is_valid())
-            dense = flat.drop_null().to_numpy(zero_copy_only=False)
+            dense_arr = flat.drop_null()
+            dense = (strings.from_arrow(dense_arr) if is_bytes
+                     else dense_arr.to_numpy(zero_copy_only=False))
             return lists.ListColumn(offsets, dense, ev), validity
-        return lists.ListColumn(offsets, flat.to_numpy(zero_copy_only=False)), validity
+        vals = (strings.from_arrow(flat) if is_bytes
+                else flat.to_numpy(zero_copy_only=False))
+        return lists.ListColumn(offsets, vals), validity
     if pa.types.is_decimal(arr.type):
         return _decimal_unscaled_i64(arr), validity
     return arr.to_numpy(zero_copy_only=False), validity
@@ -152,9 +157,25 @@ def _split_points(batch: pa.RecordBatch, columns: list[str], block_bytes: int) -
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
             import pyarrow.compute as pc
 
-            esz = max(t.value_type.bit_width // 8, 1)
-            weight += (pc.list_value_length(arr).fill_null(0)
-                       .to_numpy(zero_copy_only=False).astype(np.int64) * esz + 8)
+            vt = t.value_type
+            if (pa.types.is_string(vt) or pa.types.is_large_string(vt)
+                    or pa.types.is_binary(vt) or pa.types.is_large_binary(vt)):
+                # exact per-row bytes from nested offsets: child byte
+                # offsets sampled at each row's element range
+                comb = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                dense = comb.fill_null([])
+                child = dense.flatten().cast(pa.large_binary())
+                cbo = np.frombuffer(child.buffers()[1], dtype=np.int64)[
+                    child.offset : child.offset + len(child) + 1]
+                lens = (pc.list_value_length(dense).to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+                row_end = np.cumsum(lens)
+                row_start = row_end - lens
+                weight += (cbo[row_end] - cbo[row_start]) + lens * 4 + 8
+            else:
+                esz = max(vt.bit_width // 8, 1)
+                weight += (pc.list_value_length(arr).fill_null(0)
+                           .to_numpy(zero_copy_only=False).astype(np.int64) * esz + 8)
         elif pa.types.is_decimal(t):
             weight += 8
         else:

@@ -31,7 +31,18 @@ DEFINED = SEP + "#defined"
 
 
 def has_struct(schema: T.StructType) -> bool:
-    return any(isinstance(f.dataType, T.StructType) for f in schema.fields)
+    """True if any column needs the flatten/rebuild treatment (structs
+    and maps; maps flatten to two aligned list leaves)."""
+    return any(isinstance(f.dataType, (T.StructType, T.MapType))
+               for f in schema.fields)
+
+
+def contains_map(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.StructType):
+        return any(contains_map(f.dataType) for f in dtype.fields)
+    return False
 
 
 def flatten_exprs(schema: T.StructType) -> tuple[list[Column], T.StructType]:
@@ -50,6 +61,17 @@ def flatten_exprs(schema: T.StructType) -> tuple[list[Column], T.StructType]:
                 # even if declared non-null (getField of NULL is NULL)
                 walk(expr.getField(f.name), name + SEP + f.name,
                      f.dataType, f.nullable or nullable)
+        elif isinstance(dtype, T.MapType):
+            # map -> two aligned list leaves; a NULL map yields NULL
+            # leaves while an empty map yields empty arrays, so no
+            # validity leaf is needed (map_keys(NULL) IS NULL)
+            exprs.append(F.map_keys(expr).alias(name + SEP + "#keys"))
+            fields.append(T.StructField(
+                name + SEP + "#keys", T.ArrayType(dtype.keyType, False), True))
+            exprs.append(F.map_values(expr).alias(name + SEP + "#vals"))
+            fields.append(T.StructField(
+                name + SEP + "#vals",
+                T.ArrayType(dtype.valueType, dtype.valueContainsNull), True))
         else:
             exprs.append(expr.alias(name))
             fields.append(T.StructField(name, dtype, nullable))
@@ -61,6 +83,8 @@ def flatten_exprs(schema: T.StructType) -> tuple[list[Column], T.StructType]:
 
 def leaf_names(name: str, dtype: T.DataType, nullable: bool) -> list[str]:
     """Flat storage column names for one logical column."""
+    if isinstance(dtype, T.MapType):
+        return [name + SEP + "#keys", name + SEP + "#vals"]
     if not isinstance(dtype, T.StructType):
         return [name]
     out = [name + DEFINED] if nullable else []
@@ -71,7 +95,11 @@ def leaf_names(name: str, dtype: T.DataType, nullable: bool) -> list[str]:
 
 def rebuild_expr(name: str, dtype: T.DataType, nullable: bool) -> Column:
     """Expression reassembling one logical column from its decoded leaf
-    columns (pure JVM: struct/when/col — no Python evaluation node)."""
+    columns (pure JVM: struct/map_from_arrays/when/col — no Python
+    evaluation node)."""
+    if isinstance(dtype, T.MapType):
+        return F.map_from_arrays(F.col(name + SEP + "#keys"),
+                                 F.col(name + SEP + "#vals"))
     if not isinstance(dtype, T.StructType):
         return F.col(name)
     inner = F.struct(*[

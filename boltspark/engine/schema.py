@@ -141,12 +141,16 @@ def tag_for_arrow_type(t: pa.DataType) -> str:
         if t.precision <= 18:
             return "i64"
         raise TypeError(f"decimal precision > 18 unsupported: {t}")
-    # fixed-element lists (array<float> embeddings etc.) flatten to
-    # (lengths, values) — kernels/lists.py
+    # lists flatten to (lengths, values) — kernels/lists.py: fixed
+    # elements (array<float> embeddings) and string/binary elements
+    # (array<string> tags, map keys/values)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         elem = t.value_type
         if elem in _LIST_ELEM_TAGS:
             return _LIST_ELEM_TAGS[elem]
+        if (pa.types.is_string(elem) or pa.types.is_large_string(elem)
+                or pa.types.is_binary(elem) or pa.types.is_large_binary(elem)):
+            return "lbytes"
         raise TypeError(f"unsupported list element type {elem}")
     raise TypeError(
         f"unsupported column type {t} (reference likewise rejects INT96/FLBA:"

@@ -303,15 +303,21 @@ def decode_block_rows(buf: bytes, mask: np.ndarray):
                        + np.arange(total, dtype=np.int64)) if total else np.zeros(0, np.int64)
             offs = np.zeros(len(dense_idx) + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
+            is_str = hasattr(full.values, "offsets")  # lbytes elements
+
+            def _take_vals(idx):
+                return (strings.take(full.values, idx) if is_str
+                        else np.asarray(full.values)[idx])
+
             ev = full.elem_validity
             if ev is None:
-                values = lists.ListColumn(offs, np.asarray(full.values)[src_idx])
+                values = lists.ListColumn(offs, _take_vals(src_idx))
             else:
                 # src_idx addresses element SLOTS; map the valid ones to
                 # their dense positions in the value stream
                 ev_sel = ev[src_idx]
                 dense_pos = np.cumsum(ev) - 1
-                vals = np.asarray(full.values)[dense_pos[src_idx[ev_sel]]]
+                vals = _take_vals(dense_pos[src_idx[ev_sel]])
                 values = lists.ListColumn(offs, vals, ev_sel)
         else:
             values = np.asarray(full)[dense_idx]

@@ -31,8 +31,10 @@ from . import bitpack, rle
 from .types import dtype_of
 from .varint import CorruptBlockError
 
-# list tag -> element tag
-LIST_TAGS = {"li32": "i32", "li64": "i64", "lf32": "f32", "lf64": "f64"}
+# list tag -> element tag ("lbytes" = list<string|binary>: the values
+# stream is a StringColumn riding the byte-array sub-codecs)
+LIST_TAGS = {"li32": "i32", "li64": "i64", "lf32": "f32", "lf64": "f64",
+             "lbytes": "bytes"}
 
 
 @dataclass(frozen=True)
@@ -69,7 +71,10 @@ def encode(col: ListColumn, tag: str) -> tuple[bytes, dict]:
     lengths = col.lengths().astype(np.uint64)
     lwidth = bitpack.min_bit_width(int(lengths.max()) if len(lengths) else 0)
     lstream = rle.encode_hybrid(lengths, lwidth)
-    values = np.ascontiguousarray(col.values, dtype=dtype_of(value_tag))
+    if value_tag == "bytes":
+        values = col.values  # StringColumn element stream
+    else:
+        values = np.ascontiguousarray(col.values, dtype=dtype_of(value_tag))
     # trial WITH the outer compressor: codecs like byte-stream split only
     # pay through it (the block layer applies the actual outer pass, so
     # only choice.codec is used here)
@@ -132,4 +137,6 @@ def decode(payload: bytes, meta: dict, n: int, tag: str) -> ListColumn:
                                  n_values, value_tag, inner)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    return ListColumn(offsets, np.asarray(values), elem_validity)
+    if value_tag != "bytes":
+        values = np.asarray(values)
+    return ListColumn(offsets, values, elem_validity)

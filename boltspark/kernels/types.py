@@ -32,7 +32,9 @@ FIXED_TAGS = tuple(NUMPY_DTYPES)
 # list-of-fixed tags (kernels/lists.py) appended AFTER the originals so
 # stored tag ids stay stable
 LIST_TAG_NAMES = ("li32", "li64", "lf32", "lf64")
-ALL_TAGS = FIXED_TAGS + (BYTES,) + LIST_TAG_NAMES
+# "lbytes" (list<string|binary>) appended in round 3 — again AFTER the
+# existing tags so stored tag ids stay stable
+ALL_TAGS = FIXED_TAGS + (BYTES,) + LIST_TAG_NAMES + ("lbytes",)
 
 
 def tag_of(arr) -> str:

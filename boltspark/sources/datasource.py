@@ -136,6 +136,11 @@ class BoltReader(DataSourceReader):
         unknown = set(self.out_cols) - set(by_name)
         if unknown:
             raise KeyError(f"unknown columns {unknown}; encoded: {list(by_name)}")
+        for c in self.out_cols:
+            if nest.contains_map(by_name[c].dataType):
+                raise NotImplementedError(
+                    f"column {c!r} contains a map; the DSv2 source does not "
+                    "reassemble maps yet — read via engine.decode_table")
         # flat storage leaves backing the logical projection
         self.out_leaves = []
         for c in self.out_cols:

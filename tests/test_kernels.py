@@ -473,3 +473,31 @@ def test_list_block_null_elements_roundtrip():
             block.decode_block(block.encode_block(
                 lists.ListColumn(np.array([0, 9], np.int64), dense, ev),
                 "lf64", "list"))
+
+
+def test_lbytes_list_block_roundtrip():
+    """list<string> blocks: lengths stream + byte-array element stream
+    (own selector), element validity, and the row gather."""
+    import numpy as np
+
+    from boltspark.kernels import block, lists, strings
+
+    offsets = np.array([0, 2, 2, 5, 6], dtype=np.int64)
+    vals = strings.from_pylist([b"ab", b"", b"hello", b"x", b"yy", b"zzz"])
+    col = lists.ListColumn(offsets, vals)
+    blk = block.encode_block(col, "lbytes", "list")
+    out, validity, tag, codec, n = block.decode_block(blk)
+    assert (n, tag) == (4, "lbytes") and validity is None
+    assert np.array_equal(out.offsets, offsets)
+    assert out.values.to_pylist() == vals.to_pylist()
+
+    ev = np.array([1, 0, 1, 1, 0, 1], dtype=bool)
+    dense = strings.from_pylist([b"ab", b"hello", b"x", b"zzz"])
+    blk2 = block.encode_block(lists.ListColumn(offsets, dense, ev),
+                              "lbytes", "list")
+    o2, *_ = block.decode_block(blk2)
+    assert np.array_equal(o2.elem_validity, ev)
+    assert o2.values.to_pylist() == dense.to_pylist()
+    sel, _, _, _, ns = block.decode_block_rows(blk2, np.array([True, False, True, False]))
+    assert ns == 2 and np.array_equal(sel.offsets, [0, 2, 5])
+    assert sel.values.to_pylist() == [b"ab", b"hello", b"x"]
