@@ -464,6 +464,28 @@ def _q_point_query_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_roundtrip_after_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocks compaction (engine/compact.py): two appended runs fold into
+    one run with no re-encode; the compacted dataset must decode to the
+    exact source table."""
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.compact import compact_blocks
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_compact_")
+    half = F.col("doc_id") % 2
+    encode_table(docs.filter(half == 0), f"{d}/b", f"{d}/m", key_cols=("doc_id",),
+                 n_parts=8, resume=False, run_id="r1")
+    encode_table(docs.filter(half == 1), f"{d}/b", f"{d}/m", key_cols=("doc_id",),
+                 n_parts=8, resume=False, run_id="r2")
+    compact_blocks(spark, f"{d}/b", f"{d}/m", f"{d}/b2", f"{d}/m2")
+    back = decode_table(spark, f"{d}/b2", f"{d}/m2")
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def _q_fsst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FSST symbol-table compression pinned on the text column
     (codec_override): greedy-parse encode + vectorized decode must be
@@ -741,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_query_rows": _q_point_query_rows,
         "fsst_roundtrip": _q_fsst_roundtrip,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
+        "roundtrip_after_compact": _q_roundtrip_after_compact,
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
         "decode_dict_eq": _q_decode_dict_eq,
@@ -835,6 +858,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(12 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"
         ),
         "fsst_roundtrip": "SELECT doc_id, text FROM documents",
+        "roundtrip_after_compact": (
+            "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM documents"
+        ),
         "roundtrip_media_meta": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "sha256(COALESCE(text, '')) AS payload_sha, "
