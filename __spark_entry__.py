@@ -145,6 +145,24 @@ def _q_dsv2_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_chars").cast("long").alias("n_chars")))
 
 
+def _q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX (engine/stats.py): aggregated from the
+    zone-map stats leaves alone — the scan never reads a payload byte
+    (footer-Statistics analog, parquet_metadata_thrift.rs:657)."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.stats import column_minmax
+
+    _ship(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    d = tempfile.mkdtemp(prefix="boltspark_minmax_")
+    encode_table(ev, f"{d}/blocks", f"{d}/manifest", key_cols=("event_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    mm = column_minmax(spark, f"{d}/blocks", f"{d}/manifest")
+    return mm.select(
+        "column", F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"), "n_rows", "has_null")
+
+
 def _q_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-selector statistics as a declarative aggregation: distinct
     count, distinct ratio and average byte length per string column."""
@@ -769,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_dict_eq": _q_decode_dict_eq,
         "dsv2_filtered_read": _q_dsv2_filtered_read,
         "selector_stats": _q_selector_stats,
+        "stats_minmax": _q_stats_minmax,
         "run_length_stats": _q_run_length_stats,
         "manifest_rowcounts": _q_manifest_rowcounts,
         "token_count": _q_token_count,
@@ -913,6 +932,14 @@ def oracle_sql() -> dict[str, str]:
         "dsv2_filtered_read": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang = 'en' AND n_chars >= 300"
+        ),
+        "stats_minmax": (
+            "SELECT 'event_id' AS \"column\", "
+            "ROUND(CAST(MIN(event_id) AS DOUBLE), 6) AS vmin, "
+            "ROUND(CAST(MAX(event_id) AS DOUBLE), 6) AS vmax, "
+            "COUNT(*) AS n_rows, FALSE AS has_null FROM events "
+            "UNION ALL SELECT 'value', ROUND(MIN(value), 6), "
+            "ROUND(MAX(value), 6), COUNT(*), FALSE FROM events"
         ),
         "selector_stats": (
             "SELECT * FROM ("

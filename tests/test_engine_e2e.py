@@ -664,3 +664,88 @@ def test_string_list_and_map_columns_roundtrip(spark, tmp_path):
     from boltspark.sources import datasource as ds
     with _pytest.raises(Exception, match="map"):
         ds.load(spark, f"{d}/b", f"{d}/m").count()
+
+
+def test_column_minmax_metadata_only(spark, tmp_path):
+    """engine/stats.py: table MIN/MAX aggregates from the typed stats
+    leaves — exact for doubles and small ints, and the plan's ReadSchema
+    must contain no 'block' leaf (no payload bytes read)."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.engine.stats import column_minmax
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value",
+        F.when(F.col("event_id") % 5 != 0, F.col("value") * 2).alias("v2"))
+    d = str(tmp_path)
+    encode_table(ev, f"{d}/b", f"{d}/m", key_cols=("event_id",), n_parts=4,
+                 resume=False)
+    mm = {r["column"]: r for r in
+          column_minmax(spark, f"{d}/b", f"{d}/m").collect()}
+    exp = ev.agg(F.min("value"), F.max("value"), F.min("v2"), F.max("v2"),
+                 F.count(F.lit(1))).first()
+    assert mm["value"]["vmin"] == exp[0] and mm["value"]["vmax"] == exp[1]
+    assert mm["v2"]["vmin"] == exp[2] and mm["v2"]["vmax"] == exp[3]
+    assert mm["value"]["n_rows"] == exp[4]
+    assert mm["v2"]["has_null"] and not mm["value"]["has_null"]
+    plan = column_minmax(spark, f"{d}/b", f"{d}/m")._jdf.queryExecution(
+        ).executedPlan().toString()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "cols" in ln]
+    assert rs and all("block" not in ln for ln in rs), plan
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        column_minmax(spark, f"{d}/b", f"{d}/m", columns=["nope"])
+
+
+def test_gc_orphans_removes_only_uncommitted_runs(spark, tmp_path):
+    """engine/compact.py::gc_orphans: files of runs that never committed
+    are reported and deleted; manifested data is untouched and decode is
+    unchanged after deletion."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.compact import gc_orphans
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value")
+    d = str(tmp_path)
+    encode_table(ev, f"{d}/b", f"{d}/m", key_cols=("event_id",), n_parts=4,
+                 resume=False, run_id="good")
+    # forge a crashed run: blocks appended, manifest never written
+    blocks = spark.read.parquet(f"{d}/b")
+    blocks.withColumn("run_id", F.lit("deadrun")).write.mode("append").option(
+        "compression", "none").parquet(f"{d}/b")
+    n = ev.count()
+    assert decode_table(spark, f"{d}/b", f"{d}/m").count() == n
+    rep = gc_orphans(spark, f"{d}/b", f"{d}/m")  # dry run
+    assert rep["orphan_files"] > 0 and rep["bytes"] > 0
+    gc_orphans(spark, f"{d}/b", f"{d}/m", delete=True)
+    assert gc_orphans(spark, f"{d}/b", f"{d}/m")["orphan_files"] == 0
+    assert decode_table(spark, f"{d}/b", f"{d}/m").count() == n
+
+
+def test_struct_containing_map_roundtrip(spark, tmp_path):
+    """Nested combo: struct<a:int, m:map<string,long>> flattens through
+    both the struct and map legs of engine/nest.py."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 != 0, F.struct(
+            (F.col("id") % 9).cast("int").alias("a"),
+            F.create_map(F.lit("x"), F.col("id"),
+                         F.lit("y"), F.col("id") * 3).alias("m"),
+        )).alias("s"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=3,
+                 resume=False)
+    back = decode_table(spark, f"{d}/b", f"{d}/m")
+    a = df.select("doc_id", F.col("s.a").alias("a"),
+                  F.map_entries("s.m").alias("e"), F.col("s").isNull().alias("sn"))
+    b = back.select("doc_id", F.col("s.a").alias("a"),
+                    F.map_entries("s.m").alias("e"), F.col("s").isNull().alias("sn"))
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
