@@ -297,6 +297,7 @@ def decode_table(
     include_part_id: bool = False,
     n_tasks: int | None = None,
     part_ids: list[int] | None = None,
+    run_ids: list[str] | None = None,
     seq_range: tuple[int, int] | None = None,
     row_range: tuple[int, int] | None = None,
     shuffle: bool | None = None,  # retained for API compat; decode never shuffles
@@ -429,6 +430,10 @@ def decode_table(
         # scan-level filter: pruning shows in PushedFilters and prunes
         # row groups via part_id min/max stats
         blocks = blocks.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))
+    if run_ids is not None:
+        # incremental decode (streaming follower): only the named runs'
+        # blocks are read — pushed string filter prunes whole files
+        blocks = blocks.filter(F.col("run_id").isin(list(run_ids)))
     if seq_range is not None:
         # seq interval pushdown (mid-partition skip): tasks write groups
         # in seq order, so parquet row-group min/max stats prune here too
@@ -449,6 +454,8 @@ def decode_table(
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     if part_ids is not None:
         valid = valid.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))
+    if run_ids is not None:
+        valid = valid.filter(F.col("run_id").isin(list(run_ids)))
     blocks = blocks.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
     if n_tasks:
         blocks = blocks.repartition(n_tasks)

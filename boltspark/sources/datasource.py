@@ -40,8 +40,9 @@ import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
                                     Filter, GreaterThan, GreaterThanOrEqual,
-                                    In, InputPartition, IsNotNull, LessThan,
-                                    LessThanOrEqual, StringStartsWith)
+                                    In, InputPartition, IsNotNull, IsNull,
+                                    LessThan, LessThanOrEqual,
+                                    StringStartsWith)
 from pyspark.sql.types import StructType
 
 META_KEY = "__table_meta__"
@@ -116,6 +117,9 @@ def _to_predicate(f: Filter):
     if isinstance(f, IsNotNull):
         # type-agnostic IS NOT NULL: accept every non-null value
         return ef.ConstPredicate(column=attr, accept=True, null_allowed=False)
+    if isinstance(f, IsNull):
+        # reject every value, keep nulls — zone maps skip all-non-null blocks
+        return ef.ConstPredicate(column=attr, accept=False, null_allowed=True)
     return None
 
 

@@ -235,3 +235,25 @@ def test_boltspark_datasource_struct_columns(spark, tmp_path):
     # projection of just the struct
     pr = ds.load(spark, f"{d}/b", f"{d}/m", columns=["doc_id", "m"])
     assert pr.columns == ["doc_id", "m"] and pr.count() == 150
+
+
+def test_boltspark_datasource_isnull_pushdown(spark, tmp_path):
+    """IsNull maps to ConstPredicate(accept=False, null_allowed=True):
+    only null rows survive, enforced exactly by the source."""
+    from pyspark.sql import functions as F
+
+    from boltspark import corpus
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    d = str(tmp_path)
+    corpus.write_parquet(f"{d}/c.parquet", 800, with_nullable=True)
+    df = spark.read.parquet(f"{d}/c.parquet")
+    nullable = next(c for c in df.columns
+                    if df.filter(F.col(c).isNull()).count() > 0)
+    encode_table(df, f"{d}/b", f"{d}/m", target_partition_bytes=1 << 20,
+                 resume=False)
+    got = ds.load(spark, f"{d}/b", f"{d}/m").filter(
+        F.col(nullable).isNull()).count()
+    exp = df.filter(F.col(nullable).isNull()).count()
+    assert exp > 0 and got == exp

@@ -151,3 +151,38 @@ def test_compact_preserves_evolved_columns(spark, tmp_path):
     after = decode_table(spark, f"{d}/b2", f"{d}/m2").select("path", "extra")
     assert after.columns == ["path", "extra"]
     assert before.exceptAll(after).count() + after.exceptAll(before).count() == 0
+
+
+def test_decode_stream_follows_manifest(spark, tmp_path):
+    """streaming/stream_decode.py: new runs decode incrementally as
+    their manifest commit appears; output is partitioned by run and
+    multiset-equal to the source across epochs."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.streaming.stream_decode import decode_stream
+
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text")
+    half = F.col("doc_id") % 2
+    encode_table(docs.filter(half == 0), f"{d}/b", f"{d}/m",
+                 key_cols=("doc_id",), n_parts=4, resume=False, run_id="e0")
+
+    q = decode_stream(spark, f"{d}/b", f"{d}/m", f"{d}/out", f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+        got1 = spark.read.parquet(f"{d}/out")
+        assert got1.count() == docs.filter(half == 0).count()
+        # second epoch appears -> decoded incrementally
+        encode_table(docs.filter(half == 1), f"{d}/b", f"{d}/m",
+                     key_cols=("doc_id",), n_parts=4, resume=False, run_id="e1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(f"{d}/out")
+    assert set(r["run_id"] for r in got.select("run_id").distinct().collect()) \
+        == {"e0", "e1"}
+    a = docs.select("doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("h"))
+    b = got.select("doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("h"))
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
