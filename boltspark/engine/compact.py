@@ -79,6 +79,7 @@ def gc_orphans(
     blocks_path: str,
     manifest_path: str,
     delete: bool = False,
+    min_age_seconds: float = 3600.0,
 ) -> dict:
     """Garbage-collect orphan block files (runs that crashed before
     their manifest commit): decode already ignores them via the
@@ -87,40 +88,48 @@ def gc_orphans(
     A blocks file is written by one task of one run, so a file is
     orphaned iff EVERY (part_id, run_id) row in it lacks a manifest
     entry — computed JVM-side from the metadata leaves (part_id,
-    run_id, _metadata), never a payload read.  Only the per-FILE
-    verdict list rides to the driver (O(files), which any deleter
-    must hold anyway).  Returns {"orphan_files", "orphan_groups",
-    "bytes"}; pass delete=True to unlink (local paths only)."""
-    import os
+    run_id, _metadata) in ONE grouped pass, never a payload read.  Only
+    the per-FILE verdict list rides to the driver (O(files), which any
+    deleter must hold anyway).
 
-    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    ``min_age_seconds`` is the IN-FLIGHT WRITER GUARD: encode writes
+    blocks BEFORE its manifest commit, so a freshly written file may be
+    seconds away from becoming manifested — files younger than the
+    grace window are never reported or deleted (the same reasoning as
+    any table format's vacuum retention).  Returns {"orphan_files",
+    "orphan_groups", "bytes"}; pass delete=True to unlink (local paths
+    only)."""
+    import os
+    import time as _time
+
+    cutoff = _time.time() - float(min_age_seconds)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path).withColumn(
+        "__ok", F.lit(True))
     per_file = (
         spark.read.option("mergeSchema", "true").parquet(blocks_path)
         .select(PART_ID, "run_id",
                 F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.file_size").alias("__sz"))
-        .join(F.broadcast(valid), [PART_ID, "run_id"], "left_anti")
+                F.col("_metadata.file_size").alias("__sz"),
+                F.col("_metadata.file_modification_time").cast("double")
+                .alias("__mt"))
+        .join(F.broadcast(valid), [PART_ID, "run_id"], "left")
         .groupBy("__fp")
-        .agg(F.count(F.lit(1)).alias("n_orphan"), F.first("__sz").alias("sz"))
+        .agg(
+            F.max(F.coalesce(F.col("__ok"), F.lit(False))).alias("any_valid"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.first("__sz").alias("sz"),
+            F.first("__mt").alias("mtime"),
+        )
+        .filter(~F.col("any_valid") & (F.col("mtime") < cutoff))
         .collect()
     )
-    # a file appears here only via its ORPHAN rows; confirm the whole
-    # file is orphaned by checking it has no manifested rows at all
-    manifested_files = {
-        r["__fp"] for r in
-        spark.read.option("mergeSchema", "true").parquet(blocks_path)
-        .select(PART_ID, "run_id", F.col("_metadata.file_path").alias("__fp"))
-        .join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
-        .select("__fp").distinct().collect()
-    }
-    orphans = [r for r in per_file if r["__fp"] not in manifested_files]
-    n_groups = sum(r["n_orphan"] for r in orphans)
-    total = sum(r["sz"] for r in orphans)
+    n_groups = sum(r["n_groups"] for r in per_file)
+    total = sum(r["sz"] for r in per_file)
     if delete:
-        for r in orphans:
+        for r in per_file:
             p = r["__fp"]
             local = p[len("file:"):] if p.startswith("file:") else p
             local = "/" + local.lstrip("/")
             os.remove(local)
-    return {"orphan_files": len(orphans), "orphan_groups": int(n_groups),
+    return {"orphan_files": len(per_file), "orphan_groups": int(n_groups),
             "bytes": int(total)}

@@ -389,8 +389,13 @@ def decode_table(
             raise ValueError(f"empty row_range {row_range}")
         # one tiny metadata scan (seq/n_rows leaves only, part_id pruned,
         # orphans excluded) -> partition-global group offsets; a point
-        # query's group list is O(partition bytes / block bytes) rows
+        # query's group list is O(partition bytes / block bytes) rows.
+        # With run_ids the offsets are RUN-RELATIVE (positions among the
+        # named runs' rows in (run_id, seq) order), matching the scan
+        # filter below.
         valid0 = manifestmod.valid_pairs_df(spark, manifest_path)
+        if run_ids is not None:
+            valid0 = valid0.filter(F.col("run_id").isin(list(run_ids)))
         groups = (
             spark.read.option("mergeSchema", "true").parquet(blocks_path)
             .filter(F.col(PART_ID) == int(part_ids[0]))

@@ -29,11 +29,11 @@ def column_minmax(
     manifest_path: str,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    """(column, vmin, vmax, n_rows, has_null) per numeric/temporal
-    column, computed entirely from stats leaves (no payload reads, no
-    Python evaluation node).  Unknown columns raise; byte/list columns
-    are skipped unless explicitly requested (byte columns then report
-    prefix bounds as ``vmin_pfx``/``vmax_pfx`` via ``byte_minmax``)."""
+    """(column, vmin, vmax, n_rows, has_null) per column, computed
+    entirely from stats leaves (no payload reads, no Python evaluation
+    node).  Unknown columns raise.  Byte and list columns carry no
+    numeric zone bounds, so their vmin/vmax come back NULL (row counts
+    and null flags are still real)."""
     meta = manifestmod.table_meta(spark, manifest_path)
     all_cols = meta["columns"]
     cols = list(columns or all_cols)
@@ -61,6 +61,9 @@ def column_minmax(
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
             F.sum("n_rows").alias("n_rows"),
-            F.max(F.coalesce(F.col("has_null"), F.lit(False))).alias("has_null"),
+            # a NULL stats struct means the group PREDATES the column
+            # (schema evolution) — its rows decode as NULL, so the
+            # column does contain nulls there
+            F.max(F.coalesce(F.col("has_null"), F.lit(True))).alias("has_null"),
         )
     )

@@ -354,10 +354,21 @@ def encode(col: StringColumn, tag: str = "bytes",
     # literal tokens are single bytes at their start positions
     literals = buf[token_start & (code_at == LITERAL)].tobytes()
 
-    # tokens per row: one int32 running count sampled at the row offsets
-    cz = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(token_start, dtype=np.int32, out=cz[1:])
-    token_counts = (cz[col.offsets[1:]] - cz[col.offsets[:-1]]).astype(np.uint64)
+    # tokens per row: a running token count sampled at the row offsets,
+    # accumulated over bounded chunks so the transient stays ~4 bytes
+    # per CHUNK byte, not per buffer byte (host working-set budget)
+    offs = col.offsets
+    cz_at = np.zeros(len(offs), dtype=np.int64)
+    base = 0
+    for a in range(0, n, 1 << 20):
+        b = min(a + (1 << 20), n)
+        c = np.cumsum(token_start[a:b], dtype=np.int32)
+        lo = np.searchsorted(offs, a, side="right")
+        hi = np.searchsorted(offs, b, side="right")
+        if hi > lo:
+            cz_at[lo:hi] = base + c[offs[lo:hi] - a - 1]
+        base += int(c[-1])
+    token_counts = np.diff(cz_at).astype(np.uint64)
     tc_width = bitpack.min_bit_width(int(token_counts.max()) if n_rows else 0)
 
     sym_blob = b"".join(table)

@@ -69,13 +69,15 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
             else:  # pragma: no cover
                 feats = [real_decode(p, {}) for p in payloads]
             yield pd.DataFrame({
-                "doc_id": pdf[key].astype("int64"),
+                key: pdf[key].astype("int64"),
                 "payload_sha": [hashlib.sha256(p or b"").hexdigest() for p in payloads],
                 "n_bytes": payloads.str.len().fillna(0).astype("int64"),
                 "feature": feats,
             })
 
-    return df.mapInPandas(run, FEATURE_SCHEMA)
+    schema = T.StructType([T.StructField(key, T.LongType())]
+                          + FEATURE_SCHEMA.fields[1:])
+    return df.mapInPandas(run, schema)
 
 
 def media_from_text(df: DataFrame, text_col: str = "text",
@@ -92,7 +94,7 @@ def media_from_text(df: DataFrame, text_col: str = "text",
         F.lit(1).cast("int").alias("n_frames"),
         F.lit(0).cast("int").alias("sample_rate"),
     )
-    return df.select(F.col(key).cast("long").alias("doc_id"),
+    return df.select(F.col(key).cast("long").alias(key),
                      payload.alias("payload"), meta.alias("meta"))
 
 

@@ -57,13 +57,21 @@ def scan(
         # normalize both sides to an absolute scheme-less path and compare
         # for EQUALITY (a suffix match mis-ranks when one given path is a
         # path-suffix of another, e.g. 'x/a.parquet' vs '/data/x/a.parquet')
-        # file_path may be 'file:/p', 'file:///p', or bare '/p'
+        # file_path may be 'file:/p', 'file:///p', 's3://b/p', or bare '/p'
+        import re as _re
+
+        def _norm(p: str) -> str:
+            m = _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", p)
+            if m:  # URI: strip the scheme, keep the path rooted
+                return "/" + p[m.end():].lstrip("/")
+            return os.path.abspath(p)
+
         fp_norm = F.regexp_replace(F.col("_metadata.file_path"),
                                    r"^[A-Za-z][A-Za-z0-9+.\-]*:/+", "/")
         fp = F.col("_metadata.file_path")
         rank = None
         for i, f in enumerate(files):
-            cond = fp_norm == os.path.abspath(f.split("://")[-1])
+            cond = fp_norm == _norm(f)
             rank = F.when(cond, i) if rank is None else rank.when(cond, i)
         rank = rank.otherwise(len(files))
         w_cols = columns or list(df.columns)

@@ -718,10 +718,14 @@ def test_gc_orphans_removes_only_uncommitted_runs(spark, tmp_path):
         "compression", "none").parquet(f"{d}/b")
     n = ev.count()
     assert decode_table(spark, f"{d}/b", f"{d}/m").count() == n
-    rep = gc_orphans(spark, f"{d}/b", f"{d}/m")  # dry run
-    assert rep["orphan_files"] > 0 and rep["bytes"] > 0
-    gc_orphans(spark, f"{d}/b", f"{d}/m", delete=True)
+    # in-flight writer guard: fresh files are NEVER reported under the
+    # default grace window (encode commits its manifest AFTER blocks)
     assert gc_orphans(spark, f"{d}/b", f"{d}/m")["orphan_files"] == 0
+    rep = gc_orphans(spark, f"{d}/b", f"{d}/m", min_age_seconds=0)  # dry run
+    assert rep["orphan_files"] > 0 and rep["bytes"] > 0
+    gc_orphans(spark, f"{d}/b", f"{d}/m", delete=True, min_age_seconds=0)
+    assert gc_orphans(spark, f"{d}/b", f"{d}/m",
+                      min_age_seconds=0)["orphan_files"] == 0
     assert decode_table(spark, f"{d}/b", f"{d}/m").count() == n
 
 
