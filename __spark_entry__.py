@@ -316,6 +316,28 @@ def _q_roundtrip_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "key", F.col("value").cast("long").alias("value"))
 
 
+def _q_array_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership predicate over an encoded array<string> column
+    (ArrayContainsPredicate): rows whose tag list contains 'the',
+    evaluated inside the decode cascade (null rows excluded)."""
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import ArrayContainsPredicate
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120)),
+                " ").alias("tags"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_arrc_")
+    encode_table(src, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = ArrayContainsPredicate(column="tags", value=b"the")
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                        columns=["doc_id"], predicate=pred)
+
+
 def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decimal(12,2) scaled-int64 storage, exact round-trip (the
     reference rejects decimals: primitive_column_reader.rs:450-455)."""
@@ -772,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_nullable_list": _q_roundtrip_nullable_list,
         "roundtrip_string_list": _q_roundtrip_string_list,
         "roundtrip_map": _q_roundtrip_map,
+        "array_contains_filter": _q_array_contains_filter,
         "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_flags": _q_roundtrip_flags,
         "decode_bool_eq": _q_decode_bool_eq,
@@ -838,6 +861,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, LATERAL UNNEST(generate_series(1, len(tags))) AS u(i) "
             "WHERE tags IS NOT NULL "
             "UNION ALL SELECT doc_id, NULL, NULL FROM t WHERE tags IS NULL"
+        ),
+        "array_contains_filter": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "WHERE list_contains(string_split(lower(substr(COALESCE(text, ''),"
+            " 1, 120)), ' '), 'the')"
         ),
         "roundtrip_map": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'n_chars' AS key, "

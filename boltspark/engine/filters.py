@@ -430,6 +430,52 @@ class InPredicate(Predicate):
 
 
 @dataclass
+class ArrayContainsPredicate(Predicate):
+    """value IN list-column row — the membership filter for encoded
+    array columns (array<string> tag lists, array<fixed> features).
+    Null ELEMENTS never match; a null ROW follows the ternary
+    null_allowed rule like every other predicate.  No zone maps exist
+    for list columns, so the block always opens (verdict 'some')."""
+
+    column: str
+    value: object = None
+    null_allowed: bool = False
+
+    def check(self, col) -> np.ndarray:
+        # col is a dense ListColumn (null rows already stripped)
+        vals = col.values
+        if hasattr(vals, "offsets"):  # byte elements
+            v = self.value if isinstance(self.value, bytes) \
+                else str(self.value).encode()
+            hits = BytesEqPredicate(column=self.column, value=v).check_bytes(vals)
+        else:
+            hits = np.asarray(vals) == self.value
+        ev = col.elem_validity
+        if ev is not None:
+            slot_hits = np.zeros(len(ev), dtype=bool)
+            slot_hits[ev] = hits
+            hits = slot_hits
+        # per-row ANY over the slot ranges (running count sampled at the
+        # row offsets — handles empty rows for free)
+        cz = np.zeros(len(hits) + 1, dtype=np.int64)
+        np.cumsum(hits, out=cz[1:])
+        return (cz[col.offsets[1:]] - cz[col.offsets[:-1]]) > 0
+
+    def to_spark_condition(self):
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        v = self.value.decode("utf-8") if isinstance(self.value, bytes) \
+            else self.value
+        cond = F.array_contains(c, v)
+        if self.null_allowed:
+            cond = cond | c.isNull()
+        else:
+            cond = cond & c.isNotNull()
+        return cond
+
+
+@dataclass
 class BytesPrefixPredicate(Predicate):
     """Byte-array predicate: value starts with ``prefix`` — exercises the
     byte-array dictionary filter path the reference left unimplemented."""

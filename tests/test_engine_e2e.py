@@ -753,3 +753,40 @@ def test_struct_containing_map_roundtrip(spark, tmp_path):
     b = back.select("doc_id", F.col("s.a").alias("a"),
                     F.map_entries("s.m").alias("e"), F.col("s").isNull().alias("sn"))
     assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+def test_array_contains_predicate_matches_catalyst(spark, tmp_path):
+    """ArrayContainsPredicate over encoded list columns: byte elements
+    (tag lists) and float elements, both null_allowed polarities, agree
+    with Catalyst's array_contains on the source table."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import ArrayContainsPredicate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 13 != 0,
+               F.split(F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")),
+                                           1, 120)), " ")).alias("tags"))
+    d = str(tmp_path)
+    encode_table(src, f"{d}/b", f"{d}/m", key_cols=("doc_id",),
+                 target_partition_bytes=1 << 19, resume=False)
+    for na in (False, True):
+        pred = ArrayContainsPredicate(column="tags", value=b"the",
+                                      null_allowed=na)
+        got = decode_table(spark, f"{d}/b", f"{d}/m", columns=["doc_id"],
+                           predicate=pred).count()
+        exp = src.filter(pred.to_spark_condition()).count()
+        assert got == exp, (na, got, exp)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    encode_table(emb, f"{d}/be", f"{d}/me", key_cols=("vec_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    needle = float(emb.select(F.col("embedding")[0].alias("v")).first()["v"])
+    pred = ArrayContainsPredicate(column="embedding", value=needle)
+    got = decode_table(spark, f"{d}/be", f"{d}/me", columns=["vec_id"],
+                       predicate=pred).count()
+    exp = emb.filter(F.array_contains("embedding", needle)).count()
+    assert got == exp and got >= 1

@@ -78,3 +78,81 @@ def test_corruption_never_silent(rows, data):
     except Exception:
         return  # loud failure is correct behavior for corrupted bytes
     assert out.to_pylist() == rows
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _string_lists(draw):
+    n = draw(st.integers(0, 20))
+    rows = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            rows.append(None)  # null row
+        else:
+            m = draw(st.integers(0, 6))
+            rows.append([
+                draw(st.one_of(st.none(), st.binary(max_size=12)))
+                for _ in range(m)
+            ])
+    return rows
+
+
+@given(_string_lists())
+@settings(max_examples=60, deadline=None)
+def test_lbytes_block_roundtrip_property(rows):
+    """Arbitrary list<binary> rows (null rows, null elements, empty
+    lists, empty bytes) survive the lbytes block bit-exact."""
+    import numpy as np
+
+    from boltspark.kernels import bitpack, block, lists, strings
+
+    dense_rows = [r for r in rows if r is not None]
+    validity = None
+    if len(dense_rows) != len(rows):
+        validity = np.array([r is not None for r in rows], dtype=bool)
+    slots = [e for r in dense_rows for e in r]
+    ev = None
+    elems = slots
+    if any(e is None for e in slots):
+        ev = np.array([e is not None for e in slots], dtype=bool)
+        elems = [e for e in slots if e is not None]
+    offsets = np.zeros(len(dense_rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in dense_rows], out=offsets[1:])
+    col = lists.ListColumn(offsets, strings.from_pylist(elems), ev)
+    blk = block.encode_block(col, "lbytes", "list", validity=validity)
+    out, out_validity, tag, codec, n = block.decode_block(blk)
+    assert n == len(rows) and tag == "lbytes"
+    if validity is None:
+        assert out_validity is None
+    else:
+        assert np.array_equal(out_validity, validity)
+    assert np.array_equal(out.offsets, offsets)
+    assert out.values.to_pylist() == elems
+    if ev is None:
+        assert out.elem_validity is None
+    else:
+        assert np.array_equal(out.elem_validity, ev)
+    # row gather agrees with full decode on a random-ish mask
+    if len(dense_rows):
+        mask = np.zeros(len(dense_rows), dtype=bool)
+        mask[:: 2] = True
+        sel, _, _, _, _ = block.decode_block_rows(
+            block.encode_block(col, "lbytes", "list"), mask)
+        keep = np.nonzero(mask)[0]
+        exp = [dense_rows[i] for i in keep]
+        got = []
+        p = 0
+        for i, r in enumerate(keep):
+            ln = sel.offsets[i + 1] - sel.offsets[i]
+            row = []
+            for s in range(sel.offsets[i], sel.offsets[i + 1]):
+                if sel.elem_validity is not None and not sel.elem_validity[s]:
+                    row.append(None)
+                else:
+                    row.append(sel.values[p])
+                    p += 1
+            got.append(row)
+        assert got == exp
