@@ -39,6 +39,13 @@ from .schema import (PART_ID, blocks_arrow_schema, blocks_spark_schema,
 
 DEFAULT_BLOCK_BYTES = 4 << 20
 DEFAULT_KEY_COLS = ("repo", "path", "commit")
+# engine-level outer compression: zstd level 9 cuts stored bytes ~11%
+# end-to-end vs level 3 at NO wall-time cost here — the pipeline runs at
+# ~5 MB/s/core while zstd-9 compresses at ~60 MB/s/core, so the outer
+# pass is never the bottleneck (encode-once corpora buy storage with
+# idle CPU).  The kernel default stays level 3 (balanced) for direct
+# block users; the level is not part of the block format.
+DEFAULT_OUTER_LEVEL = 9
 
 
 @dataclass
@@ -191,7 +198,8 @@ def _split_points(batch: pa.RecordBatch, columns: list[str], block_bytes: int) -
 
 def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                   outer: str | None,
-                  codec_override: dict[str, str] | None = None):
+                  codec_override: dict[str, str] | None = None,
+                  outer_level: int | None = None):
     """Build the mapInArrow function. State (codec choice, FSST symbol
     table) is cached per (partition, column) so the table is built once
     per partition, not once per block."""
@@ -252,6 +260,7 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                     blk = blockmod.encode_block(
                         values, tag, choice.codec, validity=validity,
                         outer=choice.outer, fsst_table=fsst_tables.get(name),
+                        outer_level=outer_level,
                     )
                 except (TypeError, ValueError):
                     # stale per-partition choice (e.g. negatives appeared
@@ -260,7 +269,7 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                         "plain", choice.outer, choice.stats, 1.0)
                     blk = blockmod.encode_block(
                         values, tag, "plain", validity=validity,
-                        outer=choice.outer,
+                        outer=choice.outer, outer_level=outer_level,
                     )
                 dt = (time.perf_counter() - t0) * 1000
                 raw = values.nbytes if hasattr(values, "nbytes") else np.asarray(values).nbytes
@@ -326,6 +335,7 @@ def encode_table(
     n_parts: int | None = None,
     run_id: str | None = None,
     codec_override: dict[str, str] | None = None,
+    outer_level: int | None = None,
 ) -> EncodeResult:
     """Encode ``columns`` of ``df`` into a blocks dataset + manifest.
 
@@ -333,11 +343,17 @@ def encode_table(
     via a broadcast left-anti join (the reference's ``skip`` analog —
     local_file_reader.rs:126-171 hops whole row groups from footer
     arithmetic alone; we hop whole partitions from the manifest alone).
+
+    ``outer_level`` overrides the outer compressor's level (None ->
+    DEFAULT_OUTER_LEVEL = zstd 9; decode speed is unchanged and the
+    level is not part of the block format).
     """
     t_start = time.time()
     spark = df.sparkSession
     columns = list(columns or df.columns)
     run_id = run_id or uuid.uuid4().hex[:12]
+    if outer_level is None:
+        outer_level = DEFAULT_OUTER_LEVEL
     if any(nest.SEP in c for c in list(columns) + list(key_cols)):
         raise ValueError(r"column names may not contain \x1f (reserved for"
                          " struct-leaf flattening)")
@@ -400,7 +416,8 @@ def encode_table(
     n_planned = n_parts - n_done
 
     blocks = keyed.mapInArrow(
-        _make_encoder(columns, run_id, block_bytes, outer, codec_override),
+        _make_encoder(columns, run_id, block_bytes, outer, codec_override,
+                      outer_level),
         blocks_spark_schema(columns),
     )
     # payloads are self-compressed; parquet recompression would waste CPU

@@ -185,10 +185,11 @@ def decode_values(payload: bytes, meta: dict, n: int, tag: str, codec: str):
 OUTER_LEVELS = {"zstd": 3}
 
 
-def _outer_compress(payload: bytes, outer: str) -> bytes:
+def _outer_compress(payload: bytes, outer: str,
+                    level: int | None = None) -> bytes:
     import pyarrow as pa
 
-    level = OUTER_LEVELS.get(outer)
+    level = level if level is not None else OUTER_LEVELS.get(outer)
     codec = pa.Codec(outer, compression_level=level) if level else pa.Codec(outer)
     return codec.compress(payload, asbytes=True)
 
@@ -213,16 +214,19 @@ def _outer_decompress(payload: bytes, outer: str, raw_len: int) -> bytes:
 
 def encode_block(values, tag: str, codec: str, validity: np.ndarray | None = None,
                  outer: str | None = None,
-                 fsst_table: list[bytes] | None = None) -> bytes:
+                 fsst_table: list[bytes] | None = None,
+                 outer_level: int | None = None) -> bytes:
     """Assemble a full block. ``values`` must already be dense (non-null only);
-    ``validity`` is the full-length bool mask (None = no nulls)."""
+    ``validity`` is the full-length bool mask (None = no nulls).
+    ``outer_level`` overrides the outer compressor's level (encode-side
+    only — the level is not part of the format, decode never needs it)."""
     n_rows = len(validity) if validity is not None else len(values)
     payload, meta = encode_values(values, tag, codec, fsst_table=fsst_table)
     raw_len = len(payload)
     outer = outer or "none"
     stored = payload
     if outer != "none":
-        stored = _outer_compress(payload, outer)
+        stored = _outer_compress(payload, outer, outer_level)
         if len(stored) >= raw_len:  # incompressible — keep raw
             outer, stored = "none", payload
     flags = (1 if validity is not None else 0) | (2 if outer != "none" else 0)
