@@ -336,6 +336,7 @@ def encode_table(
     run_id: str | None = None,
     codec_override: dict[str, str] | None = None,
     outer_level: int | None = None,
+    sort_cols: tuple[str, ...] | None = None,
 ) -> EncodeResult:
     """Encode ``columns`` of ``df`` into a blocks dataset + manifest.
 
@@ -347,6 +348,12 @@ def encode_table(
     ``outer_level`` overrides the outer compressor's level (None ->
     DEFAULT_OUTER_LEVEL = zstd 9; decode speed is unchanged and the
     level is not part of the block format).
+
+    ``sort_cols`` clusters each partition by the given columns instead
+    of the key columns: blocks then carry narrow zone-map ranges on a
+    hot filter column, so range/point predicates prune most blocks
+    JVM-side before any payload byte moves (Z-order-lite; see
+    partitioner.with_partition_id).
     """
     t_start = time.time()
     spark = df.sparkSession
@@ -402,7 +409,7 @@ def encode_table(
         storage_schema_json = flat_schema.json()
         logical_schema_json = logical_schema.json()
 
-    keyed = with_partition_id(df_sel, key_cols, n_parts)
+    keyed = with_partition_id(df_sel, key_cols, n_parts, sort_cols)
     if n_done:
         from pyspark.sql import functions as F
 

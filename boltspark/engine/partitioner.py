@@ -107,7 +107,8 @@ def num_partitions(total_bytes: int, target_bytes: int, min_parts: int = 1) -> i
     return max(min_parts, -(-total_bytes // max(target_bytes, 1)))
 
 
-def with_partition_id(df: DataFrame, key_cols: tuple[str, ...], n_parts: int) -> DataFrame:
+def with_partition_id(df: DataFrame, key_cols: tuple[str, ...], n_parts: int,
+                      sort_cols: tuple[str, ...] | None = None) -> DataFrame:
     """Add the deterministic salted partition id and co-locate rows.
 
     ``pmod(xxhash64(key), P)`` both salts giant repos across partitions
@@ -116,12 +117,19 @@ def with_partition_id(df: DataFrame, key_cols: tuple[str, ...], n_parts: int) ->
     land in one task; ``sortWithinPartitions`` lengthens runs for the
     RLE/dict codecs at no extra shuffle (the physical analog of the
     reference's ``is_sorted`` dictionary flag).
+
+    ``sort_cols`` overrides the within-partition order (CLUSTERING): a
+    partition sorted by a hot filter column gives every block a narrow
+    [vmin, vmax] on it, so zone maps prune most blocks for range/point
+    predicates — the Z-order-lite lever for read-heavy tables.  The
+    point-query row order (row_range) follows the same columns.
     """
     keyed = df.withColumn(
         PART_COL, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_parts))
     )
     # sort by partition id FIRST so each partition is one contiguous
-    # segment of its task's Arrow stream, then by key to lengthen runs
+    # segment of its task's Arrow stream, then by sort/key columns
+    order = list(sort_cols) if sort_cols else list(key_cols)
     return keyed.repartition(n_parts, F.col(PART_COL)).sortWithinPartitions(
-        PART_COL, *key_cols
+        PART_COL, *order
     )

@@ -790,3 +790,38 @@ def test_array_contains_predicate_matches_catalyst(spark, tmp_path):
                        predicate=pred).count()
     exp = emb.filter(F.array_contains("embedding", needle)).count()
     assert got == exp and got >= 1
+
+
+def test_sort_cols_clustering_sharpens_zone_maps(spark, tmp_path):
+    """encode_table(sort_cols=...) clusters partitions by a hot filter
+    column: identical query results, but zone maps prune a multiple of
+    the blocks a key-sorted layout keeps."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import RangePredicate
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "value")
+    d = str(tmp_path)
+    encode_table(ev, f"{d}/b0", f"{d}/m0", key_cols=("event_id",),
+                 block_bytes=16 << 10, resume=False)
+    encode_table(ev, f"{d}/b1", f"{d}/m1", key_cols=("event_id",),
+                 block_bytes=16 << 10, resume=False, sort_cols=("value",))
+    pred = RangePredicate(column="value", lower=100.0, upper=110.0)
+    exp = ev.filter(pred.to_spark_condition()).count()
+    survivors = {}
+    for tag in ("0", "1"):
+        got = decode_table(spark, f"{d}/b{tag}", f"{d}/m{tag}",
+                           columns=["event_id"], predicate=pred).count()
+        assert got == exp
+        st = F.col("cols").getField("value").getField("stats")
+        blocks = spark.read.parquet(f"{d}/b{tag}")
+        survivors[tag] = (
+            blocks.filter((st.getField("vmax") >= 100.0)
+                          & (st.getField("vmin") <= 110.0)).count(),
+            blocks.count(),
+        )
+    unsorted_frac = survivors["0"][0] / survivors["0"][1]
+    sorted_frac = survivors["1"][0] / survivors["1"][1]
+    assert sorted_frac < unsorted_frac / 2, survivors
