@@ -79,7 +79,7 @@ def gc_orphans(
     blocks_path: str,
     manifest_path: str,
     delete: bool = False,
-    min_age_seconds: float = 3600.0,
+    min_age_seconds: float = 86400.0,
 ) -> dict:
     """Garbage-collect orphan block files (runs that crashed before
     their manifest commit): decode already ignores them via the
@@ -94,9 +94,12 @@ def gc_orphans(
 
     ``min_age_seconds`` is the IN-FLIGHT WRITER GUARD: encode writes
     blocks BEFORE its manifest commit, so a freshly written file may be
-    seconds away from becoming manifested — files younger than the
-    grace window are never reported or deleted (the same reasoning as
-    any table format's vacuum retention).  Returns {"orphan_files",
+    hours away from becoming manifested — files younger than the grace
+    window are never reported or deleted.  The window MUST exceed the
+    longest-running encode against this table (the same operator
+    contract as any table format's vacuum retention — Delta/Iceberg
+    document identical data-loss semantics for too-short retention);
+    the default is 24 h.  Returns {"orphan_files",
     "orphan_groups", "bytes"}; pass delete=True to unlink (local paths
     only)."""
     import os

@@ -254,7 +254,8 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                             fsst_tables[name] = fsst.build_symbol_table_best(
                                 values.data[: fsst._DEFAULT_SAMPLE])
                         choice = selector.choose(values, tag, outer=outer,
-                                                 fsst_table=fsst_tables.get(name))
+                                                 fsst_table=fsst_tables.get(name),
+                                                 outer_level=outer_level)
                     choice_cache[key] = choice
                 try:
                     blk = blockmod.encode_block(

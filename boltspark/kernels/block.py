@@ -157,13 +157,18 @@ _CODECS = {
 
 
 def encode_values(values, tag: str, codec: str,
-                  fsst_table: list[bytes] | None = None) -> tuple[bytes, dict]:
+                  fsst_table: list[bytes] | None = None,
+                  outer_level: int | None = None) -> tuple[bytes, dict]:
     """Encode dense values with one codec; returns (payload, meta).
 
     ``fsst_table`` reuses a prebuilt symbol table (built once per
-    partition-column by the engine instead of once per block)."""
+    partition-column by the engine instead of once per block);
+    ``outer_level`` reaches the list codec's INNER selector trial so
+    its outer on/off gate matches the level blocks are stored at."""
     if codec == "fsst":
         return fsst.encode(values, tag, table=fsst_table)
+    if codec == "list":
+        return lists.encode(values, tag, outer_level=outer_level)
     enc, _ = _CODECS[codec]
     return enc(values, tag)
 
@@ -190,7 +195,8 @@ def _outer_compress(payload: bytes, outer: str,
     import pyarrow as pa
 
     level = level if level is not None else OUTER_LEVELS.get(outer)
-    codec = pa.Codec(outer, compression_level=level) if level else pa.Codec(outer)
+    codec = (pa.Codec(outer, compression_level=level)
+             if level is not None else pa.Codec(outer))
     return codec.compress(payload, asbytes=True)
 
 
@@ -221,7 +227,8 @@ def encode_block(values, tag: str, codec: str, validity: np.ndarray | None = Non
     ``outer_level`` overrides the outer compressor's level (encode-side
     only — the level is not part of the format, decode never needs it)."""
     n_rows = len(validity) if validity is not None else len(values)
-    payload, meta = encode_values(values, tag, codec, fsst_table=fsst_table)
+    payload, meta = encode_values(values, tag, codec, fsst_table=fsst_table,
+                                  outer_level=outer_level)
     raw_len = len(payload)
     outer = outer or "none"
     stored = payload

@@ -64,7 +64,8 @@ class ListColumn:
         return np.diff(self.offsets)
 
 
-def encode(col: ListColumn, tag: str) -> tuple[bytes, dict]:
+def encode(col: ListColumn, tag: str,
+           outer_level: int | None = None) -> tuple[bytes, dict]:
     from . import block, selector  # lazy: block imports this module
 
     value_tag = LIST_TAGS[tag]
@@ -78,7 +79,8 @@ def encode(col: ListColumn, tag: str) -> tuple[bytes, dict]:
     # trial WITH the outer compressor: codecs like byte-stream split only
     # pay through it (the block layer applies the actual outer pass, so
     # only choice.codec is used here)
-    choice = selector.choose(values, value_tag, outer="zstd")
+    choice = selector.choose(values, value_tag, outer="zstd",
+                             outer_level=outer_level)
     try:
         vpayload, vmeta = block.encode_values(values, value_tag, choice.codec)
         inner = choice.codec

@@ -158,7 +158,8 @@ def _raw_size(values, tag: str) -> int:
 def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
            stats: ColumnStats | None = None,
            fsst_table: list[bytes] | None = None,
-           cost_penalty: dict[str, float] | None = None) -> CodecChoice:
+           cost_penalty: dict[str, float] | None = None,
+           outer_level: int | None = None) -> CodecChoice:
     """Pick (codec, outer) by trial-encoding a sample.
 
     ``fsst_table`` reuses a prebuilt symbol table for the fsst trial
@@ -185,7 +186,9 @@ def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
             continue
         size, out_name = len(payload), "none"
         if outer and outer != "none" and size:
-            comp = len(block._outer_compress(payload, outer))
+            # trial at the SAME level blocks will be stored with, or the
+            # outer on/off gate is decided against the wrong compressor
+            comp = len(block._outer_compress(payload, outer, outer_level))
             if comp < OUTER_MIN_GAIN * size:
                 size, out_name = comp, outer
         scored = size * penalties.get(codec, 1.0)

@@ -153,12 +153,14 @@ def resize_images(df: DataFrame, max_side: int = 224,
                 resized = [real_decode(p, {"resize": (a, b)})
                            for p, a, b in zip(pdf[payload_col], dw, dh)]
             yield pd.DataFrame({
-                "doc_id": pdf[key].astype("int64"),
+                key: pdf[key].astype("int64"),
                 "src_w": w.astype("int32"), "src_h": h.astype("int32"),
                 "dst_w": dw, "dst_h": dh, "resized": resized,
             })
 
-    return df.mapInPandas(run, RESIZE_SCHEMA)
+    schema = T.StructType([T.StructField(key, T.LongType())]
+                          + RESIZE_SCHEMA.fields[1:])
+    return df.mapInPandas(run, schema)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -80,9 +80,6 @@ def test_corruption_never_silent(rows, data):
     assert out.to_pylist() == rows
 
 
-from hypothesis import given, settings, strategies as st
-
-
 @st.composite
 def _string_lists(draw):
     n = draw(st.integers(0, 20))
@@ -146,7 +143,6 @@ def test_lbytes_block_roundtrip_property(rows):
         got = []
         p = 0
         for i, r in enumerate(keep):
-            ln = sel.offsets[i + 1] - sel.offsets[i]
             row = []
             for s in range(sel.offsets[i], sel.offsets[i + 1]):
                 if sel.elem_validity is not None and not sel.elem_validity[s]:
