@@ -23,6 +23,79 @@ from . import manifest as manifestmod
 from .schema import PART_ID
 
 
+def validate_table(
+    spark: SparkSession,
+    blocks_path: str,
+    manifest_path: str,
+    crc_sample: int = 8,
+) -> dict:
+    """Table doctor: structural consistency between the blocks dataset
+    and its manifest, plus a bounded CRC spot-check.
+
+    Checks (all JVM-side aggregations over metadata leaves):
+    * every manifested (part_id, run_id, column) row count equals the
+      sum of its blocks' n_rows (missing/extra groups surface here);
+    * no duplicate (part_id, run_id, seq) group identity;
+    * ``crc_sample`` randomly chosen block payloads decode cleanly
+      (CorruptBlockError = storage rot caught before a reader hits it).
+
+    Returns {"ok": bool, "errors": [up to 20 strings]}.  An empty or
+    orphan-bearing blocks dir is fine — orphans are invisible to decode
+    and are the GC's business, not a consistency error."""
+    from ..kernels import block as blockmod
+    from ..kernels.varint import CorruptBlockError
+
+    meta = manifestmod.table_meta(spark, manifest_path)
+    cols = meta["columns"]
+    errors: list[str] = []
+
+    blocks = spark.read.option("mergeSchema", "true").parquet(blocks_path)
+    man = (spark.read.parquet(manifest_path)
+           .filter(F.col("column") != manifestmod.META_KEY)
+           .select(PART_ID, "run_id", "column",
+                   F.col("n_rows").alias("m_rows")))
+    melt = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.when(F.col("cols").getField(c).isNotNull(),
+                        F.col("n_rows")).otherwise(F.lit(0)).alias("b_rows"))
+        for c in cols
+    ])).alias("m")
+    per = (blocks.select(PART_ID, "run_id", F.col("n_rows"), melt)
+           .select(PART_ID, "run_id", "m.*")
+           .groupBy(PART_ID, "run_id", "column")
+           .agg(F.sum("b_rows").alias("b_rows")))
+    bad = (man.join(per, [PART_ID, "run_id", "column"], "left")
+           .filter(F.col("b_rows").isNull()
+                   | (F.col("b_rows") != F.col("m_rows")))
+           .limit(20).collect())
+    for r in bad:
+        errors.append(
+            f"rowcount mismatch part={r[PART_ID]} run={r['run_id']} "
+            f"col={r['column']}: manifest {r['m_rows']} vs blocks {r['b_rows']}")
+
+    dups = (blocks.groupBy(PART_ID, "run_id", "seq")
+            .agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+            .limit(20).collect())
+    for r in dups:
+        errors.append(f"duplicate group identity part={r[PART_ID]} "
+                      f"run={r['run_id']} seq={r['seq']} x{r['n']}")
+
+    if crc_sample and not errors:
+        c0 = cols[0]
+        sample = (blocks
+                  .select(F.col("cols").getField(c0).getField("block")
+                          .alias("blk"))
+                  .filter(F.col("blk").isNotNull())
+                  .limit(int(crc_sample)).collect())
+        for i, r in enumerate(sample):
+            try:
+                blockmod.decode_block(bytes(r["blk"]))
+            except CorruptBlockError as e:
+                errors.append(f"corrupt block (sample {i}, col {c0}): {e}")
+
+    return {"ok": not errors, "errors": errors}
+
+
 def column_minmax(
     spark: SparkSession,
     blocks_path: str,

@@ -825,3 +825,32 @@ def test_sort_cols_clustering_sharpens_zone_maps(spark, tmp_path):
     unsorted_frac = survivors["0"][0] / survivors["0"][1]
     sorted_frac = survivors["1"][0] / survivors["1"][1]
     assert sorted_frac < unsorted_frac / 2, survivors
+
+
+def test_validate_table_detects_damage(spark, tmp_path):
+    """stats.validate_table: clean tables pass; a missing blocks file
+    (manifested groups gone) and a corrupted payload are both loud."""
+    import glob
+    import os
+
+    from boltspark.engine import encode_table
+    from boltspark.engine.stats import validate_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path)
+    encode_table(docs, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=4,
+                 resume=False)
+    assert validate_table(spark, f"{d}/b", f"{d}/m") == {"ok": True,
+                                                         "errors": []}
+    # orphan blocks are NOT an error (invisible to decode, GC's business)
+    from pyspark.sql import functions as F
+    spark.read.parquet(f"{d}/b").withColumn("run_id", F.lit("dead")).write \
+        .mode("append").option("compression", "none").parquet(f"{d}/b")
+    assert validate_table(spark, f"{d}/b", f"{d}/m")["ok"]
+    # a vanished MANIFESTED blocks file IS an error
+    victim = spark.read.parquet(f"{d}/b").filter(
+        F.col("run_id") != "dead").select(
+        F.col("_metadata.file_path").alias("fp")).first()["fp"]
+    os.remove("/" + victim.split(":", 1)[-1].lstrip("/"))
+    rep = validate_table(spark, f"{d}/b", f"{d}/m")
+    assert not rep["ok"] and any("rowcount mismatch" in e for e in rep["errors"])
