@@ -145,6 +145,34 @@ def _q_dsv2_filtered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_chars").cast("long").alias("n_chars")))
 
 
+def _q_dsv2_map_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map<string,long> columns through the Spark-native DSv2 source:
+    the reader reassembles the #keys/#vals leaves into a pa.MapArray
+    (round-3 gap: engine.decode_table read maps but the DSv2 surface
+    refused them), with a pushed range filter on doc_id enforced by the
+    engine's zone maps.  Null map vs empty map preserved; output
+    exploded to (key, value) rows."""
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("n_chars").isNotNull(), F.create_map(
+            F.lit("n_chars"), F.col("n_chars").cast("long"),
+            F.lit("n2"), (F.col("n_chars") * 2).cast("long"),
+        )).alias("props"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_dsv2map_")
+    encode_table(src, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    r = ds.load(spark, f"{d}/blocks", f"{d}/manifest")
+    return (r.filter(F.col("doc_id") <= 250)
+            .select("doc_id", F.explode_outer("props").alias("key", "value"))
+            .select("doc_id", "key", F.col("value").cast("long").alias("value")))
+
+
 def _q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only MIN/MAX (engine/stats.py): aggregated from the
     zone-map stats leaves alone — the scan never reads a payload byte
@@ -363,6 +391,36 @@ def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_roundtrip_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decimal(38,4) round-trip — the full 128-bit two's-complement word
+    pair rides as tag 'd128' (word-plane plain storage, engine/schema.py
+    + kernels/block.py).  Values exercise both words: |v| ~ 6e22 needs
+    the high word, and alternating sign exercises the two's-complement
+    carry.  Output as strings so both engines print the exact unscaled
+    digits (double would round)."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(
+            "CAST((CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000 "
+            "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
+            "AS DECIMAL(38,4))").alias("big_dec"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_dec38_")
+    encode_table(dfd, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    return back.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("big_dec").cast("string").alias("big_str"),
+    )
+
+
 def _encode_events_flags(spark: SparkSession, sf_dir: str) -> str:
     """Shared helper: events with derived boolean columns, encoded."""
     from boltspark.engine import encode_table
@@ -472,15 +530,22 @@ def _q_point_query_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition in encode order must equal the k..k+n smallest doc_ids of
     that partition with bit-identical text (partition rows are sorted by
     key).  Partition hashes are not SQL-portable, so the oracle pins the
-    verification invariants (the point_query_partition pattern)."""
+    verification invariants (the point_query_partition pattern).
+
+    n_parts is pinned to 8 so the fixture is parallelism-independent:
+    encode_table would otherwise derive n_parts from defaultParallelism
+    (partitioner.num_partitions), and at local[32] the 500-row sf0.01
+    table splits into partitions smaller than k+n rows, truncating the
+    slice (the round-3 CORRECTNESS red).  pmod(xxhash64(doc_id), 8) is
+    deterministic, so partition 1's membership never varies."""
     from boltspark.engine import decode_table, encode_table
 
     _ship(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = tempfile.mkdtemp(prefix="boltspark_rowrange_")
     res = encode_table(docs, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
-                       target_partition_bytes=4 << 20, block_bytes=16 << 10,
-                       resume=False)
+                       n_parts=8, target_partition_bytes=4 << 20,
+                       block_bytes=16 << 10, resume=False)
     pid, k, n = 1, 5, 12
     part = docs.withColumn(
         "p", F.pmod(F.xxhash64("doc_id"), F.lit(res.n_partitions))
@@ -600,11 +665,23 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group detection with planted ground truth: the
+    natural corpus has no byte-identical texts (round-3 run: 0 groups on
+    both sides — a vacuous oracle), so plant 15 byte-identical clones of
+    the 15 smallest non-empty docs.  Each seed must come back as a group
+    of exactly 2 with min_key = the seed's doc_id — a real row-level
+    oracle (the reference's formulaic fixture discipline,
+    test_utils.rs:77-144)."""
     from boltspark.pipeline import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    seeds = (docs.filter(F.length(F.coalesce(F.col("text"), F.lit(""))) >= 1)
+             .orderBy("doc_id").limit(15))
+    clones = seeds.select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text")
     return (
-        dedup.duplicate_groups(docs)
+        dedup.duplicate_groups(docs.unionByName(clones))
         .select("n_dups", F.col("min_key").cast("long").alias("min_key"))
         .orderBy("min_key")
     )
@@ -796,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_map": _q_roundtrip_map,
         "array_contains_filter": _q_array_contains_filter,
         "roundtrip_decimal": _q_roundtrip_decimal,
+        "roundtrip_decimal38": _q_roundtrip_decimal38,
         "roundtrip_flags": _q_roundtrip_flags,
         "decode_bool_eq": _q_decode_bool_eq,
         "decode_float_range": _q_decode_float_range,
@@ -809,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_null_allowed": _q_decode_null_allowed,
         "decode_dict_eq": _q_decode_dict_eq,
         "dsv2_filtered_read": _q_dsv2_filtered_read,
+        "dsv2_map_read": _q_dsv2_map_read,
         "selector_stats": _q_selector_stats,
         "stats_minmax": _q_stats_minmax,
         "run_length_stats": _q_run_length_stats,
@@ -881,6 +960,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty, "
             "CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS disc "
             "FROM lineitem"
+        ),
+        # hugeint arithmetic keeps the 128-bit value exact; VARCHAR cast
+        # prints scale-4 digits identically to Spark's decimal toString
+        "roundtrip_decimal38": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(CAST((CAST(l_orderkey AS HUGEINT) * 1000000000000000000 "
+            "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
+            "AS DECIMAL(38,4)) AS VARCHAR) AS big_str FROM lineitem"
         ),
         "roundtrip_flags": (
             "SELECT event_id, value > 245.0 AS is_big, "
@@ -961,6 +1048,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE lang = 'en' AND n_chars >= 300"
         ),
+        "dsv2_map_read": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'n_chars' AS key, "
+            "CAST(n_chars AS BIGINT) AS value FROM documents "
+            "WHERE n_chars IS NOT NULL AND doc_id <= 250 "
+            "UNION ALL SELECT CAST(doc_id AS BIGINT), 'n2', "
+            "CAST(n_chars * 2 AS BIGINT) FROM documents "
+            "WHERE n_chars IS NOT NULL AND doc_id <= 250 "
+            "UNION ALL SELECT CAST(doc_id AS BIGINT), NULL, NULL "
+            "FROM documents WHERE n_chars IS NULL AND doc_id <= 250"
+        ),
         "stats_minmax": (
             "SELECT 'event_id' AS \"column\", "
             "ROUND(CAST(MIN(event_id) AS DOUBLE), 6) AS vmin, "
@@ -1006,10 +1103,13 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT text) + CASE WHEN COUNT(*) - COUNT(text) > 0 "
             "THEN 1 ELSE 0 END AS n_after_dedup FROM documents"
         ),
+        # planted byte-identical clones: each of the 15 smallest non-empty
+        # docs gains exactly one clone (the corpus itself has no exact
+        # dups), so every group is (n_dups=2, min_key=seed doc_id)
         "duplicate_groups": (
-            "SELECT CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS min_key "
-            "FROM documents GROUP BY COALESCE(text, '') HAVING COUNT(*) > 1 "
-            "ORDER BY min_key"
+            "SELECT CAST(2 AS BIGINT) AS n_dups, "
+            "CAST(doc_id AS BIGINT) AS min_key FROM documents "
+            "WHERE length(COALESCE(text, '')) >= 1 ORDER BY doc_id LIMIT 15"
         ),
         "quality_scores": (
             "WITH base AS ("

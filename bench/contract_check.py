@@ -21,9 +21,12 @@ def canon(df: pd.DataFrame) -> str:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return hashlib.sha256(pd.util.hash_pandas_object(df, index=False).values.tobytes()).hexdigest()
 
+import os
 import __spark_entry__ as e
 from boltspark.engine.session import get_session
-spark = get_session("contract", cpus=16)
+# default 32 to match the driver's local[32] — the round-3 red was a
+# parallelism-sensitive fixture that only failed at the driver's width
+spark = get_session("contract", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 spark.sparkContext.setLogLevel("ERROR")
 
 con = duckdb.connect()

@@ -51,6 +51,9 @@ def arrow_out_type(t, tz: str = "UTC") -> pa.DataType:
         return pa.decimal128(t.precision, t.scale)
     if name == "array":
         return pa.list_(arrow_out_type(t.elementType, tz))
+    if name == "map":
+        return pa.map_(arrow_out_type(t.keyType, tz),
+                       arrow_out_type(t.valueType, tz))
     if name == "struct":
         return pa.struct([pa.field(f.name, arrow_out_type(f.dataType, tz), True)
                           for f in t.fields])
@@ -118,16 +121,26 @@ def _list_to_arrow(col: lists.ListColumn, validity: np.ndarray | None,
 
 def _decimal_from_i64(values: np.ndarray, validity: np.ndarray | None,
                       target: pa.DataType) -> pa.Array:
-    """Unscaled int64 -> decimal128(p, s) via the 16-byte two's-complement
-    storage (low word = value, high word = sign extension)."""
-    if validity is not None:
-        full = blockmod.scatter_nulls_fixed(np.asarray(values), validity)
+    """Unscaled int storage -> decimal128(p, s) via the 16-byte
+    two's-complement layout.  Storage is either 1-D int64 (p <= 18: low
+    word only, high word is sign extension) or (n, 2) int64 (lo, hi)
+    word pairs (tag "d128", 18 < p <= 38)."""
+    dense = np.asarray(values, dtype=np.int64)
+    if dense.ndim == 2:  # d128 word pairs: already the full 16 bytes
+        if validity is not None:
+            full = np.zeros((len(validity), 2), dtype=np.int64)
+            full[validity] = dense
+            pairs = full
+        else:
+            pairs = np.ascontiguousarray(dense)
+        n = len(pairs)
     else:
-        full = np.asarray(values, dtype=np.int64)
-    n = len(full)
-    pairs = np.empty((n, 2), dtype=np.int64)
-    pairs[:, 0] = full
-    pairs[:, 1] = full >> 63  # 0 / -1 sign extension
+        full = (blockmod.scatter_nulls_fixed(dense, validity)
+                if validity is not None else dense)
+        n = len(full)
+        pairs = np.empty((n, 2), dtype=np.int64)
+        pairs[:, 0] = full
+        pairs[:, 1] = full >> 63  # 0 / -1 sign extension
     vbuf = None if validity is None else pa.py_buffer(bitpack.pack_bools(validity))
     return pa.Array.from_buffers(target, n, [vbuf, pa.py_buffer(pairs.tobytes())])
 
@@ -169,6 +182,10 @@ def _decode_mask(blk, stats: dict, predicate: Predicate):
     if zone == ALL:
         return "all", None
     payload, validity, meta, tag, codec, n_rows = blockmod.open_block(blk)
+    if tag == "d128":
+        raise NotImplementedError(
+            "predicates on decimal(p>18) columns are not supported — "
+            "filter after decode, or store at precision <= 18")
     n_valid = int(validity.sum()) if validity is not None else n_rows
     if codec == "dict":
         uniques, codes = dictionary.decode_parts(payload, meta, n_valid, tag)

@@ -39,13 +39,14 @@ from .schema import (PART_ID, blocks_arrow_schema, blocks_spark_schema,
 
 DEFAULT_BLOCK_BYTES = 4 << 20
 DEFAULT_KEY_COLS = ("repo", "path", "commit")
-# engine-level outer compression: zstd level 9 cuts stored bytes ~11%
-# end-to-end vs level 3 at NO wall-time cost here — the pipeline runs at
-# ~5 MB/s/core while zstd-9 compresses at ~60 MB/s/core, so the outer
-# pass is never the bottleneck (encode-once corpora buy storage with
-# idle CPU).  The kernel default stays level 3 (balanced) for direct
-# block users; the level is not part of the block format.
-DEFAULT_OUTER_LEVEL = 9
+# engine-level outer compression.  Round 3 defaulted this to 9 on a
+# local A/B claiming wall-neutrality; the driver bench (BENCH_r03 vs
+# BENCH_r02) disagreed — encode_corpus +27%, roundtrip_documents 1.9x —
+# so the default is back to 3 (decision record in BENCH/BASELINE.md
+# round-4 appendix).  Archival encode-once runs that want the ~11%
+# storage win should pass outer_level=9 explicitly; the level is not
+# part of the block format, so readers are unaffected either way.
+DEFAULT_OUTER_LEVEL = 3
 
 
 @dataclass
@@ -90,8 +91,9 @@ def _column_stats(values, tag: str, validity) -> dict:
                     # built over EVERY distinct value: a miss is a
                     # certain skip
                     stats["bloom"] = bloom.build(u.as_py() for u in uniq)
-    elif tag in lists.LIST_TAGS:
-        pass  # no zone maps over list columns (no order semantics)
+    elif tag in lists.LIST_TAGS or tag == "d128":
+        pass  # no zone maps: lists lack order semantics; d128 bounds
+        # don't fit the float64 stats slot (conservative = no skip)
     elif len(values):
         # bounds stored as double; int bounds beyond 2^53 widen OUTWARD
         # so zone verdicts stay conservative-correct
@@ -115,6 +117,15 @@ def _decimal_unscaled_i64(arr: pa.Array) -> np.ndarray:
     lo = np.frombuffer(buf, dtype=np.int64).reshape(-1, 2)[
         arr.offset : arr.offset + len(arr), 0]
     return np.ascontiguousarray(lo)
+
+
+def _decimal_pairs(arr: pa.Array) -> np.ndarray:
+    """Dense decimal128(18<p<=38) -> (n, 2) int64 (lo, hi) word pairs —
+    the full 16-byte two's-complement value (tag "d128")."""
+    buf = arr.buffers()[1]
+    pairs = np.frombuffer(buf, dtype=np.int64).reshape(-1, 2)[
+        arr.offset : arr.offset + len(arr)]
+    return np.ascontiguousarray(pairs)
 
 
 def _to_kernel(arr: pa.Array, tag: str):
@@ -145,6 +156,8 @@ def _to_kernel(arr: pa.Array, tag: str):
                 else flat.to_numpy(zero_copy_only=False))
         return lists.ListColumn(offsets, vals), validity
     if pa.types.is_decimal(arr.type):
+        if arr.type.precision > 18:
+            return _decimal_pairs(arr), validity
         return _decimal_unscaled_i64(arr), validity
     return arr.to_numpy(zero_copy_only=False), validity
 
@@ -184,7 +197,7 @@ def _split_points(batch: pa.RecordBatch, columns: list[str], block_bytes: int) -
                 weight += (pc.list_value_length(arr).fill_null(0)
                            .to_numpy(zero_copy_only=False).astype(np.int64) * esz + 8)
         elif pa.types.is_decimal(t):
-            weight += 8
+            weight += 16 if t.precision > 18 else 8
         else:
             weight += max(arr.type.bit_width // 8, 1)
     cum = np.cumsum(weight)
@@ -347,7 +360,7 @@ def encode_table(
     arithmetic alone; we hop whole partitions from the manifest alone).
 
     ``outer_level`` overrides the outer compressor's level (None ->
-    DEFAULT_OUTER_LEVEL = zstd 9; decode speed is unchanged and the
+    DEFAULT_OUTER_LEVEL = zstd 3; decode speed is unchanged and the
     level is not part of the block format).
 
     ``sort_cols`` clusters each partition by the given columns instead

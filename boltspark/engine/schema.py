@@ -135,12 +135,16 @@ def tag_for_arrow_type(t: pa.DataType) -> str:
     if pa.types.is_date64(t):
         return "i64"
     # decimals up to 18 digits ride as their unscaled int64 (scaled-int
-    # FoR storage; the reference rejects decimals outright,
-    # primitive_column_reader.rs:450-455 — we leapfrog it)
+    # FoR storage); 19..38 digits as the 16-byte two's-complement word
+    # pair (tag "d128", word-plane plain storage).  The reference
+    # rejects decimals outright (primitive_column_reader.rs:450-455) —
+    # we leapfrog it
     if pa.types.is_decimal(t):
         if t.precision <= 18:
             return "i64"
-        raise TypeError(f"decimal precision > 18 unsupported: {t}")
+        if t.precision <= 38:
+            return "d128"
+        raise TypeError(f"decimal precision > 38 unsupported: {t}")
     # lists flatten to (lengths, values) — kernels/lists.py: fixed
     # elements (array<float> embeddings) and string/binary elements
     # (array<string> tags, map keys/values)

@@ -38,7 +38,7 @@ import zlib
 import numpy as np
 
 from . import bitpack, dictionary, foref, fsst, lists, rle, strings
-from .types import ALL_TAGS, BOOL, BYTES, dtype_of, tag_of
+from .types import ALL_TAGS, BOOL, BYTES, D128, dtype_of, tag_of
 from .varint import CorruptBlockError
 
 MAGIC = b"BSK2"  # bumped: wide layout + CRC coverage changed vs BSK1
@@ -59,6 +59,13 @@ def _encode_plain(values, tag):
         return strings.encode_plain(values)
     if tag == BOOL:
         return bitpack.pack_bools(values), {}
+    if tag == D128:
+        # (n, 2) int64 (lo, hi) pairs stored as two contiguous word
+        # PLANES (all lo, then all hi): the hi plane is sign extension
+        # (0 / -1 runs) for real-world decimals, so the outer compressor
+        # collapses it — byte-stream-split thinking at word granularity
+        v = np.ascontiguousarray(values, dtype=np.int64).reshape(-1, 2)
+        return np.ascontiguousarray(v.T).tobytes(), {}
     return np.ascontiguousarray(values, dtype=dtype_of(tag)).tobytes(), {}
 
 
@@ -67,6 +74,11 @@ def _decode_plain(payload, meta, n, tag):
         return strings.decode_plain(payload, n)
     if tag == BOOL:
         return bitpack.unpack_bools(payload, n)
+    if tag == D128:
+        if len(payload) < n * 16:
+            raise CorruptBlockError("plain: truncated d128 payload")
+        planes = np.frombuffer(payload, dtype="<i8", count=2 * n).reshape(2, n)
+        return np.ascontiguousarray(planes.T)
     dt = dtype_of(tag)
     if len(payload) < n * dt.itemsize:
         raise CorruptBlockError("plain: truncated payload")
@@ -74,8 +86,8 @@ def _decode_plain(payload, meta, n, tag):
 
 
 def _encode_rle(values, tag):
-    if tag == BYTES:
-        raise TypeError("rle codec applies to fixed-width types; "
+    if tag in (BYTES, D128):
+        raise TypeError("rle codec applies to 1-D fixed-width types; "
                         "byte arrays get run compression via dict codes")
     v = np.ascontiguousarray(values)
     # float runs are detected on the bit pattern (see rle.runs_of)

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from . import block, rle, strings
-from .types import BOOL, BYTES
+from .types import BOOL, BYTES, D128
 
 SAMPLE_VALUES = 1024
 # fixed-width samples are cheap; a big sample (256-512 KB) is needed for
@@ -88,6 +88,13 @@ def _entropy(buf: np.ndarray) -> float:
 
 
 def compute_stats(values, tag: str) -> ColumnStats:
+    if tag == D128:
+        # 128-bit pairs: plain (word-plane) + outer is the only codec;
+        # runs/distincts over (n, 2) rows aren't meaningful to the
+        # 1-D codecs, so skip the sampling arithmetic entirely
+        n = len(values)
+        return ColumnStats(n=n, n_distinct=n, distinct_ratio=1.0,
+                           mean_run_length=1.0, avg_len=0.0, entropy=0.0)
     if tag == BYTES:
         s = _sample_bytes(values)
         lens = s.lengths()
@@ -124,6 +131,8 @@ def compute_stats(values, tag: str) -> ColumnStats:
 
 def candidate_codecs(stats: ColumnStats, tag: str) -> list[str]:
     cands = ["plain"]
+    if tag == D128:
+        return cands  # word-plane plain + outer only
     if tag == BYTES:
         if stats.distinct_ratio <= 0.6:
             cands.append("dict")

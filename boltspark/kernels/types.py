@@ -28,20 +28,27 @@ NUMPY_DTYPES = {
     FLOAT64: np.dtype("<f8"),
 }
 
+# decimal(19..38): 128-bit two's-complement as an (n, 2) int64 array of
+# (lo, hi) word pairs — numpy has no int128, so the pair IS the value
+D128 = "d128"
+
 FIXED_TAGS = tuple(NUMPY_DTYPES)
 # list-of-fixed tags (kernels/lists.py) appended AFTER the originals so
 # stored tag ids stay stable
 LIST_TAG_NAMES = ("li32", "li64", "lf32", "lf64")
-# "lbytes" (list<string|binary>) appended in round 3 — again AFTER the
-# existing tags so stored tag ids stay stable
-ALL_TAGS = FIXED_TAGS + (BYTES,) + LIST_TAG_NAMES + ("lbytes",)
+# "lbytes" (list<string|binary>) appended in round 3, "d128" in round 4
+# — always AFTER the existing tags so stored tag ids stay stable
+ALL_TAGS = FIXED_TAGS + (BYTES,) + LIST_TAG_NAMES + ("lbytes", D128)
 
 
 def tag_of(arr) -> str:
     """Physical tag for a numpy array or a StringColumn."""
     if hasattr(arr, "offsets"):  # StringColumn duck-type
         return BYTES
-    dt = np.asarray(arr).dtype
+    a = np.asarray(arr)
+    if a.ndim == 2 and a.shape[1] == 2 and a.dtype == NUMPY_DTYPES[INT64]:
+        return D128
+    dt = a.dtype
     for tag, np_dt in NUMPY_DTYPES.items():
         if dt == np_dt:
             return tag

@@ -155,15 +155,31 @@ def ann_topk_banded(bucketed: DataFrame, query: list[float], k: int = 10,
 def pairwise_near_dup(df: DataFrame, threshold: float = 0.95,
                       vec_col: str = "embedding", key: str = "vec_id",
                       n_planes: int = 8, seed: int = 42,
-                      dim: int | None = None) -> DataFrame:
+                      dim: int | None = None,
+                      max_bucket: int = 256) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: only vectors
     sharing a hyperplane-signature bucket are compared exactly.  Pass
-    ``dim`` when known to skip the one-row width probe job."""
+    ``dim`` when known to skip the one-row width probe job.
+
+    ``max_bucket`` bounds any one signature bucket's membership (kept
+    members are the ``max_bucket`` smallest keys, deterministic — the
+    same backstop as ``dedup.lsh_candidate_pairs``): a low-entropy
+    corpus whose vectors collapse into few signatures would otherwise
+    go quadratic in one bucket.  Pair count per bucket is then
+    <= max_bucket^2/2 regardless of skew; the row_number shuffle is on
+    the same ``__sig`` key as the join, so no extra exchange shape.
+    Pass ``max_bucket=0`` to disable (exact pairs on small corpora)."""
+    from pyspark.sql import Window
+
     if dim is None:
         dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
     planes = _hyperplanes(dim, n_planes, seed)
     b = df.withColumn("__sig", lsh_bucket_col(vec_col, planes)).select(
         key, vec_col, "__sig")
+    if max_bucket:
+        w = Window.partitionBy("__sig").orderBy(key)
+        b = (b.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= max_bucket).drop("__rn"))
     a2, b2 = b.alias("a"), b.alias("b")
     pairs = a2.join(
         b2, (F.col("a.__sig") == F.col("b.__sig"))

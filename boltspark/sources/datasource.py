@@ -140,11 +140,6 @@ class BoltReader(DataSourceReader):
         unknown = set(self.out_cols) - set(by_name)
         if unknown:
             raise KeyError(f"unknown columns {unknown}; encoded: {list(by_name)}")
-        for c in self.out_cols:
-            if nest.contains_map(by_name[c].dataType):
-                raise NotImplementedError(
-                    f"column {c!r} contains a map; the DSv2 source does not "
-                    "reassemble maps yet — read via engine.decode_table")
         # flat storage leaves backing the logical projection
         self.out_leaves = []
         for c in self.out_cols:
@@ -192,9 +187,42 @@ class BoltReader(DataSourceReader):
             self.logical_by_name[c].dataType, "UTC") for c in self.out_cols}
 
         def assemble(name, dtype, nullable, leaves: dict):
-            """Leaf arrays -> logical array (recursive struct rebuild)."""
-            from pyspark.sql.types import StructType as _ST
+            """Leaf arrays -> logical array (recursive struct/map rebuild)."""
+            import numpy as np
+            from pyspark.sql.types import MapType as _MT, StructType as _ST
 
+            if isinstance(dtype, _MT):
+                # map stored as two aligned list leaves (engine/nest.py):
+                # rebuild a MapArray from the keys list's offsets + both
+                # flattened child arrays.  A null map is a null list in
+                # BOTH leaves (encode used map_keys/map_values, which are
+                # NULL on NULL input), so keys-side validity is the map's.
+                keys = leaves[name + nest.SEP + "#keys"]
+                vals = leaves[name + nest.SEP + "#vals"]
+                if isinstance(keys, pa.ChunkedArray):
+                    keys = keys.combine_chunks()
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                # raw child + raw offsets form a consistent pair even when
+                # the array is a slice (flatten() would compact values and
+                # desync from .offsets); vals shares keys' offsets layout
+                # because both leaves come from one aligned encode
+                k_flat, v_flat = keys.values, vals.values
+                if len(k_flat) != len(v_flat):
+                    raise ValueError(
+                        f"misaligned map leaves for {name!r}: "
+                        f"{len(k_flat)} keys vs {len(v_flat)} values")
+                onp = np.asarray(keys.offsets)
+                if keys.null_count:
+                    # null offset entries mark null maps (last offset valid)
+                    valid = np.asarray(keys.is_valid())
+                    offsets = pa.array(onp, type=pa.int32(),
+                                       mask=np.append(~valid, False))
+                else:
+                    offsets = pa.array(onp, type=pa.int32())
+                target = dec.arrow_out_type(dtype, "UTC")
+                m = pa.MapArray.from_arrays(offsets, k_flat, v_flat)
+                return m if m.type.equals(target) else m.cast(target)
             if not isinstance(dtype, _ST):
                 return leaves[name]
             children = [
