@@ -391,6 +391,37 @@ def _q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_roundtrip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<struct<start,end>> (tokenized-span shape) round-trip: the
+    struct elements flatten to parallel list leaves sharing one offsets
+    stream + an element-validity leaf (engine/nest.py), rebuild via
+    arrays_zip — all JVM-side.  The reference refuses ALL nested data
+    (rep_def_parser.rs:36-46).  Null lists, empty lists and null
+    elements are all distinct; output exploded to rows."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None))
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+            lambda i: F.when(i % 5 != 2, F.struct(
+                (F.col("doc_id") * 10 + i).cast("int").alias("start"),
+                (F.col("doc_id") * 10 + i * 2).cast("int").alias("end"),
+            )))).alias("spans"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_spans_")
+    encode_table(src, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    return (back.select("doc_id", F.posexplode_outer("spans").alias("pos", "s"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    F.col("s.start").cast("long").alias("s_start"),
+                    F.col("s.end").cast("long").alias("s_end")))
+
+
 def _q_roundtrip_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decimal(38,4) round-trip — the full 128-bit two's-complement word
     pair rides as tag 'd128' (word-plane plain storage, engine/schema.py
@@ -874,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_contains_filter": _q_array_contains_filter,
         "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_decimal38": _q_roundtrip_decimal38,
+        "roundtrip_spans": _q_roundtrip_spans,
         "roundtrip_flags": _q_roundtrip_flags,
         "decode_bool_eq": _q_decode_bool_eq,
         "decode_float_range": _q_decode_float_range,
@@ -960,6 +992,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty, "
             "CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS disc "
             "FROM lineitem"
+        ),
+        "roundtrip_spans": (
+            "WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id "
+            "FROM documents) "
+            "SELECT doc_id, CAST(u.i AS BIGINT) AS pos, "
+            "CASE WHEN u.i % 5 <> 2 THEN CAST(doc_id*10 + u.i AS BIGINT) END "
+            "AS s_start, "
+            "CASE WHEN u.i % 5 <> 2 THEN CAST(doc_id*10 + 2*u.i AS BIGINT) END "
+            "AS s_end "
+            "FROM ids, LATERAL UNNEST(generate_series(0, "
+            "CAST(doc_id % 4 AS INT))) AS u(i) WHERE doc_id % 13 <> 0 "
+            "UNION ALL SELECT doc_id, NULL, NULL, NULL FROM ids "
+            "WHERE doc_id % 13 = 0"
         ),
         # hugeint arithmetic keeps the 128-bit value exact; VARCHAR cast
         # prints scale-4 digits identically to Spark's decimal toString

@@ -110,18 +110,30 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # --- encode ---------------------------------------------------------
+    # --- encode (best-of-2: single encode runs swing +-25% on this host;
+    # the second run writes to scratch and is deleted) -------------------
     t0 = time.time()
     res = encode_table(df, f"{work}/blocks", f"{work}/manifest", resume=False)
-    queries["encode_corpus"] = round(time.time() - t0, 3)
+    enc_wall = time.time() - t0
+    scratch = tempfile.mkdtemp(prefix="boltspark_bench_enc2_")
+    t0 = time.time()
+    encode_table(df, f"{scratch}/blocks", f"{scratch}/manifest", resume=False)
+    enc_wall = min(enc_wall, time.time() - t0)
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    queries["encode_corpus"] = round(enc_wall, 3)
     raw_gb = res.total_raw_bytes / 1e9
     extras["encode_gbps"] = round(raw_gb / queries["encode_corpus"], 3)
     extras["compression_ratio"] = round(res.total_enc_bytes / max(res.total_raw_bytes, 1), 4)
     extras["n_partitions"] = res.n_partitions
 
-    def best_of(fn, repeats=2):
+    def best_of(fn, repeats=3):
         """This host's single-run timings swing 5-20x (BENCH/BASELINE.md);
-        decode-side queries are timed best-of-N after a first warm run."""
+        decode-side queries are timed best-of-N after a first warm run.
+        3 repeats: at best-of-2 the measured spread on the same binary was
+        0.85-1.28 s for the same query (round-4 A/B) — one extra repeat
+        roughly halves the tail's contribution to the reported number."""
         best = None
         for _ in range(repeats):
             t0 = time.time()
@@ -167,10 +179,11 @@ def main() -> None:
     ).count())
     extras["selective_rows"] = n_sel
 
-    # --- compression vs Spark's own parquet -------------------------------
-    t0 = time.time()
-    df.write.mode("overwrite").parquet(f"{work}/ref_parquet")
-    queries["parquet_write_ref"] = round(time.time() - t0, 3)
+    # --- compression vs Spark's own parquet (best-of-2: measured spread
+    # 0.6-4.5 s for the same write on this host) ---------------------------
+    queries["parquet_write_ref"], _ = best_of(
+        lambda: df.write.mode("overwrite").parquet(f"{work}/ref_parquet"),
+        repeats=2)
     ours = _dir_bytes(f"{work}/blocks") + _dir_bytes(f"{work}/manifest")
     theirs = _dir_bytes(f"{work}/ref_parquet")
     extras["bytes_ours"] = ours

@@ -339,7 +339,10 @@ def decode_table(
     filter from manifest-free block arithmetic (one tiny metadata scan),
     and boundary groups decode only the overlapping rows (the analog of
     positioning inside a row group after skipping whole ones,
-    row_group_reader.rs:188-198).
+    row_group_reader.rs:188-198).  "Encode order" across appended runs
+    means manifest COMMIT order (the monotonic run_seq each commit
+    records), so positions are stable append positions even though run
+    ids themselves are random hex.
 
     The wide blocks layout makes every row a complete block group, so
     decode needs NO shuffle (``shuffle`` is accepted and ignored for
@@ -423,7 +426,11 @@ def decode_table(
         offsets = {}
         goff = 0
         seqs_hit = []
-        for r in sorted(groups, key=lambda r: (r["run_id"], r["seq"])):
+        # append order across runs: manifest commit order (run_seq),
+        # falling back to lexicographic run_id for pre-round-4 runs
+        order = manifestmod.run_order(spark, manifest_path)
+        for r in sorted(groups, key=lambda r: (
+                order.get(r["run_id"], (0, 0, r["run_id"])), r["seq"])):
             if goff < end and goff + r["n_rows"] > start:
                 offsets[(r["run_id"], r["seq"])] = goff
                 seqs_hit.append(int(r["seq"]))
@@ -469,10 +476,13 @@ def decode_table(
     # everything that remains — this is an additional cut, never the
     # only one).  Null stats (evolved columns, list columns)
     # conservatively pass.
-    for p in predicates:
-        keep = p.jvm_zone_keep(F.col(f"__st_{p.column}"))
-        if keep is not None:
-            blocks = blocks.filter(keep)
+    keeps = [k for k in (p.jvm_zone_keep(F.col(f"__st_{p.column}"))
+                         for p in predicates) if k is not None]
+    if keeps:
+        cond = keeps[0]
+        for k in keeps[1:]:
+            cond = cond & k
+        blocks = blocks.filter(cond)
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     if part_ids is not None:
         valid = valid.filter(F.col(PART_ID).isin([int(p) for p in part_ids]))
@@ -486,10 +496,10 @@ def decode_table(
                       include_part_id, row_window),
         out_schema,
     )
-    if any(isinstance(logical_by_name[c].dataType, (T.StructType, T.MapType))
+    if any(nest.needs_flatten(logical_by_name[c].dataType)
            for c in out_logical):
-        # reassemble struct/map columns from their leaves — pure JVM
-        # struct/map_from_arrays/when expressions, no Python node, no shuffle
+        # reassemble struct/map/list<struct> columns from their leaves —
+        # pure JVM expressions, no Python node, no shuffle
         sel = [
             nest.rebuild_expr(c, logical_by_name[c].dataType,
                               logical_by_name[c].nullable).alias(c)

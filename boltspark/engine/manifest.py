@@ -115,12 +115,27 @@ def commit(
         )
         .withColumn("table_meta", F.lit(None).cast("string"))
     )
+    # monotonic commit sequence: row_range point queries order a
+    # partition's groups by (run commit order, seq) so "encode order"
+    # means APPEND order across runs, not lexicographic run_id order
+    # (run ids default to random uuid hex).  Rides inside the table-meta
+    # JSON — the manifest parquet schema is unchanged, so existing
+    # checkpoints stay readable (absent run_seq = pre-round-4 run,
+    # ordered first, lexicographically).
+    run_seq = 0
+    if _exists(spark, manifest_path):
+        prev = (spark.read.parquet(manifest_path)
+                .filter(F.col("column") == META_KEY)
+                .select("table_meta").collect())
+        seqs = [json.loads(r["table_meta"]).get("run_seq") for r in prev]
+        run_seq = 1 + max((int(s) for s in seqs if s is not None), default=-1)
     meta = json.dumps({
         "columns": columns, "key_cols": list(key_cols), "n_parts": n_parts,
         "schema_json": schema_json,
         # logical (pre-flatten) schema when struct columns were encoded;
         # None/absent means storage schema IS the logical schema
         "logical_schema_json": logical_schema_json,
+        "run_seq": run_seq,
     })
     meta_row = spark.createDataFrame(
         [(-1, run_id, META_KEY, 0, 0, 0, 0.0, 0, "", "", meta)],
@@ -205,6 +220,25 @@ def table_meta(spark: SparkSession, manifest_path: str) -> dict:
     metas = [json.loads(r["table_meta"])
              for r in sorted(rows, key=lambda r: r["run_id"])]
     return merge_metas(metas)
+
+
+def run_order(spark: SparkSession, manifest_path: str) -> dict[str, tuple]:
+    """run_id -> sort key reflecting COMMIT order: the monotonic
+    ``run_seq`` recorded in each run's table-meta (round 4+).  Runs from
+    older manifests carry no run_seq and order FIRST, lexicographically
+    — exactly the pre-round-4 behavior, so existing tables don't change
+    meaning.  One tiny collect (one META row per run)."""
+    rows = (
+        spark.read.parquet(manifest_path)
+        .filter(F.col("column") == META_KEY)
+        .select("run_id", "table_meta").collect()
+    )
+    out: dict[str, tuple] = {}
+    for r in rows:
+        seq = json.loads(r["table_meta"]).get("run_seq")
+        out[r["run_id"]] = ((0, 0, r["run_id"]) if seq is None
+                            else (1, int(seq), r["run_id"]))
+    return out
 
 
 def valid_pairs_df(spark: SparkSession, manifest_path: str) -> DataFrame:

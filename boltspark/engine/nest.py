@@ -30,11 +30,18 @@ SEP = "\x1f"
 DEFINED = SEP + "#defined"
 
 
+def needs_flatten(dtype: T.DataType) -> bool:
+    """True if this column type needs the flatten/rebuild treatment:
+    structs, maps, and list<struct> (parallel list leaves)."""
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return True
+    return (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType))
+
+
 def has_struct(schema: T.StructType) -> bool:
-    """True if any column needs the flatten/rebuild treatment (structs
-    and maps; maps flatten to two aligned list leaves)."""
-    return any(isinstance(f.dataType, (T.StructType, T.MapType))
-               for f in schema.fields)
+    """True if any column needs the flatten/rebuild treatment."""
+    return any(needs_flatten(f.dataType) for f in schema.fields)
 
 
 def contains_map(dtype: T.DataType) -> bool:
@@ -72,6 +79,43 @@ def flatten_exprs(schema: T.StructType) -> tuple[list[Column], T.StructType]:
             fields.append(T.StructField(
                 name + SEP + "#vals",
                 T.ArrayType(dtype.valueType, dtype.valueContainsNull), True))
+        elif (isinstance(dtype, T.ArrayType)
+              and isinstance(dtype.elementType, T.StructType)):
+            # list<struct<...>> -> parallel list leaves sharing one
+            # offsets stream (the struct scheme one level down): one
+            # array<fieldtype> leaf per struct field via transform, plus
+            # an array<int> 0/1 element-validity leaf when elements may
+            # be null (a null struct element vs a struct of nulls must
+            # decode back distinctly).  Fields must be atomic — the
+            # reference refuses ALL nesting (rep_def_parser.rs:36-46);
+            # one struct level inside lists is the leapfrog scope here.
+            est = dtype.elementType
+            for f in est.fields:
+                if isinstance(f.dataType, (T.StructType, T.ArrayType,
+                                           T.MapType)):
+                    raise TypeError(
+                        f"list<struct> field {name}.{f.name}: nested "
+                        f"{f.dataType.simpleString()} elements unsupported")
+            if dtype.containsNull:
+                exprs.append(F.transform(
+                    expr, lambda x: F.when(x.isNotNull(), 1).otherwise(0)
+                    .cast("int")).alias(name + SEP + "#edef"))
+                fields.append(T.StructField(
+                    name + SEP + "#edef",
+                    T.ArrayType(T.IntegerType(), False), True))
+            def _field_getter(fname):
+                # NOTE: a 2-arg lambda would make F.transform pass the
+                # element INDEX as the second argument — close over the
+                # field name instead
+                return lambda x: x[fname]
+
+            for f in est.fields:
+                exprs.append(F.transform(
+                    expr, _field_getter(f.name)
+                ).alias(name + SEP + "#elem" + SEP + f.name))
+                fields.append(T.StructField(
+                    name + SEP + "#elem" + SEP + f.name,
+                    T.ArrayType(f.dataType, True), True))
         else:
             exprs.append(expr.alias(name))
             fields.append(T.StructField(name, dtype, nullable))
@@ -85,6 +129,11 @@ def leaf_names(name: str, dtype: T.DataType, nullable: bool) -> list[str]:
     """Flat storage column names for one logical column."""
     if isinstance(dtype, T.MapType):
         return [name + SEP + "#keys", name + SEP + "#vals"]
+    if (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)):
+        out = [name + SEP + "#edef"] if dtype.containsNull else []
+        return out + [name + SEP + "#elem" + SEP + f.name
+                      for f in dtype.elementType.fields]
     if not isinstance(dtype, T.StructType):
         return [name]
     out = [name + DEFINED] if nullable else []
@@ -100,6 +149,25 @@ def rebuild_expr(name: str, dtype: T.DataType, nullable: bool) -> Column:
     if isinstance(dtype, T.MapType):
         return F.map_from_arrays(F.col(name + SEP + "#keys"),
                                  F.col(name + SEP + "#vals"))
+    if (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)):
+        # parallel list leaves -> arrays_zip (aliases become zip field
+        # names) -> per-element struct rebuild; the #edef leaf restores
+        # null elements.  All-null leaves (null list row) zip to NULL.
+        est = dtype.elementType
+        zip_args = [F.col(name + SEP + "#elem" + SEP + f.name).alias(f"_f{i}")
+                    for i, f in enumerate(est.fields)]
+        if dtype.containsNull:
+            zip_args.append(F.col(name + SEP + "#edef").alias("_d"))
+        z = F.arrays_zip(*zip_args)
+
+        def _elem(x):
+            inner = F.struct(*[x[f"_f{i}"].alias(f.name)
+                               for i, f in enumerate(est.fields)])
+            return (F.when(x["_d"] == 1, inner)
+                    if dtype.containsNull else inner)
+
+        return F.transform(z, _elem).cast(dtype)
     if not isinstance(dtype, T.StructType):
         return F.col(name)
     inner = F.struct(*[

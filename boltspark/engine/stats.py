@@ -28,6 +28,7 @@ def validate_table(
     blocks_path: str,
     manifest_path: str,
     crc_sample: int = 8,
+    crc_seed: int = 0,
 ) -> dict:
     """Table doctor: structural consistency between the blocks dataset
     and its manifest, plus a bounded CRC spot-check.
@@ -36,8 +37,12 @@ def validate_table(
     * every manifested (part_id, run_id, column) row count equals the
       sum of its blocks' n_rows (missing/extra groups surface here);
     * no duplicate (part_id, run_id, seq) group identity;
-    * ``crc_sample`` randomly chosen block payloads decode cleanly
-      (CorruptBlockError = storage rot caught before a reader hits it).
+    * ``crc_sample`` block payloads, drawn with a SEEDED uniform sample
+      over every (group, column) cell of the table — so rot in the last
+      file or a rarely-read column is reachable, unlike a limit() over
+      the first scanned file — decode cleanly (CorruptBlockError =
+      storage rot caught before a reader hits it).  Pass a different
+      ``crc_seed`` per run to rotate coverage.
 
     Returns {"ok": bool, "errors": [up to 20 strings]}.  An empty or
     orphan-bearing blocks dir is fine — orphans are invisible to decode
@@ -81,17 +86,39 @@ def validate_table(
                       f"run={r['run_id']} seq={r['seq']} x{r['n']}")
 
     if crc_sample and not errors:
-        c0 = cols[0]
-        sample = (blocks
-                  .select(F.col("cols").getField(c0).getField("block")
-                          .alias("blk"))
-                  .filter(F.col("blk").isNotNull())
-                  .limit(int(crc_sample)).collect())
-        for i, r in enumerate(sample):
-            try:
-                blockmod.decode_block(bytes(r["blk"]))
-            except CorruptBlockError as e:
-                errors.append(f"corrupt block (sample {i}, col {c0}): {e}")
+        import random
+
+        # phase 1 (metadata-only): every group identity — 3 tiny leaves,
+        # no payload bytes cross the wire
+        keys = blocks.select(PART_ID, "run_id", "seq").collect()
+        univ = [(r[PART_ID], r["run_id"], r["seq"], c)
+                for r in keys for c in cols]
+        rng = random.Random(crc_seed)
+        picks = rng.sample(univ, min(int(crc_sample), len(univ)))
+        if picks:
+            # phase 2: one job reading ONLY the sampled groups' blocks
+            # (part_id row-group stats prune most files)
+            want_cols = sorted({c for *_, c in picks})
+            keyset = sorted({f"{p}|{r}|{s}" for p, r, s, _ in picks})
+            kexpr = F.concat_ws("|", F.col(PART_ID).cast("string"),
+                                F.col("run_id"), F.col("seq").cast("string"))
+            rows = (blocks.filter(kexpr.isin(keyset))
+                    .select(PART_ID, "run_id", "seq",
+                            *[F.col("cols").getField(c).getField("block")
+                              .alias(c) for c in want_cols])
+                    .collect())
+            by_key = {(r[PART_ID], r["run_id"], r["seq"]): r for r in rows}
+            for p, rid, s, c in picks:
+                r = by_key.get((p, rid, s))
+                blk = r[c] if r is not None else None
+                if blk is None:
+                    continue  # evolved column: group predates it
+                try:
+                    blockmod.decode_block(bytes(blk))
+                except CorruptBlockError as e:
+                    errors.append(
+                        f"corrupt block part={p} run={rid} seq={s} "
+                        f"col={c}: {e}")
 
     return {"ok": not errors, "errors": errors}
 

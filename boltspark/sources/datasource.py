@@ -187,10 +187,52 @@ class BoltReader(DataSourceReader):
             self.logical_by_name[c].dataType, "UTC") for c in self.out_cols}
 
         def assemble(name, dtype, nullable, leaves: dict):
-            """Leaf arrays -> logical array (recursive struct/map rebuild)."""
+            """Leaf arrays -> logical array (recursive struct/map/
+            list<struct> rebuild)."""
             import numpy as np
-            from pyspark.sql.types import MapType as _MT, StructType as _ST
+            from pyspark.sql.types import (ArrayType as _AT, MapType as _MT,
+                                           StructType as _ST)
 
+            def _comb(a):
+                return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+            if isinstance(dtype, _AT) and isinstance(dtype.elementType, _ST):
+                # list<struct> stored as parallel list leaves sharing one
+                # offsets stream (engine/nest.py): rebuild a StructArray
+                # from the flattened field leaves, then re-wrap with the
+                # first leaf's offsets.  The #edef leaf (0/1) restores
+                # null elements.
+                est = dtype.elementType
+                target = dec.arrow_out_type(dtype, "UTC")
+                elem_t = target.value_type
+                field_arrs = [_comb(leaves[name + nest.SEP + "#elem"
+                                           + nest.SEP + f.name])
+                              for f in est.fields]
+                mask = None
+                base = field_arrs[0]
+                if dtype.containsNull:
+                    import pyarrow.compute as pc
+
+                    ed = _comb(leaves[name + nest.SEP + "#edef"])
+                    base = ed
+                    mask = pc.equal(ed.values, 0)
+                children = []
+                for f_t, fa in zip(list(elem_t), field_arrs):
+                    ch = fa.values
+                    if not ch.type.equals(f_t.type):
+                        ch = ch.cast(f_t.type)
+                    children.append(ch)
+                struct_arr = pa.StructArray.from_arrays(
+                    children, fields=list(elem_t), mask=mask)
+                onp = np.asarray(base.offsets)
+                if base.null_count:
+                    valid = np.asarray(base.is_valid())
+                    offsets = pa.array(onp, type=pa.int32(),
+                                       mask=np.append(~valid, False))
+                else:
+                    offsets = pa.array(onp, type=pa.int32())
+                out = pa.ListArray.from_arrays(offsets, struct_arr)
+                return out if out.type.equals(target) else out.cast(target)
             if isinstance(dtype, _MT):
                 # map stored as two aligned list leaves (engine/nest.py):
                 # rebuild a MapArray from the keys list's offsets + both

@@ -288,6 +288,57 @@ def test_decimal_column_roundtrip(spark, tmp_path):
     assert diff == 0
 
 
+def test_list_of_struct_roundtrip(spark, tmp_path):
+    """array<struct<start:int,end:int>> (tokenized-span shape) flattens
+    to parallel list leaves sharing one offsets stream (engine/nest.py)
+    and rebuilds JVM-side via arrays_zip.  Null lists, empty lists, and
+    null ELEMENTS all round-trip distinctly."""
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 11 == 0, F.lit(None))
+        .when(F.col("id") % 11 == 1, F.array().cast(
+            "array<struct<start:int,end:int>>"))
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), F.col("id") % 5),
+            lambda i: F.when(i % 7 != 3, F.struct(
+                (F.col("id") + i).cast("int").alias("start"),
+                (F.col("id") + i * 2).cast("int").alias("end"),
+            )))).alias("spans"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=4,
+                 resume=False)
+    back = decode_table(spark, f"{d}/b", f"{d}/m")
+    assert (back.schema["spans"].dataType.simpleString()
+            == df.schema["spans"].dataType.simpleString())
+    a = {r["doc_id"]: r["spans"] for r in df.collect()}
+    b = {r["doc_id"]: r["spans"] for r in back.collect()}
+    assert a == b
+
+
+def test_decimal38_column_roundtrip(spark, tmp_path):
+    """decimal(38,6) rides as the full 128-bit word pair (tag 'd128',
+    word-plane plain storage): values needing the high word, alternating
+    sign, and nulls all round-trip exactly."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(
+            "CASE WHEN l_linenumber = 3 THEN NULL ELSE "
+            "CAST((CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000 "
+            "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
+            "AS DECIMAL(38,6)) END").alias("big"),
+    )
+    d = str(tmp_path)
+    encode_table(dfd, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False)
+    back = decode_table(spark, f"{d}/b", f"{d}/m")
+    assert back.schema["big"].dataType.simpleString() == "decimal(38,6)"
+    diff = dfd.exceptAll(back).count() + back.exceptAll(dfd).count()
+    assert diff == 0
+
+
 def test_highly_selective_predicate_late_materialization(spark, corpus_df, encoded):
     """A <25% survivor mask flips decode into late materialization —
     results must still match Catalyst exactly."""
@@ -854,3 +905,49 @@ def test_validate_table_detects_damage(spark, tmp_path):
     os.remove("/" + victim.split(":", 1)[-1].lstrip("/"))
     rep = validate_table(spark, f"{d}/b", f"{d}/m")
     assert not rep["ok"] and any("rowcount mismatch" in e for e in rep["errors"])
+
+
+def test_validate_table_crc_sample_reaches_last_file(spark, tmp_path):
+    """The CRC spot-check samples uniformly over every (group, column)
+    cell — rot planted in the LAST blocks file, in a column other than
+    the first, is caught within a bounded number of seeded runs (the
+    round-3 doctor only ever looked at the first file's first column)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from boltspark.engine import encode_table
+    from boltspark.engine.stats import validate_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path)
+    encode_table(docs, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=4,
+                 resume=False)
+    files = sorted(glob.glob(f"{d}/b/*.parquet"))
+    victim = files[-1]
+    t = pq.read_table(victim)
+    cols = t.column("cols")
+    py = cols.to_pylist()
+    blk = bytearray(py[-1]["text"]["block"])
+    blk[-2] ^= 0xFF  # inside the stored payload: CRC/outer must trip
+    py[-1]["text"]["block"] = bytes(blk)
+    mangled = pa.chunked_array([pa.array(py, type=cols.type)])
+    pq.write_table(
+        t.set_column(t.schema.get_field_index("cols"), "cols", mangled),
+        victim)
+    # drop Hadoop's sidecar checksum: this test wants the ENGINE's CRC
+    # to catch the rot, not the filesystem layer underneath it
+    import os
+
+    crc_side = os.path.join(os.path.dirname(victim),
+                            "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc_side):
+        os.remove(crc_side)
+    hits = [s for s in range(10)
+            if not validate_table(spark, f"{d}/b", f"{d}/m", crc_sample=8,
+                                  crc_seed=s)["ok"]]
+    assert hits, "seeded uniform sample never reached the corrupted cell"
+    rep = validate_table(spark, f"{d}/b", f"{d}/m", crc_sample=8,
+                         crc_seed=hits[0])
+    assert any("corrupt block" in e and "col=text" in e for e in rep["errors"])

@@ -237,6 +237,78 @@ def test_boltspark_datasource_struct_columns(spark, tmp_path):
     assert pr.columns == ["doc_id", "m"] and pr.count() == 150
 
 
+def test_boltspark_datasource_map_columns(spark, tmp_path):
+    """DSv2 reassembles map columns from their #keys/#vals list leaves
+    (round-3 gap: the source refused maps while engine.decode_table read
+    them).  Null map vs empty map preserved; pushed filters compose."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("map<string,bigint>"))
+        .when(F.col("id") % 7 == 1, F.expr("map()").cast("map<string,bigint>"))
+        .otherwise(F.create_map(
+            F.lit("a"), F.col("id"),
+            F.lit("b"), F.col("id") * 2,
+        )).alias("props"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=3,
+                 resume=False)
+    r = ds.load(spark, f"{d}/b", f"{d}/m")
+    assert (r.schema["props"].dataType.simpleString()
+            == df.schema["props"].dataType.simpleString())
+    assert r.count() == 300
+    # compare exploded (maps aren't order-comparable via exceptAll)
+    def flat(x):
+        return (x.select("doc_id",
+                         F.explode_outer("props").alias("k", "v"))
+                .orderBy("doc_id", "k").collect())
+    assert flat(r) == flat(df)
+    assert (r.filter(F.col("props").isNull()).count()
+            == df.filter(F.col("props").isNull()).count())
+    # null map != empty map
+    assert (r.filter(F.size("props") == 0).count()
+            == df.filter(F.size("props") == 0).count())
+    # a pushed filter alongside the map reassembly
+    sel = ds.load(spark, f"{d}/b", f"{d}/m").filter(F.col("doc_id") < 50)
+    assert sel.count() == 50
+
+
+def test_boltspark_datasource_list_of_struct(spark, tmp_path):
+    """DSv2 reassembles list<struct> columns from their parallel list
+    leaves (offsets + per-field values + #edef element validity)."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 9 == 0, F.lit(None))
+        .when(F.col("id") % 9 == 1, F.array().cast(
+            "array<struct<start:int,end:int>>"))
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), F.col("id") % 4),
+            lambda i: F.when(i % 5 != 2, F.struct(
+                (F.col("id") + i).cast("int").alias("start"),
+                (F.col("id") + i * 2).cast("int").alias("end"),
+            )))).alias("spans"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=3,
+                 resume=False)
+    r = ds.load(spark, f"{d}/b", f"{d}/m")
+    assert (r.schema["spans"].dataType.simpleString()
+            == df.schema["spans"].dataType.simpleString())
+    a = {x["doc_id"]: x["spans"] for x in df.collect()}
+    b = {x["doc_id"]: x["spans"] for x in r.collect()}
+    assert a == b
+
+
 def test_boltspark_datasource_isnull_pushdown(spark, tmp_path):
     """IsNull maps to ConstPredicate(accept=False, null_allowed=True):
     only null rows survive, enforced exactly by the source."""
