@@ -666,6 +666,37 @@ def test_row_range_mid_partition_point_query(spark, tmp_path):
     assert got == exp
 
 
+def test_row_range_follows_append_order_across_runs(spark, tmp_path):
+    """row_range positions across appended runs follow manifest COMMIT
+    order (the monotonic run_seq), not lexicographic run_id order: run
+    ids here are chosen so the lexicographic order INVERTS the append
+    order, and the first-slice rows must still come from the first
+    committed run."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    d = str(tmp_path)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    encode_table(evens, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=2,
+                 resume=False, run_id="zz-first")
+    encode_table(odds, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=2,
+                 resume=False, run_id="aa-second")
+    pid = 0
+    n1 = (evens.withColumn("p", F.pmod(F.xxhash64("doc_id"), F.lit(2)))
+          .filter(F.col("p") == pid).count())
+    assert n1 >= 2
+    first_slice = decode_table(spark, f"{d}/b", f"{d}/m", columns=["doc_id"],
+                               part_ids=[pid], row_range=(0, n1)).collect()
+    got = [r["doc_id"] for r in first_slice]
+    assert len(got) == n1
+    assert all(x % 2 == 0 for x in got), \
+        "first-committed run's rows must come first (append order)"
+
+
 def test_string_list_and_map_columns_roundtrip(spark, tmp_path):
     """array<string> (lbytes list codec) and map<K,V> (two aligned list
     leaves + map_from_arrays rebuild) round-trip exactly, including null
@@ -709,12 +740,11 @@ def test_string_list_and_map_columns_roundtrip(spark, tmp_path):
     back3 = decode_table(spark, f"{d}/b3", f"{d}/m3")
     assert back3.filter(F.col("tags").isNull()).count() == 20
     assert back3.filter(F.size("tags") == 0).count() == 20
-    # DSv2 declines maps loudly
-    import pytest as _pytest
-
+    # DSv2 reads maps too since round 4 (MapArray reassembly from the
+    # #keys/#vals leaves — detailed coverage in
+    # test_boltspark_datasource_map_columns)
     from boltspark.sources import datasource as ds
-    with _pytest.raises(Exception, match="map"):
-        ds.load(spark, f"{d}/b", f"{d}/m").count()
+    assert ds.load(spark, f"{d}/b", f"{d}/m").count() == 300
 
 
 def test_column_minmax_metadata_only(spark, tmp_path):
