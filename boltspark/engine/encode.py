@@ -212,22 +212,26 @@ def _split_points(batch: pa.RecordBatch, columns: list[str], block_bytes: int) -
 def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                   outer: str | None,
                   codec_override: dict[str, str] | None = None,
-                  outer_level: int | None = None):
-    """Build the mapInArrow function. State (codec choice, FSST symbol
-    table) is cached per (partition, column) so the table is built once
-    per partition, not once per block."""
+                  outer_level: int | None = None,
+                  prebuilt_fsst: dict[str, list[bytes]] | None = None):
+    """Build the mapInArrow function.  Codec choices are cached per
+    (partition, column) — the selector runs once per partition (north
+    rule).  FSST symbol tables arrive PREBUILT from the driver
+    (``prebuilt_fsst``, built once per column on a bounded sample): the
+    pure-Python greedy table construction measured 77% of a task's
+    encode CPU when every task rebuilt them (BENCH/BASELINE.md round 4),
+    and a table built on any representative sample compresses sibling
+    partitions of the same column equally well.  Columns WITHOUT a
+    prebuilt table skip the fsst trial entirely (a table-less trial
+    would rebuild per call); codec_override='fsst' keeps a local-build
+    fallback."""
 
     arrow_schema = blocks_arrow_schema(columns)
     cols_type = arrow_schema.field("cols").type
 
     def encode_stream(batches):
         choice_cache: dict[tuple[int, str], selector.CodecChoice] = {}
-        # FSST symbol tables are cached per COLUMN for the whole task:
-        # building one is the expensive part of fsst, and a table built
-        # on one partition's sample compresses sibling partitions of the
-        # same column equally well (same distribution).  The codec
-        # *choice* stays per-partition (north rule).
-        fsst_tables: dict[str, list[bytes]] = {}
+        fsst_tables: dict[str, list[bytes]] = dict(prebuilt_fsst or {})
         seqs: dict[int, int] = {}
 
         def encode_slice(part_id: int, sl: pa.RecordBatch):
@@ -263,12 +267,11 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                         choice = selector.CodecChoice("list", outer or "none",
                                                       None, 1.0)
                     else:
-                        if tag == "bytes" and name not in fsst_tables:
-                            fsst_tables[name] = fsst.build_symbol_table_best(
-                                values.data[: fsst._DEFAULT_SAMPLE])
-                        choice = selector.choose(values, tag, outer=outer,
-                                                 fsst_table=fsst_tables.get(name),
-                                                 outer_level=outer_level)
+                        table = fsst_tables.get(name)
+                        choice = selector.choose(
+                            values, tag, outer=outer, fsst_table=table,
+                            outer_level=outer_level,
+                            exclude=() if table is not None else ("fsst",))
                     choice_cache[key] = choice
                 try:
                     blk = blockmod.encode_block(
@@ -334,6 +337,64 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
                     yield encode_slice(pid, seg.slice(lo, hi - lo))
 
     return encode_stream
+
+
+# rows sampled driver-side for the one-shot FSST table build; content
+# rows are ~KB each, so this comfortably covers fsst._DEFAULT_SAMPLE
+# (32 KB) for prose/code columns while staying a trivial collect
+_FSST_SAMPLE_ROWS = 256
+
+
+def _prebuild_fsst_tables(df_sel, columns: list[str],
+                          codec_override: dict[str, str] | None) -> dict:
+    """Build FSST symbol tables ONCE on the driver from a bounded sample
+    and ship them in the encoder closure — instead of once per task,
+    where the pure-Python greedy construction measured 77% of encode
+    CPU (profile in BENCH/BASELINE.md round 4).  Per byte column: one
+    ``limit(N)`` sample, the selector's own candidate gate (avg_len /
+    entropy) decides whether fsst is even plausible, and only then is a
+    table built.  Columns with no table here have fsst excluded from
+    executor-side trials; ``codec_override='fsst'`` columns always get
+    a table.  The codec CHOICE stays per-partition — only the symbol
+    table is shared, which the per-task cache already assumed was safe
+    across partitions of one column (same distribution)."""
+    from pyspark.sql import types as T
+
+    from ..kernels import fsst, strings
+
+    byte_cols = [f.name for f in df_sel.schema.fields
+                 if f.name in set(columns)
+                 and isinstance(f.dataType, (T.StringType, T.BinaryType))]
+    if not byte_cols:
+        return {}
+    rows = df_sel.select(*byte_cols).limit(_FSST_SAMPLE_ROWS).collect()
+    out: dict[str, list[bytes]] = {}
+    for c in byte_cols:
+        vals: list[bytes] = []
+        total = 0
+        for r in rows:
+            v = r[c]
+            if v is None:
+                continue
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            vals.append(b)
+            total += len(b)
+            if total >= fsst._DEFAULT_SAMPLE:
+                break
+        if not vals:
+            continue
+        forced = bool(codec_override and codec_override.get(c) == "fsst")
+        if not forced:
+            lens = np.array([len(b) for b in vals], dtype=np.int64)
+            offs = np.zeros(len(vals) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            sc = strings.StringColumn(offs, b"".join(vals))
+            stats = selector.compute_stats(sc, "bytes")
+            if "fsst" not in selector.candidate_codecs(stats, "bytes"):
+                continue
+        out[c] = fsst.build_symbol_table_best(
+            b"".join(vals)[: fsst._DEFAULT_SAMPLE])
+    return out
 
 
 def encode_table(
@@ -436,9 +497,10 @@ def encode_table(
         )
     n_planned = n_parts - n_done
 
+    prebuilt_fsst = _prebuild_fsst_tables(df_sel, columns, codec_override)
     blocks = keyed.mapInArrow(
         _make_encoder(columns, run_id, block_bytes, outer, codec_override,
-                      outer_level),
+                      outer_level, prebuilt_fsst),
         blocks_spark_schema(columns),
     )
     # payloads are self-compressed; parquet recompression would waste CPU

@@ -78,9 +78,14 @@ def encode(col: ListColumn, tag: str,
         values = np.ascontiguousarray(col.values, dtype=dtype_of(value_tag))
     # trial WITH the outer compressor: codecs like byte-stream split only
     # pay through it (the block layer applies the actual outer pass, so
-    # only choice.codec is used here)
+    # only choice.codec is used here).  fsst is excluded for element
+    # streams: with no prebuilt table the trial AND the real encode
+    # would each build a symbol table PER BLOCK (~0.7 s of pure-Python
+    # greedy construction each) — an indefensible per-block cost at
+    # scale for a marginal ratio win over dict/plain+zstd on tag-like
+    # element data.
     choice = selector.choose(values, value_tag, outer="zstd",
-                             outer_level=outer_level)
+                             outer_level=outer_level, exclude=("fsst",))
     try:
         vpayload, vmeta = block.encode_values(values, value_tag, choice.codec)
         inner = choice.codec

@@ -168,14 +168,20 @@ def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
            stats: ColumnStats | None = None,
            fsst_table: list[bytes] | None = None,
            cost_penalty: dict[str, float] | None = None,
-           outer_level: int | None = None) -> CodecChoice:
+           outer_level: int | None = None,
+           exclude: tuple[str, ...] = ()) -> CodecChoice:
     """Pick (codec, outer) by trial-encoding a sample.
 
     ``fsst_table`` reuses a prebuilt symbol table for the fsst trial
-    (the engine caches one per column per task — table construction is
-    the expensive part of fsst).  ``cost_penalty`` overrides the default
-    encode-cost weights (e.g. ``{"fsst": 1.0}`` to pick purely on size
-    when encode CPU is cheap relative to storage)."""
+    (the engine builds one per column ON THE DRIVER and ships it in the
+    encoder closure — table construction is the expensive part of fsst,
+    measured 77% of a task's encode CPU before round 4).
+    ``cost_penalty`` overrides the default encode-cost weights (e.g.
+    ``{"fsst": 1.0}`` to pick purely on size when encode CPU is cheap
+    relative to storage).  ``exclude`` removes codecs from the trial
+    entirely — the engine passes ``("fsst",)`` when no prebuilt table
+    exists, because a table-less fsst trial would silently rebuild a
+    table per call."""
     penalties = COST_PENALTY if cost_penalty is None else cost_penalty
     if stats is None:
         stats = compute_stats(values, tag)
@@ -188,6 +194,8 @@ def choose(values, tag: str, outer: str | None = DEFAULT_OUTER,
     # tokenization hides long matches
     best = None  # (scored, codec, outer, size)
     for codec in candidate_codecs(stats, tag):
+        if codec in exclude:
+            continue
         try:
             payload, _ = block.encode_values(sample, tag, codec,
                                              fsst_table=fsst_table)
