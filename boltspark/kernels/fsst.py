@@ -103,8 +103,10 @@ def build_symbol_table_best(sample: bytes,
                             candidates: tuple[int, ...] = (2, 3, 4)) -> list[bytes]:
     """The iterative builder oscillates with generation count (corpus
     dependent); trial-encode the sample under each candidate table and
-    keep the smallest.  Built once per column per task, so the extra
-    builds amortize away."""
+    keep the smallest.  Built once per column ON THE DRIVER
+    (engine/encode._prebuild_fsst_tables) and shipped in the encoder
+    closure — the pure-Python greedy passes measured 77% of a task's
+    encode CPU when every task rebuilt them."""
     if not sample:
         return []
     best_table: list[bytes] = []
