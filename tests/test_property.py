@@ -62,6 +62,35 @@ def test_int_codecs_roundtrip(values, codec):
     assert out.tolist() == values
 
 
+@given(st.lists(st.tuples(st.integers(-2**63, 2**63 - 1),
+                          st.integers(-2**63, 2**63 - 1)), max_size=100),
+       st.lists(st.booleans(), max_size=100))
+@settings(**_SETTINGS)
+def test_d128_word_pairs_roundtrip(pairs, valid_bits):
+    """128-bit (lo, hi) word pairs (decimal 19..38 storage): word-plane
+    plain encode must round-trip every bit pattern, with and without a
+    validity bitmap, through both full decode and decode_block_rows."""
+    v = np.array(pairs, dtype=np.int64).reshape(-1, 2)
+    n = len(v)
+    blk = block.encode_block(v, "d128", "plain")
+    out, validity, tag, codec, n_rows = block.decode_block(blk)
+    assert tag == "d128" and n_rows == n
+    assert np.asarray(out).tolist() == v.tolist()
+    # with validity: dense rows scatter back per the bitmap
+    validity = np.array((valid_bits + [True] * n)[:n], dtype=bool)
+    if n:
+        dense = v[validity]
+        blk2 = block.encode_block(dense, "d128", "plain", validity=validity)
+        out2, val2, *_ = block.decode_block(blk2)
+        assert val2.tolist() == validity.tolist()
+        assert np.asarray(out2).tolist() == dense.tolist()
+        # late materialization picks the same rows
+        mask = np.zeros(n, dtype=bool)
+        mask[:: 2] = True
+        sel, vsel, *_ = block.decode_block_rows(blk2, mask)
+        assert np.asarray(sel).tolist() == v[mask & validity].tolist()
+
+
 @given(st.lists(st.binary(min_size=1, max_size=40), min_size=5, max_size=40),
        st.data())
 @settings(**_SETTINGS)
