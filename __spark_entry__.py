@@ -452,6 +452,37 @@ def _q_roundtrip_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decimal38_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate over an encoded decimal(38,4) column
+    (Decimal128RangePredicate): signed-128 lexicographic compare on the
+    (lo, hi) word pairs with UNSCALED int bounds — here the positive
+    band [0, 3e22], which needs the high word on both sides."""
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import Decimal128RangePredicate
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(
+            "CAST((CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000 "
+            "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
+            "AS DECIMAL(38,4))").alias("big_dec"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_dec38f_")
+    encode_table(dfd, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = Decimal128RangePredicate(
+        column="big_dec", lower=0, upper=30000 * 10**18 * 10**4)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest", predicate=pred)
+    return back.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("big_dec").cast("string").alias("big_str"),
+    )
+
+
 def _encode_events_flags(spark: SparkSession, sf_dir: str) -> str:
     """Shared helper: events with derived boolean columns, encoded."""
     from boltspark.engine import encode_table
@@ -905,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_contains_filter": _q_array_contains_filter,
         "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_decimal38": _q_roundtrip_decimal38,
+        "decimal38_filter": _q_decimal38_filter,
         "roundtrip_spans": _q_roundtrip_spans,
         "roundtrip_flags": _q_roundtrip_flags,
         "decode_bool_eq": _q_decode_bool_eq,
@@ -1013,6 +1045,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST((CAST(l_orderkey AS HUGEINT) * 1000000000000000000 "
             "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
             "AS DECIMAL(38,4)) AS VARCHAR) AS big_str FROM lineitem"
+        ),
+        "decimal38_filter": (
+            "WITH t AS (SELECT l_orderkey, l_linenumber, "
+            "CAST((CAST(l_orderkey AS HUGEINT) * 1000000000000000000 "
+            "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
+            "AS DECIMAL(38,4)) AS big FROM lineitem) "
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(big AS VARCHAR) AS big_str FROM t "
+            "WHERE big >= 0 AND big <= "
+            "CAST('30000000000000000000000' AS DECIMAL(38,4))"
         ),
         "roundtrip_flags": (
             "SELECT event_id, value > 245.0 AS is_big, "

@@ -182,10 +182,11 @@ def _decode_mask(blk, stats: dict, predicate: Predicate):
     if zone == ALL:
         return "all", None
     payload, validity, meta, tag, codec, n_rows = blockmod.open_block(blk)
-    if tag == "d128":
+    if tag == "d128" and not getattr(predicate, "supports_d128", False):
         raise NotImplementedError(
-            "predicates on decimal(p>18) columns are not supported — "
-            "filter after decode, or store at precision <= 18")
+            "this predicate cannot evaluate decimal(p>18) word pairs — "
+            "use Decimal128RangePredicate (unscaled int bounds), filter "
+            "after decode, or store at precision <= 18")
     n_valid = int(validity.sum()) if validity is not None else n_rows
     if codec == "dict":
         uniques, codes = dictionary.decode_parts(payload, meta, n_valid, tag)

@@ -167,6 +167,58 @@ class RangePredicate(Predicate):
         return keep
 
 
+def _split128(x: int) -> tuple[int, int]:
+    """Signed int (|x| < 2^127) -> (lo u64, hi i64) two's-complement
+    word pair — the d128 storage layout."""
+    lo = x & 0xFFFFFFFFFFFFFFFF
+    hi = x >> 64  # arithmetic shift: sign-extends for negatives
+    if not -(1 << 63) <= hi < (1 << 63):
+        raise OverflowError(f"{x} does not fit in 128 bits")
+    return lo, hi
+
+
+@dataclass
+class Decimal128RangePredicate(Predicate):
+    """Range filter over decimal(19..38) columns by UNSCALED int bounds
+    (the reference rejects decimals outright; p<=18 columns use plain
+    ``RangePredicate`` on their unscaled int64 storage).  Values arrive
+    as (n, 2) int64 (lo, hi) word pairs; comparison is signed-128
+    lexicographic — hi words signed, tie-broken on lo words unsigned.
+    Bounds are Python ints of the UNSCALED value (e.g. decimal(38,4)
+    value 12.5 -> 125000), which may exceed 64 bits.
+
+    d128 blocks carry no zone-map bounds (the stats slot is float64),
+    so every block decodes its predicate column — correct, just never
+    skipped; cluster + store at p<=18 when zone pruning matters."""
+
+    column: str
+    lower: int | None = None
+    upper: int | None = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = True
+    null_allowed: bool = False
+    supports_d128 = True  # decode's guard admits this predicate class
+
+    def check(self, values: np.ndarray) -> np.ndarray:
+        v = np.ascontiguousarray(values, dtype=np.int64).reshape(-1, 2)
+        lo_u = v[:, 0].view(np.uint64)
+        hi = v[:, 1]
+        keep = np.ones(len(v), dtype=bool)
+        if self.lower is not None:
+            b_lo, b_hi = _split128(int(self.lower))
+            tie = hi == b_hi
+            cmp = (lo_u >= np.uint64(b_lo)) if self.lower_inclusive \
+                else (lo_u > np.uint64(b_lo))
+            keep &= (hi > b_hi) | (tie & cmp)
+        if self.upper is not None:
+            b_lo, b_hi = _split128(int(self.upper))
+            tie = hi == b_hi
+            cmp = (lo_u <= np.uint64(b_lo)) if self.upper_inclusive \
+                else (lo_u < np.uint64(b_lo))
+            keep &= (hi < b_hi) | (tie & cmp)
+        return keep
+
+
 @dataclass
 class BooleanPredicate(Predicate):
     column: str

@@ -339,6 +339,44 @@ def test_decimal38_column_roundtrip(spark, tmp_path):
     assert diff == 0
 
 
+def test_decimal38_range_predicate(spark, tmp_path):
+    """Decimal128RangePredicate: signed-128 lexicographic compare over
+    (lo, hi) word pairs with unscaled int bounds — positive band and
+    negative band, verified against Python Decimal arithmetic."""
+    from decimal import Decimal
+
+    from boltspark.engine.filters import Decimal128RangePredicate
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(
+            "CASE WHEN l_linenumber = 3 THEN NULL ELSE "
+            "CAST((CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000 "
+            "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
+            "AS DECIMAL(38,6)) END").alias("big"),
+    )
+    d = str(tmp_path)
+    encode_table(dfd, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False)
+    rows = dfd.collect()
+
+    def unscaled(x):
+        return int(x.scaleb(6)) if x is not None else None
+
+    for lo, hi in [(0, 3000 * 10**18 * 10**6),
+                   (-3000 * 10**18 * 10**6, -1)]:
+        pred = Decimal128RangePredicate(column="big", lower=lo, upper=hi)
+        got = sorted((r["l_orderkey"], r["l_linenumber"]) for r in decode_table(
+            spark, f"{d}/b", f"{d}/m", columns=["l_orderkey", "l_linenumber"],
+            predicate=pred).collect())
+        exp = sorted((r["l_orderkey"], r["l_linenumber"]) for r in rows
+                     if r["big"] is not None
+                     and lo <= unscaled(r["big"]) <= hi)
+        assert got == exp and len(exp) > 0, (lo, hi, len(exp))
+
+
 def test_highly_selective_predicate_late_materialization(spark, corpus_df, encoded):
     """A <25% survivor mask flips decode into late materialization —
     results must still match Catalyst exactly."""
