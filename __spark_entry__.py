@@ -727,13 +727,13 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate group detection with planted ground truth: the
-    natural corpus has no byte-identical texts (round-3 run: 0 groups on
-    both sides — a vacuous oracle), so plant 15 byte-identical clones of
-    the 15 smallest non-empty docs.  Each seed must come back as a group
-    of exactly 2 with min_key = the seed's doc_id — a real row-level
-    oracle (the reference's formulaic fixture discipline,
-    test_utils.rs:77-144)."""
+    """Exact-duplicate group detection with planted ground truth: 15
+    byte-identical clones of the 15 smallest non-empty docs guarantee
+    >= 15 result rows at any scale factor (the round-3 oracle was
+    vacuously 0-row).  The oracle recomputes the SAME union+group-by in
+    SQL, so natural exact-dup groups (sf0.1 has 8) match too — the
+    fixture is self-verifying at any SF (the reference's formulaic
+    discipline, test_utils.rs:77-144)."""
     from boltspark.pipeline import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1190,13 +1190,20 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT text) + CASE WHEN COUNT(*) - COUNT(text) > 0 "
             "THEN 1 ELSE 0 END AS n_after_dedup FROM documents"
         ),
-        # planted byte-identical clones: each of the 15 smallest non-empty
-        # docs gains exactly one clone (the corpus itself has no exact
-        # dups), so every group is (n_dups=2, min_key=seed doc_id)
+        # planted byte-identical clones (the 15 smallest non-empty docs
+        # gain one clone each) UNIONed with the corpus, then the same
+        # group-by-text the Spark pipeline runs — SF-independent: at
+        # scale factors where the corpus has NATURAL exact-dup texts
+        # (sf0.1 has 8 such groups) both sides include them identically
         "duplicate_groups": (
-            "SELECT CAST(2 AS BIGINT) AS n_dups, "
-            "CAST(doc_id AS BIGINT) AS min_key FROM documents "
-            "WHERE length(COALESCE(text, '')) >= 1 ORDER BY doc_id LIMIT 15"
+            "WITH aug AS ("
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
+            "UNION ALL SELECT CAST(doc_id AS BIGINT) + 10000000, text FROM ("
+            "SELECT doc_id, text FROM documents "
+            "WHERE length(COALESCE(text, '')) >= 1 ORDER BY doc_id LIMIT 15)) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_dups, "
+            "CAST(MIN(doc_id) AS BIGINT) AS min_key FROM aug "
+            "GROUP BY COALESCE(text, '') HAVING COUNT(*) > 1 ORDER BY min_key"
         ),
         "quality_scores": (
             "WITH base AS ("

@@ -341,8 +341,15 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
 
 # rows sampled driver-side for the one-shot FSST table build; content
 # rows are ~KB each, so this comfortably covers fsst._DEFAULT_SAMPLE
-# (32 KB) for prose/code columns while staying a trivial collect
-_FSST_SAMPLE_ROWS = 256
+# (32 KB) for prose/code columns while staying a trivial collect.
+# KNOWN BIAS: limit() takes the HEAD of the scan — a source whose first
+# file is unrepresentative (metadata-ish short rows ahead of long
+# prose) can mis-gate fsst for the run; 1024 rows widens the window
+# without a shuffle (an order-randomizing sample would scan the full
+# source — wrong trade at 100 TB for a codec the selector treats as
+# marginal anyway; wrongly EXCLUDING fsst costs at most the few % of
+# ratio fsst wins over plain+zstd, never correctness)
+_FSST_SAMPLE_ROWS = 1024
 
 
 def _prebuild_fsst_tables(df_sel, columns: list[str],
@@ -383,6 +390,7 @@ def _prebuild_fsst_tables(df_sel, columns: list[str],
                 break
         if not vals:
             continue
+        blob = b"".join(vals)[: fsst._DEFAULT_SAMPLE]
         forced = bool(codec_override and codec_override.get(c) == "fsst")
         if not forced:
             lens = np.array([len(b) for b in vals], dtype=np.int64)
@@ -392,8 +400,7 @@ def _prebuild_fsst_tables(df_sel, columns: list[str],
             stats = selector.compute_stats(sc, "bytes")
             if "fsst" not in selector.candidate_codecs(stats, "bytes"):
                 continue
-        out[c] = fsst.build_symbol_table_best(
-            b"".join(vals)[: fsst._DEFAULT_SAMPLE])
+        out[c] = fsst.build_symbol_table_best(blob)
     return out
 
 
@@ -497,7 +504,10 @@ def encode_table(
         )
     n_planned = n_parts - n_done
 
-    prebuilt_fsst = _prebuild_fsst_tables(df_sel, columns, codec_override)
+    # no partitions to encode (idempotent resume replay): skip the
+    # sample job + driver-side table builds outright
+    prebuilt_fsst = (_prebuild_fsst_tables(df_sel, columns, codec_override)
+                     if n_planned > 0 else {})
     blocks = keyed.mapInArrow(
         _make_encoder(columns, run_id, block_bytes, outer, codec_override,
                       outer_level, prebuilt_fsst),

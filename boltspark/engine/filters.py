@@ -247,6 +247,11 @@ class ConstPredicate(Predicate):
     column: str
     accept: bool = True
     null_allowed: bool = False
+    # value-independent: works over d128 word pairs too (len((n,2)) = n),
+    # so pushed IS [NOT] NULL on decimal(>18) columns must not trip the
+    # decode guard — Catalyst auto-generates IsNotNull beside every
+    # comparison filter, so this reaches d128 columns routinely via DSv2
+    supports_d128 = True
 
     def check(self, values: np.ndarray) -> np.ndarray:
         return np.full(len(values), self.accept, dtype=bool)

@@ -121,7 +121,13 @@ def commit(
     # (run ids default to random uuid hex).  Rides inside the table-meta
     # JSON — the manifest parquet schema is unchanged, so existing
     # checkpoints stay readable (absent run_seq = pre-round-4 run,
-    # ordered first, lexicographically).
+    # ordered first, lexicographically).  SINGLE-WRITER assumption: the
+    # read-max/+1 below is not atomic, so two appends committing
+    # CONCURRENTLY can share a run_seq — their relative order then falls
+    # back to run_id tie-break (deterministic, but not append order).
+    # Serialize appends to a table when positional row_range semantics
+    # across those runs matter; this matches the streaming path, which
+    # commits epochs strictly in sequence.
     run_seq = 0
     if _exists(spark, manifest_path):
         prev = (spark.read.parquet(manifest_path)

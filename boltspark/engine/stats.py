@@ -89,12 +89,19 @@ def validate_table(
         import random
 
         # phase 1 (metadata-only): every group identity — 3 tiny leaves,
-        # no payload bytes cross the wire
+        # no payload bytes cross the wire.  The (group x column) cell
+        # universe is sampled by INDEX (divmod), never materialized:
+        # at 100 TB that cross-product is ~10^8 tuples of driver memory
+        # for an 8-cell spot check otherwise
         keys = blocks.select(PART_ID, "run_id", "seq").collect()
-        univ = [(r[PART_ID], r["run_id"], r["seq"], c)
-                for r in keys for c in cols]
         rng = random.Random(crc_seed)
-        picks = rng.sample(univ, min(int(crc_sample), len(univ)))
+        n_cells = len(keys) * len(cols)
+        idx = rng.sample(range(n_cells), min(int(crc_sample), n_cells))
+        picks = []
+        for i in idx:
+            g, ci = divmod(i, len(cols))
+            r = keys[g]
+            picks.append((r[PART_ID], r["run_id"], r["seq"], cols[ci]))
         if picks:
             # phase 2: one job reading ONLY the sampled groups' blocks
             # (part_id row-group stats prune most files)

@@ -309,6 +309,31 @@ def test_boltspark_datasource_list_of_struct(spark, tmp_path):
     assert a == b
 
 
+def test_boltspark_datasource_nullcheck_on_decimal38(spark, tmp_path):
+    """Catalyst auto-generates IsNotNull beside comparison filters, and
+    DSv2 pushes it as a type-agnostic ConstPredicate — on a decimal(>18)
+    column this must evaluate via the validity bitmap, not trip the
+    d128 predicate guard (round-4 review finding)."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.expr("CASE WHEN id % 5 = 0 THEN NULL ELSE "
+               "CAST(CAST(id AS DECIMAL(38,0)) * 1000000000000000000 "
+               "AS DECIMAL(38,4)) END").alias("big"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=2,
+                 resume=False)
+    r = ds.load(spark, f"{d}/b", f"{d}/m")
+    assert r.filter(F.col("big").isNotNull()).count() == 96
+    r2 = ds.load(spark, f"{d}/b", f"{d}/m")
+    assert r2.filter(F.col("big").isNull()).count() == 24
+
+
 def test_boltspark_datasource_isnull_pushdown(spark, tmp_path):
     """IsNull maps to ConstPredicate(accept=False, null_allowed=True):
     only null rows survive, enforced exactly by the source."""
