@@ -422,6 +422,49 @@ def _q_roundtrip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s.end").cast("long").alias("s_end")))
 
 
+def _q_roundtrip_nested_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<array<int>> (nested token spans) round-trip: inner-lengths
+    leaf + flattened element stream (engine/nest.py), re-sliced JVM-side
+    on decode.  The corpus is formulaic, so the oracle recomputes the
+    same per-doc aggregates (outer size, null-inner count, element
+    count, value sum, null-scalar count) from doc_id arithmetic — any
+    mis-slice or lost null shifts at least one aggregate."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    src = docs.select(
+        did.cast("long").alias("doc_id"),
+        F.when(did % 13 == 0, F.lit(None))
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), (did % 4).cast("int")),
+            lambda i: F.when(i % 5 != 2, F.transform(
+                F.sequence(F.lit(0), i),
+                lambda j: F.when(j % 3 != 1, (did * 10 + j).cast("int"))))))
+        .alias("toks"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_nested_")
+    encode_table(src, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
+    toks = F.col("toks")
+    nn = F.filter(toks, lambda x: x.isNotNull())
+    flat = F.flatten(nn)
+    return back.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_outer"),
+        F.size(F.filter(toks, lambda x: x.isNull())).cast("long")
+        .alias("n_null_inner"),
+        F.size(flat).cast("long").alias("n_elems"),
+        F.aggregate(F.filter(flat, lambda v: v.isNotNull()),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v)
+        .alias("sum_vals"),
+        F.size(F.filter(flat, lambda v: v.isNull())).cast("long")
+        .alias("n_null_scalars"),
+    ).orderBy("doc_id")
+
+
 def _q_roundtrip_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decimal(38,4) round-trip — the full 128-bit two's-complement word
     pair rides as tag 'd128' (word-plane plain storage, engine/schema.py
@@ -937,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_decimal": _q_roundtrip_decimal,
         "roundtrip_decimal38": _q_roundtrip_decimal38,
         "decimal38_filter": _q_decimal38_filter,
+        "roundtrip_nested_tokens": _q_roundtrip_nested_tokens,
         "roundtrip_spans": _q_roundtrip_spans,
         "roundtrip_flags": _q_roundtrip_flags,
         "decode_bool_eq": _q_decode_bool_eq,
@@ -1037,6 +1081,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 4 AS INT))) AS u(i) WHERE doc_id % 13 <> 0 "
             "UNION ALL SELECT doc_id, NULL, NULL, NULL FROM ids "
             "WHERE doc_id % 13 = 0"
+        ),
+        # the nested-tokens corpus is formulaic: the oracle recomputes
+        # the same per-doc aggregates from doc_id arithmetic alone
+        "roundtrip_nested_tokens": (
+            "WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents), "
+            "oi AS (SELECT d, u.i AS i FROM ids, LATERAL UNNEST("
+            "generate_series(0, CAST(d % 4 AS INT))) u(i) WHERE d % 13 <> 0), "
+            "ij AS (SELECT d, i, v.j AS j FROM oi, LATERAL UNNEST("
+            "generate_series(0, CAST(i AS INT))) v(j) WHERE i % 5 <> 2), "
+            "a1 AS (SELECT d, COUNT(*) AS n_outer, "
+            "SUM(CASE WHEN i % 5 = 2 THEN 1 ELSE 0 END) AS n_null_inner "
+            "FROM oi GROUP BY d), "
+            "a2 AS (SELECT d, COUNT(*) AS n_elems, "
+            "COALESCE(SUM(CASE WHEN j % 3 <> 1 THEN d*10 + j END), 0) "
+            "AS sum_vals, "
+            "SUM(CASE WHEN j % 3 = 1 THEN 1 ELSE 0 END) AS n_null_scalars "
+            "FROM ij GROUP BY d) "
+            "SELECT a1.d AS doc_id, CAST(n_outer AS BIGINT) AS n_outer, "
+            "CAST(n_null_inner AS BIGINT) AS n_null_inner, "
+            "CAST(COALESCE(a2.n_elems, 0) AS BIGINT) AS n_elems, "
+            "CAST(COALESCE(a2.sum_vals, 0) AS BIGINT) AS sum_vals, "
+            "CAST(COALESCE(a2.n_null_scalars, 0) AS BIGINT) AS n_null_scalars "
+            "FROM a1 LEFT JOIN a2 USING (d) "
+            "UNION ALL SELECT d, NULL, NULL, NULL, NULL, NULL FROM ids "
+            "WHERE d % 13 = 0 ORDER BY doc_id"
         ),
         # hugeint arithmetic keeps the 128-bit value exact; VARCHAR cast
         # prints scale-4 digits identically to Spark's decimal toString

@@ -32,11 +32,12 @@ DEFINED = SEP + "#defined"
 
 def needs_flatten(dtype: T.DataType) -> bool:
     """True if this column type needs the flatten/rebuild treatment:
-    structs, maps, and list<struct> (parallel list leaves)."""
+    structs, maps, list<struct> (parallel list leaves), and
+    list<list<T>> (lengths + flattened stream)."""
     if isinstance(dtype, (T.StructType, T.MapType)):
         return True
     return (isinstance(dtype, T.ArrayType)
-            and isinstance(dtype.elementType, T.StructType))
+            and isinstance(dtype.elementType, (T.StructType, T.ArrayType)))
 
 
 def has_struct(schema: T.StructType) -> bool:
@@ -79,6 +80,31 @@ def flatten_exprs(schema: T.StructType) -> tuple[list[Column], T.StructType]:
             fields.append(T.StructField(
                 name + SEP + "#vals",
                 T.ArrayType(dtype.valueType, dtype.valueContainsNull), True))
+        elif (isinstance(dtype, T.ArrayType)
+              and isinstance(dtype.elementType, T.ArrayType)):
+            # list<list<T>> -> two leaves: inner lengths (array<int>,
+            # null element = null inner list — size(NULL) is NULL) and
+            # the flattened element stream (null inners filtered out
+            # first: Spark's flatten() nulls the whole result if any
+            # inner is null).  Rebuild re-slices by running offsets.
+            inner = dtype.elementType
+            if isinstance(inner.elementType, (T.StructType, T.ArrayType,
+                                              T.MapType)):
+                raise TypeError(
+                    f"list<list<...>> column {name}: elements deeper than "
+                    f"two list levels / non-atomic inner elements "
+                    f"unsupported ({inner.elementType.simpleString()})")
+            exprs.append(F.transform(
+                expr, lambda x: F.size(x)).alias(name + SEP + "#llen"))
+            fields.append(T.StructField(
+                name + SEP + "#llen",
+                T.ArrayType(T.IntegerType(), dtype.containsNull), True))
+            exprs.append(F.flatten(
+                F.filter(expr, lambda x: x.isNotNull())
+            ).alias(name + SEP + "#lflat"))
+            fields.append(T.StructField(
+                name + SEP + "#lflat",
+                T.ArrayType(inner.elementType, inner.containsNull), True))
         elif (isinstance(dtype, T.ArrayType)
               and isinstance(dtype.elementType, T.StructType)):
             # list<struct<...>> -> parallel list leaves sharing one
@@ -130,6 +156,9 @@ def leaf_names(name: str, dtype: T.DataType, nullable: bool) -> list[str]:
     if isinstance(dtype, T.MapType):
         return [name + SEP + "#keys", name + SEP + "#vals"]
     if (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.ArrayType)):
+        return [name + SEP + "#llen", name + SEP + "#lflat"]
+    if (isinstance(dtype, T.ArrayType)
             and isinstance(dtype.elementType, T.StructType)):
         out = [name + SEP + "#edef"] if dtype.containsNull else []
         return out + [name + SEP + "#elem" + SEP + f.name
@@ -149,6 +178,28 @@ def rebuild_expr(name: str, dtype: T.DataType, nullable: bool) -> Column:
     if isinstance(dtype, T.MapType):
         return F.map_from_arrays(F.col(name + SEP + "#keys"),
                                  F.col(name + SEP + "#vals"))
+    if (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.ArrayType)):
+        # re-slice the flattened stream by running offsets derived from
+        # the inner-lengths leaf (all JVM: aggregate/zip_with/slice).
+        # NULL length element = null inner list; NULL llen row (outer
+        # null) zips to NULL.
+        inner = dtype.elementType
+        llen = F.col(name + SEP + "#llen")
+        flat = F.col(name + SEP + "#lflat")
+        offs = F.aggregate(
+            llen,
+            F.array(F.lit(0)),
+            lambda acc, l: F.concat(acc, F.array(
+                F.element_at(acc, -1) + F.coalesce(l, F.lit(0)))),
+        )
+        starts = F.slice(offs, 1, F.size(llen))
+        out = F.zip_with(
+            llen, starts,
+            lambda l, o: F.when(l.isNull(), F.lit(None).cast(inner))
+            .otherwise(F.slice(flat, o + 1, l)),
+        )
+        return out.cast(dtype)
     if (isinstance(dtype, T.ArrayType)
             and isinstance(dtype.elementType, T.StructType)):
         # parallel list leaves -> arrays_zip (aliases become zip field

@@ -196,6 +196,41 @@ class BoltReader(DataSourceReader):
             def _comb(a):
                 return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
+            if isinstance(dtype, _AT) and isinstance(dtype.elementType, _AT):
+                # list<list<T>> stored as (inner lengths, flattened
+                # stream) leaves: rebuild the inner ListArray from
+                # cumulative lengths (null length = null inner list),
+                # then re-wrap with the lengths leaf's outer offsets.
+                import pyarrow.compute as pc
+
+                target = dec.arrow_out_type(dtype, "UTC")
+                llen = _comb(leaves[name + nest.SEP + "#llen"])
+                flat = _comb(leaves[name + nest.SEP + "#lflat"])
+                lens = llen.values
+                lens_np = np.asarray(pc.fill_null(lens, 0),
+                                     dtype=np.int64)
+                in_offs = np.zeros(len(lens_np) + 1, dtype=np.int32)
+                np.cumsum(lens_np, out=in_offs[1:], dtype=np.int32)
+                if lens.null_count:
+                    lvalid = np.asarray(lens.is_valid())
+                    in_off_arr = pa.array(in_offs, type=pa.int32(),
+                                          mask=np.append(~lvalid, False))
+                else:
+                    in_off_arr = pa.array(in_offs, type=pa.int32())
+                elem_t = target.value_type.value_type
+                ch = flat.values
+                if not ch.type.equals(elem_t):
+                    ch = ch.cast(elem_t)
+                inner_arr = pa.ListArray.from_arrays(in_off_arr, ch)
+                onp = np.asarray(llen.offsets)
+                if llen.null_count:
+                    valid = np.asarray(llen.is_valid())
+                    offsets = pa.array(onp, type=pa.int32(),
+                                       mask=np.append(~valid, False))
+                else:
+                    offsets = pa.array(onp, type=pa.int32())
+                out = pa.ListArray.from_arrays(offsets, inner_arr)
+                return out if out.type.equals(target) else out.cast(target)
             if isinstance(dtype, _AT) and isinstance(dtype.elementType, _ST):
                 # list<struct> stored as parallel list leaves sharing one
                 # offsets stream (engine/nest.py): rebuild a StructArray

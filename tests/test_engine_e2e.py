@@ -316,6 +316,35 @@ def test_list_of_struct_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_list_of_list_roundtrip(spark, tmp_path):
+    """array<array<int>> (nested token-span shape) flattens to an
+    inner-lengths leaf + a flattened element stream (engine/nest.py) and
+    rebuilds by re-slicing with running offsets — all JVM.  Null outer,
+    empty outer, null INNER lists, empty inner lists and null scalar
+    elements all round-trip distinctly."""
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .when(F.col("id") % 7 == 1, F.array().cast("array<array<int>>"))
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 4).cast("int")),
+            lambda i: F.when(i % 5 != 2, F.transform(
+                F.sequence(F.lit(0), i),
+                lambda j: F.when(j % 3 != 1,
+                                 (F.col("id") * 10 + j).cast("int"))))))
+        .alias("toks"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=4,
+                 resume=False)
+    back = decode_table(spark, f"{d}/b", f"{d}/m")
+    assert (back.schema["toks"].dataType.simpleString()
+            == df.schema["toks"].dataType.simpleString())
+    a = {r["doc_id"]: r["toks"] for r in df.collect()}
+    b = {r["doc_id"]: r["toks"] for r in back.collect()}
+    assert a == b
+
+
 def test_decimal38_column_roundtrip(spark, tmp_path):
     """decimal(38,6) rides as the full 128-bit word pair (tag 'd128',
     word-plane plain storage): values needing the high word, alternating

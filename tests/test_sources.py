@@ -309,6 +309,36 @@ def test_boltspark_datasource_list_of_struct(spark, tmp_path):
     assert a == b
 
 
+def test_boltspark_datasource_list_of_list(spark, tmp_path):
+    """DSv2 rebuilds list<list<T>> from the (#llen, #lflat) leaves —
+    null/empty outer and inner lists preserved."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.sources import datasource as ds
+
+    df = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 6 == 0, F.lit(None))
+        .when(F.col("id") % 6 == 1, F.array().cast("array<array<string>>"))
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 3).cast("int")),
+            lambda i: F.when(i % 4 != 2, F.transform(
+                F.sequence(F.lit(0), i),
+                lambda j: F.concat(F.lit("t"), F.col("id") % 10, j)))))
+        .alias("toks"),
+    )
+    d = str(tmp_path)
+    encode_table(df, f"{d}/b", f"{d}/m", key_cols=("doc_id",), n_parts=3,
+                 resume=False)
+    r = ds.load(spark, f"{d}/b", f"{d}/m")
+    assert (r.schema["toks"].dataType.simpleString()
+            == df.schema["toks"].dataType.simpleString())
+    a = {x["doc_id"]: x["toks"] for x in df.collect()}
+    b = {x["doc_id"]: x["toks"] for x in r.collect()}
+    assert a == b
+
+
 def test_boltspark_datasource_nullcheck_on_decimal38(spark, tmp_path):
     """Catalyst auto-generates IsNotNull beside comparison filters, and
     DSv2 pushes it as a type-agnostic ConstPredicate — on a decimal(>18)
