@@ -37,13 +37,15 @@ import zlib
 
 import numpy as np
 
-from . import bitpack, dictionary, foref, fsst, lists, rle, strings
+from . import bitpack, delta, dictionary, foref, fsst, lists, prefix, rle, strings
 from .types import ALL_TAGS, BOOL, BYTES, D128, dtype_of, tag_of
 from .varint import CorruptBlockError
 
 MAGIC = b"BSK2"  # bumped: wide layout + CRC coverage changed vs BSK1
 
-CODEC_IDS = ("plain", "rle", "dict", "for", "bitpack", "fsst", "list", "split")
+# append-only (ids are stored as indexes into this tuple)
+CODEC_IDS = ("plain", "rle", "dict", "for", "bitpack", "fsst", "list", "split",
+             "delta", "prefix")
 OUTER_CODECS = ("none", "zstd", "gzip", "snappy", "lz4")
 
 _HDR = struct.Struct("<4sBBBBQ")
@@ -165,6 +167,8 @@ _CODECS = {
     "bitpack": (_encode_bitpack, _decode_bitpack),
     "fsst": (fsst.encode, fsst.decode),
     "list": (lists.encode, lists.decode),
+    "delta": (delta.encode, delta.decode),
+    "prefix": (prefix.encode, prefix.decode),
 }
 
 

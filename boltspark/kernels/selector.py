@@ -33,8 +33,9 @@ DEFAULT_OUTER = "zstd"
 OUTER_MIN_GAIN = 0.9
 # encode-cost penalties: a slower codec must beat the alternatives by
 # this factor on size to be chosen (fsst encode is ~100x slower than
-# plain+zstd, so a marginal size win is a bad trade)
-COST_PENALTY = {"fsst": 1.25}
+# plain+zstd, so a marginal size win is a bad trade; prefix decode is
+# a position-wise resolve loop, slower than plain's zero-copy view)
+COST_PENALTY = {"fsst": 1.25, "prefix": 1.1}
 
 
 @dataclass
@@ -138,6 +139,10 @@ def candidate_codecs(stats: ColumnStats, tag: str) -> list[str]:
             cands.append("dict")
         if stats.avg_len >= 4 and stats.entropy <= 7.2:
             cands.append("fsst")
+        if stats.avg_len >= 8:
+            # front coding: pays on sorted key-like columns (paths);
+            # the trial decides on final size like everything else
+            cands.append("prefix")
         return cands
     if tag == BOOL:
         if stats.mean_run_length >= 4:
@@ -149,6 +154,10 @@ def candidate_codecs(stats: ColumnStats, tag: str) -> list[str]:
         cands.append("dict")
     if tag in ("i32", "i64"):
         cands.append("for")
+        # delta: pays when consecutive steps are narrow (sorted
+        # timestamps/ids); strided sampling preserves sortedness so the
+        # trial sees the real shape
+        cands.append("delta")
         if stats.vmin is not None and stats.vmin >= 0:
             cands.append("bitpack")
     if tag in ("f32", "f64"):

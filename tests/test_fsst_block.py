@@ -220,4 +220,5 @@ def test_selector_cost_penalty_is_a_knob():
     assert banned.codec != "fsst"
     free = selector.choose(col, "bytes", fsst_table=table,
                            cost_penalty={"fsst": 1.0})
-    assert free.codec in ("fsst", "plain", "dict")  # pure size decision
+    # pure size decision (any byte-capable codec may win it)
+    assert free.codec in ("fsst", "plain", "dict", "prefix")

@@ -501,3 +501,157 @@ def test_lbytes_list_block_roundtrip():
     sel, _, _, _, ns = block.decode_block_rows(blk2, np.array([True, False, True, False]))
     assert ns == 2 and np.array_equal(sel.offsets, [0, 2, 5])
     assert sel.values.to_pylist() == [b"ab", b"hello", b"x"]
+
+
+# ---------------------------------------------------------------------------
+# delta codec (sorted ints) + prefix front coding (sorted byte arrays)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_roundtrip_shapes(rng):
+    from boltspark.kernels import delta
+
+    ts = np.cumsum(rng.integers(1, 1000, 50000)).astype(np.int64) + 1_600_000_000_000_000
+    cases = [
+        ("i64", ts),                                              # sorted
+        ("i64", rng.integers(-2**40, 2**40, 10000).astype(np.int64)),  # random
+        ("i32", rng.integers(-2**20, 2**20, 10000).astype(np.int32)),
+        ("i64", np.full(777, -42, dtype=np.int64)),               # constant
+        ("i64", np.array([7], dtype=np.int64)),                   # single
+        ("i64", np.zeros(0, dtype=np.int64)),                     # empty
+    ]
+    for tag, v in cases:
+        payload, meta = delta.encode(v, tag)
+        out = delta.decode(payload, meta, len(v), tag)
+        np.testing.assert_array_equal(out, v)
+        assert out.dtype == v.dtype
+        # through the block container too (CRC + validity paths)
+        blk = block.encode_block(v, tag, "delta", outer="zstd")
+        np.testing.assert_array_equal(np.asarray(block.decode_block(blk)[0]), v)
+
+
+def test_delta_refuses_wide_spans():
+    from boltspark.kernels import delta
+
+    # value span and delta span beyond safe int64 arithmetic must raise
+    # (the engine's fallback then stores the block plain)
+    with pytest.raises(ValueError):
+        delta.encode(np.array([-(2**62), 2**62], dtype=np.int64), "i64")
+    with pytest.raises(ValueError):
+        delta.encode(np.array([0, 2**61, 0, 2**61], dtype=np.int64), "i64")
+    with pytest.raises(TypeError):
+        delta.encode(np.zeros(4, dtype=np.float64), "f64")
+
+
+def test_delta_beats_foref_on_sorted(rng):
+    from boltspark.kernels import delta, foref
+
+    ts = np.cumsum(rng.integers(1, 500, 65536)).astype(np.int64) + 10**15
+    d_payload, _ = delta.encode(ts, "i64")
+    f_payload, _ = foref.encode(ts, "i64")
+    assert len(d_payload) < len(f_payload) / 2  # step range << value range
+
+
+def test_selector_picks_delta_for_sorted_timestamps(rng):
+    from boltspark.kernels import selector
+
+    ts = np.cumsum(rng.integers(1, 1000, 65536)).astype(np.int64) + 10**15
+    choice = selector.choose(ts, "i64")
+    assert choice.codec == "delta"
+
+
+def _sorted_paths(rng, n_repos=4, per_repo=800):
+    rows = []
+    for r in range(n_repos):
+        base = f"github.com/org{r}/project-{r}/src/main/java/com/example/mod{r}/"
+        for i in range(per_repo):
+            rows.append((base + f"dir{i//50:03d}/File_{i:05d}_"
+                         f"{int(rng.integers(10**8)):09d}.java").encode())
+    rows.sort()
+    return rows
+
+
+def test_prefix_roundtrip_sorted_paths(rng):
+    from boltspark.kernels import prefix
+
+    rows = _sorted_paths(rng)
+    # edge rows: empties, duplicates, a long outlier
+    rows = [b"", b""] + rows + [rows[-1], b"z" * 5000]
+    col = strings.from_pylist(rows)
+    payload, meta = prefix.encode(col, "bytes")
+    out = prefix.decode(payload, meta, len(col), "bytes")
+    assert out.data == col.data and (out.offsets == col.offsets).all()
+    blk = block.encode_block(col, "bytes", "prefix", outer="zstd")
+    got = block.decode_block(blk)[0]
+    assert got.to_pylist() == rows
+
+
+def test_prefix_roundtrip_unsorted_and_edge(rng):
+    from boltspark.kernels import prefix
+
+    # arbitrary (unsorted) bytes must still round-trip bit-exact
+    rows = [bytes(rng.integers(0, 256, int(rng.integers(0, 40))).astype(np.uint8))
+            for _ in range(500)]
+    col = strings.from_pylist(rows)
+    payload, meta = prefix.encode(col, "bytes")
+    out = prefix.decode(payload, meta, len(col), "bytes")
+    assert out.to_pylist() == rows
+    # empty column
+    empty = strings.from_pylist([])
+    p2, m2 = prefix.encode(empty, "bytes")
+    assert prefix.decode(p2, m2, 0, "bytes").to_pylist() == []
+
+
+def test_prefix_block_with_nulls_and_late_materialization(rng):
+    from boltspark.kernels import prefix  # noqa: F401
+
+    rows = _sorted_paths(rng, n_repos=2, per_repo=300)
+    validity = rng.random(len(rows) + 100) > 0.2
+    dense = strings.from_pylist(rows[: int(validity.sum())]
+                                if int(validity.sum()) <= len(rows)
+                                else rows + rows[: int(validity.sum()) - len(rows)])
+    blk = block.encode_block(dense, "bytes", "prefix", validity=validity,
+                             outer="zstd")
+    vals, vd, tag, codec, n = block.decode_block(blk)
+    assert codec == "prefix" and n == len(validity)
+    assert vals.to_pylist() == dense.to_pylist()
+    # late materialization goes through full-decode + take for prefix
+    mask = rng.random(len(validity)) < 0.1
+    sel, vsel, *_ = block.decode_block_rows(blk, mask)
+    idx = np.nonzero(mask)[0]
+    dcum = np.cumsum(validity) - 1
+    expect = [dense[int(dcum[i])] for i in idx if validity[i]]
+    assert sel.to_pylist() == expect
+
+
+def test_prefix_corruption_is_loud(rng):
+    from boltspark.kernels import prefix
+
+    rows = _sorted_paths(rng, n_repos=1, per_repo=400)
+    col = strings.from_pylist(rows)
+    payload, meta = prefix.encode(col, "bytes")
+    with pytest.raises(CorruptBlockError):
+        prefix.decode(payload[: len(payload) // 3], meta, len(col), "bytes")
+    with pytest.raises(CorruptBlockError):
+        prefix.decode(b"", meta, len(col), "bytes")
+    # whole-block bitflips: typed error or bit-identical, never silent
+    blk = block.encode_block(col, "bytes", "prefix", outer="zstd")
+    ref_rows = block.decode_block(blk)[0].to_pylist()
+    for _ in range(150):
+        b = bytearray(blk)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            got = block.decode_block(bytes(b))[0].to_pylist()
+        except (CorruptBlockError, ValueError, KeyError, TypeError):
+            continue
+        assert got == ref_rows, f"silent corruption from flip at byte {i}"
+
+
+def test_selector_picks_prefix_for_sorted_paths(rng):
+    from boltspark.kernels import selector
+
+    rows = _sorted_paths(rng, n_repos=4, per_repo=900)
+    col = strings.from_pylist(rows)
+    choice = selector.choose(col, "bytes", exclude=("fsst",))
+    assert choice.codec == "prefix"
