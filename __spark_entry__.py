@@ -967,6 +967,88 @@ def _q_roundtrip_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta codec (sorted-int delta packing, kernels/delta.py) pinned on
+    the timestamp column: events clustered by ts (sort_cols) store the
+    epoch stream as first-value + bit-packed consecutive differences and
+    must decode bit-exact."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id")
+    d = tempfile.mkdtemp(prefix="boltspark_delta_")
+    encode_table(ev, f"{d}/blocks", f"{d}/manifest", key_cols=("event_id",),
+                 target_partition_bytes=4 << 20, resume=False,
+                 sort_cols=("ts", "event_id"), codec_override={"ts": "delta"})
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest").select(
+        "event_id", "ts", "user_id")
+
+
+def _q_prefix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix front coding (kernels/prefix.py) pinned on a key-sorted
+    path-like column: rows clustered by path share long prefixes with
+    their predecessors (the sorted-paths shape of a source-code corpus)
+    and must decode bit-exact."""
+    from boltspark.engine import decode_table, encode_table
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("corpus/"), F.col("lang"), F.lit("/"), F.col("source"),
+                 F.lit("/doc_"), F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                 F.lit(".txt")).alias("path"),
+    )
+    d = tempfile.mkdtemp(prefix="boltspark_prefix_")
+    encode_table(src, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False,
+                 sort_cols=("path",), codec_override={"path": "prefix"})
+    return decode_table(spark, f"{d}/blocks", f"{d}/manifest").select(
+        "doc_id", "path")
+
+
+def _q_agg_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain SUM (engine/agg.py): the aggregate reduces each
+    encoded block inside its task (rle blocks in O(runs), dict blocks via
+    the code histogram) — one partial row per task crosses the shuffle,
+    never the decoded values."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_sum
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    d = tempfile.mkdtemp(prefix="boltspark_aggsum_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    a = column_sum(spark, f"{d}/blocks", f"{d}/manifest", "l_orderkey")
+    b = column_sum(spark, f"{d}/blocks", f"{d}/manifest", "l_quantity")
+    return a.unionByName(b).select(
+        "column", F.round("sum_value", 4).alias("sum_value"),
+        "n_rows", "n_nulls").orderBy("column")
+
+
+def _q_group_counts_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain GROUP BY count (engine/agg.py::value_counts):
+    dictionary blocks contribute (distinct value, code-histogram count)
+    rows, so only per-block distincts ride the final shuffle — the
+    column's strings are never materialized."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import value_counts
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag")
+    d = tempfile.mkdtemp(prefix="boltspark_aggvc_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    vc = value_counts(spark, f"{d}/blocks", f"{d}/manifest", "l_returnflag")
+    return vc.select(F.col("value"), F.col("cnt")).orderBy("value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
@@ -989,6 +1071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_query_partition": _q_point_query_partition,
         "point_query_rows": _q_point_query_rows,
         "fsst_roundtrip": _q_fsst_roundtrip,
+        "delta_roundtrip": _q_delta_roundtrip,
+        "prefix_roundtrip": _q_prefix_roundtrip,
+        "agg_sum_pushdown": _q_agg_sum_pushdown,
+        "group_counts_pushdown": _q_group_counts_pushdown,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
         "roundtrip_after_compact": _q_roundtrip_after_compact,
         "decode_range_filter": _q_decode_range_filter,
@@ -1148,6 +1234,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(12 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"
         ),
         "fsst_roundtrip": "SELECT doc_id, text FROM documents",
+        "delta_roundtrip": "SELECT event_id, ts, user_id FROM events",
+        "prefix_roundtrip": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "'corpus/' || lang || '/' || source || '/doc_' || "
+            "lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS path "
+            "FROM documents"
+        ),
+        "agg_sum_pushdown": (
+            "SELECT * FROM ("
+            'SELECT \'l_orderkey\' AS "column", '
+            "ROUND(CAST(sum(l_orderkey) AS DOUBLE), 4) AS sum_value, "
+            "count(*) AS n_rows, "
+            "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_nulls FROM lineitem "
+            "UNION ALL "
+            'SELECT \'l_quantity\' AS "column", '
+            "ROUND(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_value, "
+            "count(*) AS n_rows, "
+            "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ' AS n_nulls FROM lineitem) ORDER BY "column"'
+        ),
+        "group_counts_pushdown": (
+            "SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY value"
+        ),
         "roundtrip_after_compact": (
             "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars "
             "FROM documents"

@@ -106,7 +106,10 @@ def _encode_rle(values, tag):
     return payload, {}
 
 
-def _decode_rle(payload, meta, n, tag):
+def decode_rle_runs(payload, meta, n, tag):
+    """(run_values, run_lengths) of an rle payload WITHOUT the
+    ``np.repeat`` materialization — the hook compressed-domain
+    aggregation uses to reduce a block in O(runs) (engine/agg.py)."""
     if len(payload) < 9:
         raise CorruptBlockError("rle: truncated header")
     n_runs, len_width = struct.unpack_from("<QB", payload, 0)
@@ -117,6 +120,11 @@ def _decode_rle(payload, meta, n, tag):
     run_values = _decode_plain(payload[pos:], meta, n_runs, tag)
     if int(lengths.sum()) != n:
         raise CorruptBlockError("rle: run lengths do not sum to row count")
+    return run_values, lengths
+
+
+def _decode_rle(payload, meta, n, tag):
+    run_values, lengths = decode_rle_runs(payload, meta, n, tag)
     return np.repeat(run_values, lengths.astype(np.int64))
 
 
