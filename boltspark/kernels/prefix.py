@@ -36,6 +36,15 @@ from . import bitpack
 from .strings import StringColumn
 from .varint import CorruptBlockError
 
+# encode-side cap on the stored prefix length: both the encode LCP walk
+# and the decode resolve loop iterate one byte POSITION per pass, so an
+# uncapped prefix (two adjacent multi-KB duplicate rows) would turn
+# them into thousands of passes.  255 covers key-like columns (paths,
+# ids, hashes) entirely; byte 256+ of a longer shared prefix is left
+# for the outer compressor, which eats long repeats anyway.  Decode
+# accepts ANY stored p (the cap is not part of the format).
+PMAX = 255
+
 
 def _prefix_lengths(col: StringColumn) -> np.ndarray:
     """Vectorized LCP of each row with its predecessor (row 0 -> 0).
@@ -57,6 +66,7 @@ def _prefix_lengths(col: StringColumn) -> np.ndarray:
     cap = np.empty(n, dtype=np.int64)
     cap[1:] = np.minimum(lens[1:], lens[:-1])
     cap[0] = 0
+    np.minimum(cap, PMAX, out=cap)
     active = np.nonzero(cap > 0)[0]
     j = 0
     while len(active):

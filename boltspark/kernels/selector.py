@@ -139,9 +139,12 @@ def candidate_codecs(stats: ColumnStats, tag: str) -> list[str]:
             cands.append("dict")
         if stats.avg_len >= 4 and stats.entropy <= 7.2:
             cands.append("fsst")
-        if stats.avg_len >= 8:
-            # front coding: pays on sorted key-like columns (paths);
-            # the trial decides on final size like everything else
+        if 8 <= stats.avg_len <= 512:
+            # front coding: pays on sorted KEY-LIKE columns (paths, ids)
+            # — the trial decides on final size like everything else.
+            # Long-text columns are excluded outright: their row-to-row
+            # shared prefixes are the outer compressor's job, and the
+            # position-wise decode loop scales with prefix length
             cands.append("prefix")
         return cands
     if tag == BOOL:
