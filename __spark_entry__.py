@@ -1049,6 +1049,50 @@ def _q_group_counts_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vc.select(F.col("value"), F.col("cnt")).orderBy("value")
 
 
+def _q_agg_filtered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE -> SUM entirely in the compressed domain: the decoder's
+    zone/mask cascade gates each block (all/none answered from zone maps
+    without opening it), partially-surviving blocks reduce a selective
+    decode of only the surviving rows, and one partial row per task
+    crosses the shuffle."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_sum
+    from boltspark.engine.filters import RangePredicate
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    d = tempfile.mkdtemp(prefix="boltspark_aggfs_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = RangePredicate(column="l_quantity", lower=10.0, upper=30.0,
+                          null_allowed=False)
+    return column_sum(spark, f"{d}/blocks", f"{d}/manifest", "l_orderkey",
+                      predicate=pred).select(
+        "column", F.round("sum_value", 4).alias("sum_value"),
+        "n_rows", "n_nulls")
+
+
+def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k in the compressed domain: each block emits
+    only its own top-k (sorted-dictionary tail for dict blocks,
+    np.partition otherwise), so k rows per block ride the final fold
+    instead of the column."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_topk
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    d = tempfile.mkdtemp(prefix="boltspark_topk_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    return column_topk(spark, f"{d}/blocks", f"{d}/manifest",
+                       "l_extendedprice", 25, ascending=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
@@ -1075,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_roundtrip": _q_prefix_roundtrip,
         "agg_sum_pushdown": _q_agg_sum_pushdown,
         "group_counts_pushdown": _q_group_counts_pushdown,
+        "agg_filtered_sum": _q_agg_filtered_sum,
+        "topk_pushdown": _q_topk_pushdown,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
         "roundtrip_after_compact": _q_roundtrip_after_compact,
         "decode_range_filter": _q_decode_range_filter,
@@ -1258,6 +1304,18 @@ def oracle_sql() -> dict[str, str]:
         "group_counts_pushdown": (
             "SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem "
             "GROUP BY l_returnflag ORDER BY value"
+        ),
+        "agg_filtered_sum": (
+            'SELECT \'l_orderkey\' AS "column", '
+            "ROUND(CAST(sum(l_orderkey) AS DOUBLE), 4) AS sum_value, "
+            "count(*) AS n_rows, "
+            "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_nulls FROM lineitem "
+            "WHERE l_quantity >= 10 AND l_quantity <= 30"
+        ),
+        "topk_pushdown": (
+            "SELECT l_extendedprice AS value FROM lineitem "
+            "ORDER BY l_extendedprice DESC LIMIT 25"
         ),
         "roundtrip_after_compact": (
             "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars "

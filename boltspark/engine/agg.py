@@ -1,5 +1,6 @@
 """Compressed-domain aggregation: SUM / COUNT / GROUP-BY-count computed
-from encoded blocks WITHOUT materializing rows.
+from encoded blocks WITHOUT materializing rows — optionally under a
+pushed predicate (the full WHERE -> aggregate pipeline in one pass).
 
 The reference stops at zone statistics (footer min/max,
 parquet_metadata_thrift.rs:657); this module pushes whole aggregations
@@ -15,6 +16,12 @@ of column stores:
   the task, so exactly one partial-aggregate row per block crosses the
   executor boundary (map-side combine below the row level).
 
+With a ``predicate``, the same cascade the decoder runs applies first:
+JVM zone prefilters drop provably-dead groups before their bytes cross
+into Python, zone maps answer all/none without opening the block, and
+groups where only SOME rows survive reduce over a late-materialized
+selective decode (only surviving rows are ever decoded).
+
 At 100 TB the difference is structural: a GROUP BY over a dictionary-
 coded flag column moves (n_blocks x n_distinct) tiny rows through one
 final shuffle instead of n_rows values.
@@ -29,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..kernels import block as blockmod
 from ..kernels import dictionary, lists, strings
 from . import manifest as manifestmod
+from .filters import Predicate
 from .schema import PART_ID
 
 
@@ -39,6 +47,21 @@ def _open_dense(blk: bytes):
     return payload, meta, tag, codec, n_rows, n_valid
 
 
+def _reduce_sum(v: np.ndarray, weights: np.ndarray | None = None):
+    if v.dtype.kind == "f":
+        w = weights.astype(np.float64) if weights is not None else None
+        return float(np.dot(v.astype(np.float64), w) if w is not None
+                     else v.sum(dtype=np.float64))
+    w = weights.astype(np.int64) if weights is not None else None
+    return int(np.dot(v.astype(np.int64), w) if w is not None
+               else v.sum(dtype=np.int64))
+
+
+def _check_sum_tag(tag: str):
+    if tag in ("bytes", "d128") or tag in lists.LIST_TAGS:
+        raise TypeError(f"sum over tag {tag!r} is not defined")
+
+
 def _block_sum(blk: bytes) -> tuple[float | int, int, int]:
     """(sum_of_non_null, n_rows, n_valid) for one numeric block.
 
@@ -47,29 +70,26 @@ def _block_sum(blk: bytes) -> tuple[float | int, int, int]:
     other codecs decode-and-reduce in the task.
     """
     payload, meta, tag, codec, n_rows, n_valid = _open_dense(blk)
-    if tag in ("bytes", "d128") or tag in lists.LIST_TAGS:
-        raise TypeError(f"sum over tag {tag!r} is not defined")
+    _check_sum_tag(tag)
     if codec == "rle":
         run_values, run_lengths = blockmod.decode_rle_runs(
             payload, meta, n_valid, tag)
-        # exact integer path vs float path, both vectorized
-        if run_values.dtype.kind == "f":
-            return float(np.dot(run_values.astype(np.float64),
-                                run_lengths.astype(np.float64))), n_rows, n_valid
-        return int(np.dot(run_values.astype(np.int64),
-                          run_lengths.astype(np.int64))), n_rows, n_valid
+        return _reduce_sum(np.asarray(run_values), run_lengths), n_rows, n_valid
     if codec == "dict":
         uniques, codes = dictionary.decode_parts(payload, meta, n_valid, tag)
         cnt = np.bincount(codes, minlength=len(uniques))
-        u = np.asarray(uniques)
-        if u.dtype.kind == "f":
-            return float(np.dot(u.astype(np.float64), cnt)), n_rows, n_valid
-        return int(np.dot(u.astype(np.int64), cnt)), n_rows, n_valid
+        return _reduce_sum(np.asarray(uniques), cnt), n_rows, n_valid
     values = blockmod.decode_values(payload, meta, n_valid, tag, codec)
+    return _reduce_sum(np.asarray(values)), n_rows, n_valid
+
+
+def _block_sum_masked(blk: bytes, mask: np.ndarray) -> tuple[float | int, int, int]:
+    """Masked variant: decode ONLY the surviving rows (late
+    materialization) and reduce them; (sum, n_selected, n_valid_selected)."""
+    values, validity_sel, tag, codec, n_sel = blockmod.decode_block_rows(blk, mask)
+    _check_sum_tag(tag)
     v = np.asarray(values)
-    if v.dtype.kind == "f":
-        return float(v.sum(dtype=np.float64)), n_rows, n_valid
-    return int(v.sum(dtype=np.int64)), n_rows, n_valid
+    return _reduce_sum(v), n_sel, len(v)
 
 
 def _block_value_counts(blk: bytes):
@@ -92,59 +112,131 @@ def _block_value_counts(blk: bytes):
         np.add.at(cnt, inv, run_lengths.astype(np.int64))
         return u, cnt, n_null
     values = blockmod.decode_values(payload, meta, n_valid, tag, codec)
+    return _counts_of(values, tag, n_null)
+
+
+def _block_value_counts_masked(blk: bytes, mask: np.ndarray):
+    values, validity_sel, tag, codec, n_sel = blockmod.decode_block_rows(blk, mask)
+    if tag == "d128" or tag in lists.LIST_TAGS:
+        raise TypeError(f"value_counts over tag {tag!r} is not defined")
+    return _counts_of(values, tag, n_sel - len(values))
+
+
+def _counts_of(values, tag: str, n_null: int):
     if tag == "bytes":
         import pyarrow.compute as pc
 
         vc = pc.value_counts(strings.to_arrow(values))
-        u = strings.from_arrow(vc.field("values").combine_chunks()
-                               if isinstance(vc.field("values"), pa.ChunkedArray)
-                               else vc.field("values"))
+        varr = vc.field("values")
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        u = strings.from_arrow(varr)
         cnt = np.asarray(vc.field("counts")).astype(np.int64)
         return u, cnt, n_null
     u, cnt = np.unique(np.asarray(values), return_counts=True)
     return u, cnt.astype(np.int64), n_null
 
 
+def _resolve_mask(blk_cols, st_cols, i: int, predicates):
+    """The decoder's conjunctive zone/mask cascade for one block group ->
+    'none' | 'all' | full-length bool mask (decode._decode_mask reused,
+    so dictionary-level predicate evaluation and the ternary null rule
+    apply identically here)."""
+    from .decode import _decode_mask
+
+    mask = None
+    for pred in predicates:
+        s = blk_cols[pred.column][i]
+        if not s.is_valid:
+            # column absent from this group's run (schema evolution):
+            # the whole column is null here
+            if pred.null_allowed:
+                continue
+            return "none"
+        verdict, pmask = _decode_mask(s.as_py(), st_cols[pred.column][i].as_py(),
+                                      pred)
+        if verdict == "none":
+            return "none"
+        if pmask is not None:
+            mask = pmask if mask is None else (mask & pmask)
+            if not mask.any():
+                return "none"
+    return "all" if mask is None else mask
+
+
+def _normalize_predicates(predicate) -> list[Predicate]:
+    if predicate is None:
+        return []
+    return predicate if isinstance(predicate, list) else [predicate]
+
+
 def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
-                 column: str) -> DataFrame:
+                 column: str, predicates: list[Predicate]) -> DataFrame:
     meta = manifestmod.table_meta(spark, manifest_path)
-    if column not in meta["columns"]:
-        raise KeyError(f"unknown column {column}; encoded: {meta['columns']}")
+    known = set(meta["columns"])
+    for c in [column] + [p.column for p in predicates]:
+        if c not in known:
+            raise KeyError(f"unknown column {c}; encoded: {meta['columns']}")
+    proj = [F.col(PART_ID), F.col("run_id"), F.col("n_rows"),
+            F.col("cols").getField(column).getField("block").alias("__blk")]
+    for p in predicates:
+        proj.append(F.col("cols").getField(p.column).getField("block")
+                    .alias(f"__blk_{p.column}"))
+        proj.append(F.col("cols").getField(p.column).getField("stats")
+                    .alias(f"__st_{p.column}"))
     blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
-              .select(PART_ID, "run_id", "n_rows",
-                      F.col("cols").getField(column).getField("block")
-                      .alias("__blk")))
+              .select(*proj))
+    # JVM zone prefilter: provably-dead groups never cross into Python
+    keeps = [k for k in (p.jvm_zone_keep(F.col(f"__st_{p.column}"))
+                         for p in predicates) if k is not None]
+    for k in keeps:
+        blocks = blocks.filter(k)
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     return blocks.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
 
 
 def column_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
-               column: str) -> DataFrame:
+               column: str, predicate=None) -> DataFrame:
     """One-row DataFrame (column, sum_value, n_rows, n_nulls) computed in
     the compressed domain: each task reduces its blocks to one partial
     row; Spark's final aggregation folds the partials (exact int64 for
-    integer storage, float64 for floats)."""
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column)
+    integer storage, float64 for floats).  ``predicate`` (one or a list,
+    ANDed) restricts the aggregate to surviving rows — zone maps answer
+    all/none without opening blocks; partially-surviving groups reduce a
+    selective decode of only the surviving rows."""
+    predicates = _normalize_predicates(predicate)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
 
     def gen(batches):
         for batch in batches:
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
             s_l = 0
             s_d = 0.0
             is_float = False
             rows = 0
             nulls = 0
             for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
                 b = blks[i]
+                g = grows[i].as_py()
                 if not b.is_valid:
                     # evolved column: the group predates it — all rows NULL
-                    g = grows[i].as_py()
-                    rows += g
-                    nulls += g
+                    n_sel = g if isinstance(mask, str) else int(mask.sum())
+                    rows += n_sel
+                    nulls += n_sel
                     continue
-                s, n_rows, n_valid = _block_sum(b.as_py())
+                if isinstance(mask, str):  # 'all'
+                    s, n_rows, n_valid = _block_sum(b.as_py())
+                else:
+                    s, n_rows, n_valid = _block_sum_masked(b.as_py(), mask)
                 if isinstance(s, float):
                     is_float = True
                     s_d += s
@@ -170,32 +262,33 @@ def column_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
         .select(F.lit(column).alias("column"),
                 F.when(F.col("is_f"), F.col("s_d") + F.col("s_l"))
                 .otherwise(F.col("s_l").cast("double")).alias("sum_value"),
-                "n_rows", "n_nulls"))
+                F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls")))
 
 
 def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
-                 column: str) -> DataFrame:
+                 column: str, predicate=None) -> DataFrame:
     """GROUP BY ``column`` -> COUNT(*) in the compressed domain: dict
     blocks contribute (dictionary value, code-histogram count) rows, rle
     blocks (run value, summed lengths), others reduce with np.unique —
     only per-block distinct values ride the final (tiny) shuffle.  A
     NULL group row is emitted when the column has nulls (SQL GROUP BY
-    semantics).  Returns (value, cnt); value typed by the table schema.
-    """
+    semantics).  ``predicate`` restricts counting to surviving rows.
+    Returns (value, cnt); value typed by the table schema."""
     import json as jsonmod
 
     from pyspark.sql import types as T
 
+    predicates = _normalize_predicates(predicate)
     meta = manifestmod.table_meta(spark, manifest_path)
     schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
     field = {f.name: f for f in schema.fields}[column]
-    tname = field.dataType.typeName()
-    is_bytes = tname in ("string", "binary")
+    is_bytes = field.dataType.typeName() in ("string", "binary")
     out_schema = T.StructType([
         T.StructField("value", field.dataType, True),
         T.StructField("cnt", T.LongType(), False),
     ])
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
@@ -206,29 +299,152 @@ def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
             for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
                 b = blks[i]
                 if not b.is_valid:
-                    # evolved column: whole group is the NULL value
-                    g = grows[i].as_py()
+                    # evolved column: every surviving row is the NULL value
+                    g = (grows[i].as_py() if isinstance(mask, str)
+                         else int(mask.sum()))
                     if g:
                         yield pa.RecordBatch.from_arrays(
                             [pa.nulls(1, out_t), pa.array([g], pa.int64())],
                             names=["value", "cnt"])
                     continue
-                u, cnt, n_null = _block_value_counts(b.as_py())
-                if is_bytes:
-                    varr = strings.to_arrow(u)
+                if isinstance(mask, str):  # 'all'
+                    u, cnt, n_null = _block_value_counts(b.as_py())
                 else:
-                    varr = pa.array(np.asarray(u))
+                    u, cnt, n_null = _block_value_counts_masked(b.as_py(), mask)
+                varr = strings.to_arrow(u) if is_bytes else pa.array(np.asarray(u))
                 if not varr.type.equals(out_t):
                     varr = varr.cast(out_t)
                 carr = pa.array(cnt, pa.int64())
                 if n_null:
-                    varr = pa.concat_arrays([varr, pa.nulls(1, varr.type)])
+                    varr = pa.concat_arrays([varr.cast(out_t), pa.nulls(1, out_t)])
                     carr = pa.concat_arrays([carr, pa.array([n_null], pa.int64())])
                 yield pa.RecordBatch.from_arrays([varr, carr],
                                                  names=["value", "cnt"])
 
     partials = blocks.mapInArrow(gen, out_schema)
     return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
+def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
+                column: str, k: int, ascending: bool = False,
+                predicate=None) -> DataFrame:
+    """ORDER BY ``column`` LIMIT ``k`` pushed into the encoded domain:
+    each block contributes only its own top-k values (np.partition over
+    the dense decode; dict blocks read the SORTED dictionary's tail
+    directly, O(k) without touching the code stream when full), so k
+    rows per block ride the final single-partition fold instead of the
+    column.  NULLs never rank (SQL ORDER BY ... LIMIT semantics with
+    NULLS LAST).  Returns one column ``value`` with at most k rows,
+    globally ordered."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    predicates = _normalize_predicates(predicate)
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    field = {f.name: f for f in schema.fields}[column]
+    is_bytes = field.dataType.typeName() in ("string", "binary")
+    out_schema = T.StructType([T.StructField("value", field.dataType, True)])
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_t = arrow_out_type(field.dataType, tz)
+
+    def gen(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            names = batch.schema.names
+            blks = batch.column(names.index("__blk"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                b = blks[i]
+                if not b.is_valid:
+                    continue  # evolved column: all NULL, never ranks
+                if isinstance(mask, str):
+                    payload, meta_b, tag, codec, n_rows, n_valid = _open_dense(
+                        b.as_py())
+                    if tag == "d128" or tag in lists.LIST_TAGS:
+                        raise TypeError(f"topk over tag {tag!r} is not defined")
+                    if codec == "dict" and n_valid:
+                        # sorted dictionary: the extreme k values are the
+                        # dictionary's head/tail — but only entries that
+                        # actually occur... every dict entry occurs by
+                        # construction (built from this block's values),
+                        # so slice directly, weight irrelevant for topk
+                        # beyond multiplicity: take codes only when the
+                        # dictionary is smaller than k
+                        uniques, codes = dictionary.decode_parts(
+                            payload, meta_b, n_valid, tag)
+                        nu = len(uniques)
+                        if nu >= k:
+                            sel = (np.arange(k) if ascending
+                                   else np.arange(nu - k, nu))
+                            vals = (strings.take(uniques, sel) if is_bytes
+                                    else np.asarray(uniques)[sel])
+                            # k distinct extremes bound the block's true
+                            # top-k only if multiplicity >= 1 each — they
+                            # do (dict entries occur); but duplicates
+                            # among the true top-k need the code stream:
+                            # expand via the histogram, capped at k
+                            cnt = np.bincount(codes, minlength=nu)[sel]
+                            rep = (np.repeat(np.arange(len(sel)), cnt)
+                                   [:k] if ascending else
+                                   np.repeat(np.arange(len(sel)), cnt)[-k:])
+                            vals = (strings.take(vals, rep) if is_bytes
+                                    else np.asarray(vals)[rep])
+                        else:
+                            full = (dictionary.decode(payload, meta_b,
+                                                      n_valid, tag))
+                            vals = full
+                    else:
+                        vals = blockmod.decode_values(payload, meta_b,
+                                                      n_valid, tag, codec)
+                else:
+                    vals, _v, tag, codec, _n = blockmod.decode_block_rows(
+                        b.as_py(), mask)
+                    if tag == "d128" or tag in lists.LIST_TAGS:
+                        raise TypeError(f"topk over tag {tag!r} is not defined")
+                if is_bytes:
+                    arr = strings.to_arrow(vals) if hasattr(vals, "offsets") \
+                        else pa.array(vals)
+                    if len(arr) > k:
+                        order = "ascending" if ascending else "descending"
+                        idx = pc.select_k_unstable(
+                            arr, k, sort_keys=[("dummy", order)])
+                        arr = arr.take(idx)
+                    out = arr
+                else:
+                    v = np.asarray(vals)
+                    if len(v) > k:
+                        part = (np.partition(v, k - 1)[:k] if ascending
+                                else np.partition(v, len(v) - k)[-k:])
+                        v = part
+                    out = pa.array(v)
+                if len(out) == 0:
+                    continue
+                if not out.type.equals(out_t):
+                    out = out.cast(out_t)
+                yield pa.RecordBatch.from_arrays([out], names=["value"])
+
+    partials = blocks.mapInArrow(gen, out_schema)
+    order_col = F.col("value").asc() if ascending else F.col("value").desc()
+    return partials.orderBy(order_col).limit(k)

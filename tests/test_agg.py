@@ -117,3 +117,88 @@ def test_decode_rle_runs_matches_full_decode(rng):
     payload, meta = blockmod.encode_values(v, "i64", "rle")
     rv, rl = blockmod.decode_rle_runs(payload, meta, len(v), "i64")
     np.testing.assert_array_equal(np.repeat(rv, rl.astype(np.int64)), v)
+
+
+def test_filtered_column_sum_matches_catalyst(spark, agg_table):
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="k", lower=3000, upper=15000,
+                          null_allowed=False)
+    for col in ("runs", "val", "k"):
+        got = column_sum(spark, out, man, col, predicate=pred).collect()[0]
+        filt = sdf.filter((F.col("k") >= 3000) & (F.col("k") <= 15000))
+        exp = filt.agg(
+            F.sum(col).alias("s"), F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(col).isNull().cast("long")).alias("z")).collect()[0]
+        assert got["n_rows"] == exp["n"], col
+        assert got["n_nulls"] == exp["z"], col
+        assert got["sum_value"] == pytest.approx(float(exp["s"]), rel=1e-12), col
+
+
+def test_filtered_value_counts_matches_catalyst(spark, agg_table):
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="val", lower=50.0, upper=None,
+                          null_allowed=True)
+    got = {r["value"]: r["cnt"]
+           for r in value_counts(spark, out, man, "flag",
+                                 predicate=pred).collect()}
+    exp = {r["value"]: r["cnt"]
+           for r in sdf.filter((F.col("val") >= 50.0) | F.col("val").isNull())
+           .groupBy(F.col("flag").alias("value"))
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == exp
+
+
+def test_filtered_sum_prunes_everything(spark, agg_table):
+    from boltspark.engine.filters import RangePredicate
+
+    _, out, man = agg_table
+    pred = RangePredicate(column="k", lower=10**9, upper=None,
+                          null_allowed=False)
+    got = column_sum(spark, out, man, "runs", predicate=pred).collect()[0]
+    assert got["n_rows"] == 0 and got["sum_value"] is None
+    assert value_counts(spark, out, man, "flag", predicate=pred).count() == 0
+
+
+def test_column_topk_matches_catalyst(spark, agg_table):
+    from boltspark.engine.agg import column_topk
+
+    sdf, out, man = agg_table
+    for col, asc in (("k", False), ("k", True), ("val", False),
+                     ("flag", False), ("flag", True), ("runs", True)):
+        got = [r["value"] for r in
+               column_topk(spark, out, man, col, 7, ascending=asc).collect()]
+        order = F.col(col).asc() if asc else F.col(col).desc()
+        exp = [r[col] for r in sdf.filter(F.col(col).isNotNull())
+               .orderBy(order).limit(7).collect()]
+        assert got == exp, (col, asc)
+
+
+def test_column_topk_filtered_and_edge(spark, agg_table):
+    from boltspark.engine.agg import column_topk
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="k", lower=None, upper=5000,
+                          null_allowed=False)
+    got = [r["value"] for r in
+           column_topk(spark, out, man, "k", 5, ascending=False,
+                       predicate=pred).collect()]
+    assert got == [5000, 4999, 4998, 4997, 4996]
+    # bytes column under a predicate: masked selective decode + Arrow
+    # select_k path
+    got_b = [r["value"] for r in
+             column_topk(spark, out, man, "flag", 4, ascending=True,
+                         predicate=pred).collect()]
+    exp_b = [r["flag"] for r in
+             sdf.filter((F.col("k") <= 5000) & F.col("flag").isNotNull())
+             .orderBy(F.col("flag").asc()).limit(4).collect()]
+    assert got_b == exp_b
+    # k larger than the table: all rows, ordered
+    big = column_topk(spark, out, man, "flag", 10**6).count()
+    assert big == sdf.filter(F.col("flag").isNotNull()).count()
+    with pytest.raises(ValueError):
+        column_topk(spark, out, man, "k", 0)
