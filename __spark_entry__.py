@@ -1093,6 +1093,35 @@ def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "l_extendedprice", 25, ascending=False)
 
 
+def _q_grouped_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1's core (GROUP BY flag -> SUM, COUNT) in the compressed
+    domain: the wide blocks layout aligns the dict-coded group column
+    with the numeric column inside one parquet row, so each task reduces
+    a block pair with np.bincount over the code stream — the flag
+    strings are never materialized, and only (n_blocks x n_distinct)
+    partial rows cross the final shuffle.  A quantity predicate rides
+    the decoder's zone/mask cascade first."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import grouped_sum
+    from boltspark.engine.filters import RangePredicate
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    d = tempfile.mkdtemp(prefix="boltspark_gsum_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = RangePredicate(column="l_quantity", lower=5.0, upper=45.0,
+                          null_allowed=False)
+    return grouped_sum(spark, f"{d}/blocks", f"{d}/manifest",
+                       "l_returnflag", "l_extendedprice",
+                       predicate=pred).select(
+        "value", F.round("sum_value", 2).alias("sum_value"),
+        "cnt").orderBy("value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
@@ -1121,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_counts_pushdown": _q_group_counts_pushdown,
         "agg_filtered_sum": _q_agg_filtered_sum,
         "topk_pushdown": _q_topk_pushdown,
+        "grouped_sum_pushdown": _q_grouped_sum_pushdown,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
         "roundtrip_after_compact": _q_roundtrip_after_compact,
         "decode_range_filter": _q_decode_range_filter,
@@ -1316,6 +1346,13 @@ def oracle_sql() -> dict[str, str]:
         "topk_pushdown": (
             "SELECT l_extendedprice AS value FROM lineitem "
             "ORDER BY l_extendedprice DESC LIMIT 25"
+        ),
+        "grouped_sum_pushdown": (
+            "SELECT l_returnflag AS value, "
+            "ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_value, "
+            "count(*) AS cnt FROM lineitem "
+            "WHERE l_quantity >= 5 AND l_quantity <= 45 "
+            "GROUP BY l_returnflag ORDER BY value"
         ),
         "roundtrip_after_compact": (
             "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars "

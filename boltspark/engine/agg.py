@@ -171,14 +171,19 @@ def _normalize_predicates(predicate) -> list[Predicate]:
 
 
 def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
-                 column: str, predicates: list[Predicate]) -> DataFrame:
+                 column: str, predicates: list[Predicate],
+                 value_column: str | None = None) -> DataFrame:
     meta = manifestmod.table_meta(spark, manifest_path)
     known = set(meta["columns"])
-    for c in [column] + [p.column for p in predicates]:
+    extra = [value_column] if value_column is not None else []
+    for c in [column] + extra + [p.column for p in predicates]:
         if c not in known:
             raise KeyError(f"unknown column {c}; encoded: {meta['columns']}")
     proj = [F.col(PART_ID), F.col("run_id"), F.col("n_rows"),
             F.col("cols").getField(column).getField("block").alias("__blk")]
+    if value_column is not None:
+        proj.append(F.col("cols").getField(value_column).getField("block")
+                    .alias("__blk2"))
     for p in predicates:
         proj.append(F.col("cols").getField(p.column).getField("block")
                     .alias(f"__blk_{p.column}"))
@@ -333,6 +338,181 @@ def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
 
     partials = blocks.mapInArrow(gen, out_schema)
     return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
+
+
+def _group_codes(blk: bytes):
+    """Full-length integer group labels for one block -> (uniques,
+    codes_full, validity_bits_spent).  ``codes_full`` has one entry per
+    ROW (length n_rows); null rows carry code -1.  Dict blocks hand
+    their code stream over directly (the group column's strings are
+    never materialized); rle blocks label runs without expansion of the
+    values; everything else decodes dense and dictionary-encodes."""
+    payload, validity, meta, tag, codec, n_rows = blockmod.open_block(blk)
+    if tag == "d128" or tag in lists.LIST_TAGS:
+        raise TypeError(f"group-by over tag {tag!r} is not defined")
+    n_valid = int(validity.sum()) if validity is not None else n_rows
+    if codec == "dict":
+        uniques, codes = dictionary.decode_parts(payload, meta, n_valid, tag)
+        codes = codes.astype(np.int64)
+    elif codec == "rle" and tag != "bytes":
+        rv, rl = blockmod.decode_rle_runs(payload, meta, n_valid, tag)
+        uniques, inv = np.unique(np.asarray(rv), return_inverse=True)
+        codes = np.repeat(inv.astype(np.int64), rl.astype(np.int64))
+    else:
+        values = blockmod.decode_values(payload, meta, n_valid, tag, codec)
+        if tag == "bytes":
+            # per-block unique order is irrelevant: the final groupBy
+            # merges partials by value
+            de = strings.to_arrow(values).dictionary_encode()
+            uniques = strings.from_arrow(de.dictionary)
+            codes = np.asarray(de.indices).astype(np.int64)
+        else:
+            uniques, inv = np.unique(np.asarray(values), return_inverse=True)
+            codes = inv.astype(np.int64)
+    if validity is None:
+        return uniques, codes
+    full = np.full(n_rows, -1, dtype=np.int64)
+    full[validity] = codes
+    return uniques, full
+
+
+def _dense_full(blk: bytes):
+    """Numeric block -> (values_full, valid_mask_full).  ``values_full``
+    is full block length with garbage (zero) in null slots; mask them
+    with ``valid_mask_full``."""
+    payload, validity, meta, tag, codec, n_rows = blockmod.open_block(blk)
+    _check_sum_tag(tag)
+    n_valid = int(validity.sum()) if validity is not None else n_rows
+    v = np.asarray(blockmod.decode_values(payload, meta, n_valid, tag, codec))
+    if validity is None:
+        return v, np.ones(n_rows, dtype=bool)
+    full = np.zeros(n_rows, dtype=v.dtype)
+    full[validity] = v
+    return full, validity.astype(bool)
+
+
+def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
+                group_column: str, value_column: str,
+                predicate=None) -> DataFrame:
+    """GROUP BY ``group_column`` -> SUM(``value_column``), COUNT(*) in
+    the compressed domain.  The WIDE blocks layout aligns both columns
+    inside one parquet row (same group = same rows, same order), so each
+    task reduces a block pair to at most n_distinct partial rows with
+    ``np.bincount`` — a dict-coded group column never materializes its
+    strings, the code stream IS the group id.  SQL semantics: NULL
+    groups aggregate into a NULL-value row; NULL values count rows but
+    contribute nothing to the sum (an all-null group sums to NULL).
+    ``predicate`` restricts the aggregate with the decoder's zone/mask
+    cascade.  Returns (value, sum_value, cnt) with value typed by the
+    table schema; only per-block distinct groups cross the final
+    shuffle."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    field = {f.name: f for f in schema.fields}[group_column]
+    is_bytes = field.dataType.typeName() in ("string", "binary")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, group_column,
+                          predicates, value_column=value_column)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_t = arrow_out_type(field.dataType, tz)
+    out_schema = T.StructType([
+        T.StructField("value", field.dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("nv", T.LongType(), False),
+        T.StructField("s_l", T.LongType(), False),
+        T.StructField("s_d", T.DoubleType(), False),
+        T.StructField("is_f", T.BooleanType(), False),
+    ])
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            gblks = batch.column(names.index("__blk"))
+            vblks = batch.column(names.index("__blk2"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                gb, vb = gblks[i], vblks[i]
+                n_rows = grows[i].as_py()
+                if gb.is_valid:
+                    uniq, gfull = _group_codes(gb.as_py())
+                else:
+                    # evolved group column: every row is the NULL group
+                    uniq, gfull = None, np.full(n_rows, -1, dtype=np.int64)
+                if vb.is_valid:
+                    vfull, vmask = _dense_full(vb.as_py())
+                else:
+                    # evolved value column: all values NULL
+                    vfull = np.zeros(n_rows, dtype=np.int64)
+                    vmask = np.zeros(n_rows, dtype=bool)
+                sel = (np.ones(len(gfull), dtype=bool)
+                       if isinstance(mask, str) else mask)
+                nu = len(uniq) if uniq is not None else 0
+                g1 = gfull + 1  # slot 0 = NULL group
+                cnt = np.bincount(g1[sel], minlength=nu + 1)
+                wv = vmask & sel
+                nv = np.bincount(g1[wv], minlength=nu + 1)
+                if vfull.dtype.kind == "f":
+                    is_f = True
+                    s_d = np.bincount(g1[wv], weights=vfull[wv],
+                                      minlength=nu + 1)
+                    s_l = np.zeros(nu + 1, dtype=np.int64)
+                else:
+                    is_f = False
+                    s_l = np.zeros(nu + 1, dtype=np.int64)
+                    np.add.at(s_l, g1[wv], vfull[wv].astype(np.int64))
+                    s_d = np.zeros(nu + 1, dtype=np.float64)
+                keep = cnt > 0
+                if not keep.any():
+                    continue
+                kept_idx = np.nonzero(keep[1:])[0]
+                if uniq is not None and len(kept_idx):
+                    varr = (strings.to_arrow(uniq) if is_bytes
+                            else pa.array(np.asarray(uniq)))
+                    if not varr.type.equals(out_t):
+                        varr = varr.cast(out_t)
+                    if len(kept_idx) < len(varr):
+                        varr = varr.take(pa.array(kept_idx))
+                else:
+                    varr = pa.nulls(0, out_t)
+                if keep[0]:
+                    varr = pa.concat_arrays([pa.nulls(1, out_t), varr])
+                cnt, nv = cnt[keep], nv[keep]
+                s_l, s_d = s_l[keep], s_d[keep]
+                yield pa.RecordBatch.from_arrays(
+                    [varr,
+                     pa.array(cnt.astype(np.int64), pa.int64()),
+                     pa.array(nv.astype(np.int64), pa.int64()),
+                     pa.array(s_l, pa.int64()),
+                     pa.array(s_d, pa.float64()),
+                     pa.array(np.full(len(cnt), is_f), pa.bool_())],
+                    names=["value", "cnt", "nv", "s_l", "s_d", "is_f"])
+
+    partials = blocks.mapInArrow(gen, out_schema)
+    agg = partials.groupBy("value").agg(
+        F.sum("cnt").alias("cnt"), F.sum("nv").alias("nv"),
+        F.sum("s_l").alias("s_l"), F.sum("s_d").alias("s_d"),
+        F.max("is_f").alias("is_f"))
+    return agg.select(
+        "value",
+        F.when(F.col("nv") == 0, F.lit(None).cast("double"))
+        .when(F.col("is_f"), F.col("s_d") + F.col("s_l"))
+        .otherwise(F.col("s_l").cast("double")).alias("sum_value"),
+        "cnt")
+
+
 def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                 column: str, k: int, ascending: bool = False,
                 predicate=None) -> DataFrame:

@@ -202,3 +202,67 @@ def test_column_topk_filtered_and_edge(spark, agg_table):
     assert big == sdf.filter(F.col("flag").isNotNull()).count()
     with pytest.raises(ValueError):
         column_topk(spark, out, man, "k", 0)
+
+
+def _gsum_exp(sdf, g, v, flt=None):
+    d = sdf if flt is None else sdf.filter(flt)
+    rows = (d.groupBy(F.col(g).alias("value"))
+            .agg(F.sum(v).cast("double").alias("s"),
+                 F.count(F.lit(1)).alias("c")).collect())
+    return {r["value"]: (r["s"], r["c"]) for r in rows}
+
+
+def _gsum_got(spark, out, man, g, v, pred=None):
+    from boltspark.engine.agg import grouped_sum
+
+    rows = grouped_sum(spark, out, man, g, v, predicate=pred).collect()
+    return {r["value"]: (r["sum_value"], r["cnt"]) for r in rows}
+
+
+def test_grouped_sum_matches_catalyst(spark, agg_table):
+    sdf, out, man = agg_table
+    # dict group x float-with-nulls value; rle group x int value;
+    # high-cardinality int group x float value; nullable float group
+    # (NULL group row) x int value
+    for g, v in (("flag", "val"), ("runs", "k"), ("k", "val"),
+                 ("val", "k")):
+        got = _gsum_got(spark, out, man, g, v)
+        exp = _gsum_exp(sdf, g, v)
+        assert set(got) == set(exp), (g, v)
+        for key, (es, ec) in exp.items():
+            gs, gc = got[key]
+            assert gc == ec, (g, v, key)
+            if es is None:
+                assert gs is None, (g, v, key)
+            else:
+                assert gs == pytest.approx(es, rel=1e-12), (g, v, key)
+
+
+def test_grouped_sum_filtered_matches_catalyst(spark, agg_table):
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="k", lower=2500, upper=14000,
+                          null_allowed=False)
+    got = _gsum_got(spark, out, man, "flag", "val", pred=pred)
+    exp = _gsum_exp(sdf, "flag", "val",
+                    (F.col("k") >= 2500) & (F.col("k") <= 14000))
+    assert set(got) == set(exp)
+    for key, (es, ec) in exp.items():
+        gs, gc = got[key]
+        assert gc == ec and gs == pytest.approx(es, rel=1e-12), key
+
+
+def test_grouped_sum_all_null_values_sum_null(spark, agg_table):
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    # predicate keeps ONLY rows where val IS NULL -> every group's sum
+    # is NULL but counts survive
+    pred = RangePredicate(column="val", lower=1e18, upper=None,
+                          null_allowed=True)
+    got = _gsum_got(spark, out, man, "flag", "val", pred=pred)
+    exp = _gsum_exp(sdf, "flag", "val", F.col("val").isNull())
+    assert got == exp
+    for gs, _gc in got.values():
+        assert gs is None
