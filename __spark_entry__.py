@@ -1122,6 +1122,49 @@ def _q_grouped_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt").orderBy("value")
 
 
+def _q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered MIN/MAX in the compressed domain, value-exact: sorted
+    dictionaries answer O(1) from their head/tail, rle blocks reduce run
+    values, and a quantity predicate rides the zone/mask cascade so
+    pruned blocks are never opened."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_minmax
+    from boltspark.engine.filters import RangePredicate
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    d = tempfile.mkdtemp(prefix="boltspark_minmax_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = RangePredicate(column="l_quantity", lower=10.0, upper=40.0,
+                          null_allowed=False)
+    return column_minmax(spark, f"{d}/blocks", f"{d}/manifest",
+                         "l_extendedprice", predicate=pred)
+
+
+def _q_distinct_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT in the compressed domain: dict blocks hand over their
+    dictionary without decoding the code stream (every entry occurs by
+    construction), so only per-block distinct sets cross the shuffle."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_distinct
+    from boltspark.engine.filters import RangePredicate
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    d = tempfile.mkdtemp(prefix="boltspark_dist_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = RangePredicate(column="l_quantity", lower=None, upper=25.0,
+                          null_allowed=False)
+    return column_distinct(spark, f"{d}/blocks", f"{d}/manifest",
+                           "l_returnflag", predicate=pred).orderBy("value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
@@ -1151,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filtered_sum": _q_agg_filtered_sum,
         "topk_pushdown": _q_topk_pushdown,
         "grouped_sum_pushdown": _q_grouped_sum_pushdown,
+        "minmax_pushdown": _q_minmax_pushdown,
+        "distinct_pushdown": _q_distinct_pushdown,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
         "roundtrip_after_compact": _q_roundtrip_after_compact,
         "decode_range_filter": _q_decode_range_filter,
@@ -1353,6 +1398,18 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS cnt FROM lineitem "
             "WHERE l_quantity >= 5 AND l_quantity <= 45 "
             "GROUP BY l_returnflag ORDER BY value"
+        ),
+        "minmax_pushdown": (
+            'SELECT \'l_extendedprice\' AS "column", '
+            "min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax, "
+            "count(*) AS n_rows, "
+            "CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_nulls FROM lineitem "
+            "WHERE l_quantity >= 10 AND l_quantity <= 40"
+        ),
+        "distinct_pushdown": (
+            "SELECT DISTINCT l_returnflag AS value FROM lineitem "
+            "WHERE l_quantity <= 25 ORDER BY value"
         ),
         "roundtrip_after_compact": (
             "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars "

@@ -513,6 +513,212 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
         "cnt")
 
 
+def _block_minmax(blk: bytes):
+    """(vmin, vmax, n_rows, n_valid) for one block, value-exact (unlike
+    the float64 zone stats): sorted dict blocks answer in O(1) from the
+    dictionary's head/tail; rle blocks reduce run values (O(runs));
+    everything else decodes dense.  Returns numpy scalars / bytes."""
+    payload, meta, tag, codec, n_rows, n_valid = _open_dense(blk)
+    if tag == "d128" or tag in lists.LIST_TAGS:
+        raise TypeError(f"min/max over tag {tag!r} is not defined")
+    if not n_valid:
+        return None, None, n_rows, 0
+    if codec == "dict":
+        u = dictionary.decode_dictionary(payload, meta, tag)
+        return u[0], u[len(u) - 1], n_rows, n_valid
+    if codec == "rle" and tag != "bytes":
+        rv, _rl = blockmod.decode_rle_runs(payload, meta, n_valid, tag)
+        v = np.asarray(rv)
+        return v.min(), v.max(), n_rows, n_valid
+    values = blockmod.decode_values(payload, meta, n_valid, tag, codec)
+    if tag == "bytes":
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(strings.to_arrow(values))
+        return mm["min"].as_py(), mm["max"].as_py(), n_rows, n_valid
+    v = np.asarray(values)
+    return v.min(), v.max(), n_rows, n_valid
+
+
+def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
+                  column: str, predicate=None) -> DataFrame:
+    """One-row (column, vmin, vmax, n_rows, n_nulls), value-exact and
+    predicate-aware — the companion to stats.column_minmax (which reads
+    only float64 zone leaves and can't filter).  Sorted dictionaries
+    answer min/max in O(1); the result is typed by the table schema, so
+    int64 beyond 2^53 and byte strings stay exact."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    field = {f.name: f for f in schema.fields}[column]
+    is_bytes = field.dataType.typeName() in ("string", "binary")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_t = arrow_out_type(field.dataType, tz)
+    out_schema = T.StructType([
+        T.StructField("vmin", field.dataType, True),
+        T.StructField("vmax", field.dataType, True),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("nulls", T.LongType(), False),
+    ])
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            blks = batch.column(names.index("__blk"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                b = blks[i]
+                if not b.is_valid:
+                    n_sel = (grows[i].as_py() if isinstance(mask, str)
+                             else int(mask.sum()))
+                    if n_sel:
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.nulls(1, out_t), pa.nulls(1, out_t),
+                             pa.array([n_sel], pa.int64()),
+                             pa.array([n_sel], pa.int64())],
+                            names=["vmin", "vmax", "rows", "nulls"])
+                    continue
+                if isinstance(mask, str):  # 'all'
+                    lo, hi, n_rows, n_valid = _block_minmax(b.as_py())
+                else:
+                    vals, _v, tag, codec, n_sel = blockmod.decode_block_rows(
+                        b.as_py(), mask)
+                    if tag == "d128" or tag in lists.LIST_TAGS:
+                        raise TypeError(
+                            f"min/max over tag {tag!r} is not defined")
+                    n_rows, n_valid = n_sel, len(vals)
+                    if not n_valid:
+                        lo = hi = None
+                    elif tag == "bytes":
+                        import pyarrow.compute as pc
+
+                        mm = pc.min_max(strings.to_arrow(vals))
+                        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    else:
+                        v = np.asarray(vals)
+                        lo, hi = v.min(), v.max()
+                if lo is None:
+                    lo_arr = hi_arr = pa.nulls(1, out_t)
+                elif is_bytes:
+                    lo_arr = pa.array([lo]).cast(out_t)
+                    hi_arr = pa.array([hi]).cast(out_t)
+                else:
+                    lo_arr = pa.array(np.asarray([lo])).cast(out_t)
+                    hi_arr = pa.array(np.asarray([hi])).cast(out_t)
+                yield pa.RecordBatch.from_arrays(
+                    [lo_arr, hi_arr,
+                     pa.array([n_rows], pa.int64()),
+                     pa.array([n_rows - n_valid], pa.int64())],
+                    names=["vmin", "vmax", "rows", "nulls"])
+
+    partials = blocks.mapInArrow(gen, out_schema)
+    return partials.agg(
+        F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"),
+        F.coalesce(F.sum("rows"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.sum("nulls"), F.lit(0)).alias("n_nulls")).select(
+        F.lit(column).alias("column"), "vmin", "vmax", "n_rows", "n_nulls")
+
+
+def column_distinct(spark: SparkSession, blocks_path: str,
+                    manifest_path: str, column: str,
+                    predicate=None) -> DataFrame:
+    """DISTINCT values of ``column`` (NULL excluded, SQL COUNT(DISTINCT)
+    semantics) — dict blocks contribute their dictionary directly
+    WITHOUT decoding the code stream (every entry occurs by
+    construction); rle blocks their run values; others np.unique.  Only
+    per-block distinct sets cross the shuffle, so a 100 TB low-
+    cardinality column folds to n_blocks x n_distinct tiny rows.
+    Returns one column ``value``; count() it for COUNT(DISTINCT)."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    field = {f.name: f for f in schema.fields}[column]
+    is_bytes = field.dataType.typeName() in ("string", "binary")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_t = arrow_out_type(field.dataType, tz)
+    out_schema = T.StructType([T.StructField("value", field.dataType, True)])
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            blks = batch.column(names.index("__blk"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                b = blks[i]
+                if not b.is_valid:
+                    continue  # evolved column: all NULL, excluded
+                if isinstance(mask, str):  # 'all'
+                    payload, meta_b, tag, codec, _n, n_valid = _open_dense(
+                        b.as_py())
+                    if tag == "d128" or tag in lists.LIST_TAGS:
+                        raise TypeError(
+                            f"distinct over tag {tag!r} is not defined")
+                    if not n_valid:
+                        continue
+                    if codec == "dict":
+                        u = dictionary.decode_dictionary(payload, meta_b, tag)
+                    elif codec == "rle" and tag != "bytes":
+                        rv, _rl = blockmod.decode_rle_runs(
+                            payload, meta_b, n_valid, tag)
+                        u = np.unique(np.asarray(rv))
+                    else:
+                        vals = blockmod.decode_values(
+                            payload, meta_b, n_valid, tag, codec)
+                        if tag == "bytes":
+                            u = strings.to_arrow(vals).unique()
+                        else:
+                            u = np.unique(np.asarray(vals))
+                else:
+                    vals, _v, tag, codec, _n = blockmod.decode_block_rows(
+                        b.as_py(), mask)
+                    if tag == "d128" or tag in lists.LIST_TAGS:
+                        raise TypeError(
+                            f"distinct over tag {tag!r} is not defined")
+                    if not len(vals):
+                        continue
+                    u = (strings.to_arrow(vals).unique() if tag == "bytes"
+                         else np.unique(np.asarray(vals)))
+                arr = u if isinstance(u, pa.Array) else (
+                    strings.to_arrow(u) if is_bytes and hasattr(u, "offsets")
+                    else pa.array(np.asarray(u)))
+                if not arr.type.equals(out_t):
+                    arr = arr.cast(out_t)
+                if len(arr):
+                    yield pa.RecordBatch.from_arrays([arr], names=["value"])
+
+    partials = blocks.mapInArrow(gen, out_schema)
+    return partials.distinct()
+
+
 def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                 column: str, k: int, ascending: bool = False,
                 predicate=None) -> DataFrame:

@@ -73,10 +73,10 @@ def encode(values, tag: str) -> tuple[bytes, dict]:
     return payload, {"n_dict": n_dict, "width": width, "sorted": True}
 
 
-def decode_parts(payload: bytes, meta: dict, n: int, tag: str):
-    """Return (uniques, codes) without materializing values — the hook for
-    dictionary-level predicate pushdown (evaluate predicate once per
-    distinct value, then mask codes)."""
+def decode_dictionary(payload: bytes, meta: dict, tag: str):
+    """Return ONLY the (sorted) dictionary, never touching the code
+    stream — the hook for distinct-set aggregation, where every entry is
+    known to occur in the block by construction."""
     if len(payload) < 8:
         raise CorruptBlockError("dict: truncated header")
     (dict_len,) = struct.unpack_from("<Q", payload, 0)
@@ -84,15 +84,23 @@ def decode_parts(payload: bytes, meta: dict, n: int, tag: str):
         raise CorruptBlockError("dict: truncated dictionary")
     dict_payload = payload[8 : 8 + dict_len]
     n_dict = int(meta["n_dict"])
-    width = int(meta["width"])
     if tag == BYTES:
-        uniques = strings.decode_plain(dict_payload, n_dict)
-    else:
-        dt = dtype_of(tag)
-        if dict_len != n_dict * dt.itemsize:
-            raise CorruptBlockError("dict: dictionary size mismatch "
-                                    "(dictionary_page_int32.rs:87-155 checks the same)")
-        uniques = np.frombuffer(dict_payload, dtype=dt)
+        return strings.decode_plain(dict_payload, n_dict)
+    dt = dtype_of(tag)
+    if dict_len != n_dict * dt.itemsize:
+        raise CorruptBlockError("dict: dictionary size mismatch "
+                                "(dictionary_page_int32.rs:87-155 checks the same)")
+    return np.frombuffer(dict_payload, dtype=dt)
+
+
+def decode_parts(payload: bytes, meta: dict, n: int, tag: str):
+    """Return (uniques, codes) without materializing values — the hook for
+    dictionary-level predicate pushdown (evaluate predicate once per
+    distinct value, then mask codes)."""
+    uniques = decode_dictionary(payload, meta, tag)
+    (dict_len,) = struct.unpack_from("<Q", payload, 0)
+    n_dict = int(meta["n_dict"])
+    width = int(meta["width"])
     codes = rle.decode_hybrid(payload[8 + dict_len :], width, n).astype(np.int64)
     if n and n_dict and int(codes.max()) >= n_dict:
         raise CorruptBlockError("dict: code out of range")

@@ -266,3 +266,56 @@ def test_grouped_sum_all_null_values_sum_null(spark, agg_table):
     assert got == exp
     for gs, _gc in got.values():
         assert gs is None
+
+
+def test_column_minmax_matches_catalyst(spark, agg_table):
+    from boltspark.engine.agg import column_minmax
+
+    sdf, out, man = agg_table
+    for col in ("k", "runs", "val", "flag"):
+        got = column_minmax(spark, out, man, col).collect()[0]
+        exp = sdf.agg(F.min(col).alias("lo"), F.max(col).alias("hi"),
+                      F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col(col).isNull().cast("long")).alias("z")
+                      ).collect()[0]
+        assert got["vmin"] == exp["lo"] and got["vmax"] == exp["hi"], col
+        assert got["n_rows"] == exp["n"] and got["n_nulls"] == exp["z"], col
+
+
+def test_column_minmax_filtered(spark, agg_table):
+    from boltspark.engine.agg import column_minmax
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="k", lower=7000, upper=9000,
+                          null_allowed=False)
+    for col in ("val", "flag"):
+        got = column_minmax(spark, out, man, col, predicate=pred).collect()[0]
+        filt = sdf.filter((F.col("k") >= 7000) & (F.col("k") <= 9000))
+        exp = filt.agg(F.min(col).alias("lo"), F.max(col).alias("hi"),
+                       F.count(F.lit(1)).alias("n")).collect()[0]
+        assert got["vmin"] == exp["lo"] and got["vmax"] == exp["hi"], col
+        assert got["n_rows"] == exp["n"], col
+    # fully pruned
+    none = RangePredicate(column="k", lower=10**9, upper=None,
+                          null_allowed=False)
+    got = column_minmax(spark, out, man, "val", predicate=none).collect()[0]
+    assert got["vmin"] is None and got["n_rows"] == 0
+
+
+def test_column_distinct_matches_catalyst(spark, agg_table):
+    from boltspark.engine.agg import column_distinct
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    for col in ("flag", "runs", "val"):
+        got = {r["value"] for r in
+               column_distinct(spark, out, man, col).collect()}
+        exp = {r[col] for r in sdf.select(col).distinct().collect()
+               if r[col] is not None}
+        assert got == exp, col
+    pred = RangePredicate(column="k", lower=0, upper=499,
+                          null_allowed=False)
+    got = {r["value"] for r in
+           column_distinct(spark, out, man, "runs", predicate=pred).collect()}
+    assert got == {0}
