@@ -1122,6 +1122,37 @@ def _q_grouped_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt").orderBy("value")
 
 
+def _q_decimal_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(decimal) stays in the unscaled-integer domain end-to-end:
+    int64 low-word blocks (p<=18) and d128 word-pair blocks sum with
+    arbitrary-precision Python ints, partials ride as decimal(38,0), and
+    the final fold rescales in the decimal domain — exact to the last
+    digit, never a float."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_sum
+    from boltspark.engine.filters import RangePredicate
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.expr("CAST(l_extendedprice AS DECIMAL(12,2))").alias("price"))
+    d = tempfile.mkdtemp(prefix="boltspark_decsum_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = RangePredicate(column="l_quantity", lower=10.0, upper=35.0,
+                          null_allowed=False)
+    # the engine returns sum_value as exact decimal(38,2)
+    # (tests/test_agg.py::test_decimal_sum_exact pins digit equality);
+    # the driver harness reads DuckDB decimals as float64, so compare
+    # as rounded doubles here
+    return column_sum(spark, f"{d}/blocks", f"{d}/manifest", "price",
+                      predicate=pred).select(
+        "column",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        "n_rows", "n_nulls")
+
+
 def _q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered MIN/MAX in the compressed domain, value-exact: sorted
     dictionaries answer O(1) from their head/tail, rle blocks reduce run
@@ -1194,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filtered_sum": _q_agg_filtered_sum,
         "topk_pushdown": _q_topk_pushdown,
         "grouped_sum_pushdown": _q_grouped_sum_pushdown,
+        "decimal_sum_pushdown": _q_decimal_sum_pushdown,
         "minmax_pushdown": _q_minmax_pushdown,
         "distinct_pushdown": _q_distinct_pushdown,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
@@ -1398,6 +1430,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS cnt FROM lineitem "
             "WHERE l_quantity >= 5 AND l_quantity <= 45 "
             "GROUP BY l_returnflag ORDER BY value"
+        ),
+        "decimal_sum_pushdown": (
+            'SELECT \'price\' AS "column", '
+            "ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) "
+            "AS DOUBLE), 2) AS sum_value, "
+            "count(*) AS n_rows, "
+            "CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_nulls FROM lineitem "
+            "WHERE l_quantity >= 10 AND l_quantity <= 35"
         ),
         "minmax_pushdown": (
             'SELECT \'l_extendedprice\' AS "column", '

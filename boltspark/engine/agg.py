@@ -92,6 +92,37 @@ def _block_sum_masked(blk: bytes, mask: np.ndarray) -> tuple[float | int, int, i
     return _reduce_sum(v), n_sel, len(v)
 
 
+def _sum_d128_pairs(pairs: np.ndarray) -> int:
+    """Exact sum of (lo, hi) int64 word pairs: value = hi*2^64 + lo_u,
+    so sum = 2^64 * sum(hi) + sum(lo_u), both folded in arbitrary-
+    precision Python ints (never overflows, never rounds)."""
+    if not len(pairs):
+        return 0
+    lo_u = pairs[:, 0].astype(np.uint64)
+    hi = pairs[:, 1]
+    return (int(hi.astype(object).sum()) << 64) + int(lo_u.astype(object).sum())
+
+
+def _block_sum_dec(blk: bytes, mask) -> tuple[int, int, int]:
+    """Exact unscaled-integer sum for a decimal column block (tag i64
+    for p<=18, tag d128 word pairs for p<=38) -> (sum, n_rows_or_sel,
+    n_valid).  ``mask`` is 'all' or a bool row mask."""
+    if isinstance(mask, str):  # 'all'
+        payload, meta, tag, codec, n_rows, n_valid = _open_dense(blk)
+        if tag == "d128":
+            pairs = np.asarray(blockmod.decode_values(
+                payload, meta, n_valid, tag, codec))
+            return _sum_d128_pairs(pairs), n_rows, n_valid
+        s, n_rows, n_valid = _block_sum(blk)
+        return int(s), n_rows, n_valid
+    values, _v, tag, codec, n_sel = blockmod.decode_block_rows(blk, mask)
+    v = np.asarray(values)
+    if tag == "d128":
+        return _sum_d128_pairs(v), n_sel, len(v)
+    _check_sum_tag(tag)
+    return int(_reduce_sum(v)), n_sel, len(v)
+
+
 def _block_value_counts(blk: bytes):
     """(values, counts, n_null) for one block — values stay in their
     kernel representation (StringColumn for bytes, ndarray otherwise),
@@ -208,8 +239,25 @@ def column_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
     integer storage, float64 for floats).  ``predicate`` (one or a list,
     ANDed) restricts the aggregate to surviving rows — zone maps answer
     all/none without opening blocks; partially-surviving groups reduce a
-    selective decode of only the surviving rows."""
+    selective decode of only the surviving rows.
+
+    Decimal columns sum EXACTLY in the unscaled-integer domain (int64
+    low words for p<=18, (lo,hi) word-pair arithmetic in arbitrary-
+    precision Python ints for the d128 storage) and return sum_value as
+    decimal(38, s) — SQL SUM(decimal) semantics, no float rounding."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
     predicates = _normalize_predicates(predicate)
+    tmeta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(tmeta["schema_json"]))
+    field = {f.name: f for f in schema.fields}[column]
+    dec_scale = (field.dataType.scale
+                 if isinstance(field.dataType, T.DecimalType) else None)
+    if dec_scale is not None:
+        return _column_sum_decimal(spark, blocks_path, manifest_path, column,
+                                   predicates, dec_scale)
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
 
     def gen(batches):
@@ -267,6 +315,71 @@ def column_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
         .select(F.lit(column).alias("column"),
                 F.when(F.col("is_f"), F.col("s_d") + F.col("s_l"))
                 .otherwise(F.col("s_l").cast("double")).alias("sum_value"),
+                F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls")))
+
+
+def _column_sum_decimal(spark: SparkSession, blocks_path: str,
+                        manifest_path: str, column: str,
+                        predicates: list[Predicate], scale: int) -> DataFrame:
+    """column_sum for decimal storage: per-task exact unscaled sums ride
+    as decimal(38,0) partials (arbitrary-precision in Python, loud
+    overflow past 38 digits at the Arrow boundary — never silent), the
+    final fold divides by 10^scale in the decimal domain."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates)
+    out_schema = T.StructType([
+        T.StructField("s_dec", T.DecimalType(38, 0), True),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("nulls", T.LongType(), False),
+    ])
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            blks = batch.column(names.index("__blk"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            s_int = 0
+            rows = 0
+            nulls = 0
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                b = blks[i]
+                if not b.is_valid:
+                    n_sel = (grows[i].as_py() if isinstance(mask, str)
+                             else int(mask.sum()))
+                    rows += n_sel
+                    nulls += n_sel
+                    continue
+                s, n_rows, n_valid = _block_sum_dec(b.as_py(), mask)
+                s_int += s
+                rows += n_rows
+                nulls += n_rows - n_valid
+            if rows:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([Decimal(s_int)], pa.decimal128(38, 0)),
+                     pa.array([rows], pa.int64()),
+                     pa.array([nulls], pa.int64())],
+                    names=["s_dec", "rows", "nulls"])
+
+    partials = blocks.mapInArrow(gen, out_schema)
+    divisor = F.lit(10 ** scale).cast(T.DecimalType(scale + 1, 0))
+    return (partials.agg(
+        F.sum("s_dec").alias("s_dec"), F.sum("rows").alias("n_rows"),
+        F.sum("nulls").alias("n_nulls"))
+        .select(F.lit(column).alias("column"),
+                (F.col("s_dec") / divisor)
+                .cast(T.DecimalType(38, scale)).alias("sum_value"),
                 F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
                 F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls")))
 

@@ -319,3 +319,64 @@ def test_column_distinct_matches_catalyst(spark, agg_table):
     got = {r["value"] for r in
            column_distinct(spark, out, man, "runs", predicate=pred).collect()}
     assert got == {0}
+
+
+def test_decimal_sum_exact(spark, tmp_path):
+    """SUM over decimal columns stays in the unscaled-integer domain:
+    decimal(12,2) (int64 low-word storage) and decimal(38,6) (d128 word
+    pairs) both sum EXACTLY — result type decimal(38,s), values equal to
+    Catalyst's SUM(decimal) to the last digit, including values needing
+    the high 64 bits."""
+    from boltspark.engine.agg import column_sum
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("CAST(l_extendedprice AS DECIMAL(12,2))").alias("small"),
+        F.expr(
+            "CASE WHEN l_linenumber = 3 THEN NULL ELSE "
+            "CAST((CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000 "
+            "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
+            "AS DECIMAL(38,6)) END").alias("big"),
+    )
+    d = str(tmp_path)
+    encode_table(dfd, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False)
+    for col in ("small", "big"):
+        got = column_sum(spark, f"{d}/b", f"{d}/m", col).collect()[0]
+        exp = dfd.agg(F.sum(col).alias("s"),
+                      F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col(col).isNull().cast("long")).alias("z")
+                      ).collect()[0]
+        assert got["sum_value"] == exp["s"], col  # exact Decimal equality
+        assert got["n_rows"] == exp["n"] and got["n_nulls"] == exp["z"], col
+    scale = dict(small=2, big=6)
+    for col, s in scale.items():
+        t = column_sum(spark, f"{d}/b", f"{d}/m", col).schema["sum_value"]
+        assert t.dataType.simpleString() == f"decimal(38,{s})", col
+
+
+def test_decimal_sum_filtered(spark, tmp_path):
+    """Predicate + decimal sum: the filter rides the zone/mask cascade,
+    the surviving rows sum exactly in the unscaled domain."""
+    from boltspark.engine.agg import column_sum
+    from boltspark.engine.filters import RangePredicate
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.expr("CAST(l_extendedprice AS DECIMAL(12,2))").alias("price"))
+    d = str(tmp_path)
+    encode_table(dfd, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False)
+    pred = RangePredicate(column="l_quantity", lower=10.0, upper=35.0,
+                          null_allowed=False)
+    got = column_sum(spark, f"{d}/b", f"{d}/m", "price",
+                     predicate=pred).collect()[0]
+    filt = dfd.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 35))
+    exp = filt.agg(F.sum("price").alias("s"),
+                   F.count(F.lit(1)).alias("n")).collect()[0]
+    assert got["sum_value"] == exp["s"]
+    assert got["n_rows"] == exp["n"]
