@@ -203,7 +203,8 @@ def _normalize_predicates(predicate) -> list[Predicate]:
 
 def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
                  column: str, predicates: list[Predicate],
-                 value_column: str | None = None) -> DataFrame:
+                 value_column: str | None = None,
+                 run_ids: list[str] | None = None) -> DataFrame:
     meta = manifestmod.table_meta(spark, manifest_path)
     known = set(meta["columns"])
     extra = [value_column] if value_column is not None else []
@@ -222,6 +223,10 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
                     .alias(f"__st_{p.column}"))
     blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
               .select(*proj))
+    if run_ids is not None:
+        # incremental scope (streaming aggregation): only these runs'
+        # groups are read — parquet run_id stats prune the rest
+        blocks = blocks.filter(F.col("run_id").isin(list(run_ids)))
     # JVM zone prefilter: provably-dead groups never cross into Python
     keeps = [k for k in (p.jvm_zone_keep(F.col(f"__st_{p.column}"))
                          for p in predicates) if k is not None]
@@ -259,55 +264,70 @@ def column_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
         return _column_sum_decimal(spark, blocks_path, manifest_path, column,
                                    predicates, dec_scale)
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
+    return _fold_sum(_sum_partials(blocks, predicates), column)
+
+
+def _sum_partials(blocks: DataFrame, predicates: list[Predicate]) -> DataFrame:
+    """Per-(task, part_id) partial sums over one projected blocks frame
+    -> (part_id, s_l, s_d, is_f, rows, nulls).  part_id rides along so
+    incremental consumers (streaming/agg_stream.py) can re-validate
+    partials against the manifest after compaction."""
 
     def gen(batches):
+        acc: dict[int, list] = {}  # pid -> [s_l, s_d, is_f, rows, nulls]
         for batch in batches:
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
+            pids = batch.column(names.index(PART_ID))
             blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
                         for p in predicates}
             st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
                        for p in predicates}
-            s_l = 0
-            s_d = 0.0
-            is_float = False
-            rows = 0
-            nulls = 0
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
                     continue
+                a = acc.setdefault(pids[i].as_py(), [0, 0.0, False, 0, 0])
                 b = blks[i]
                 g = grows[i].as_py()
                 if not b.is_valid:
                     # evolved column: the group predates it — all rows NULL
                     n_sel = g if isinstance(mask, str) else int(mask.sum())
-                    rows += n_sel
-                    nulls += n_sel
+                    a[3] += n_sel
+                    a[4] += n_sel
                     continue
                 if isinstance(mask, str):  # 'all'
                     s, n_rows, n_valid = _block_sum(b.as_py())
                 else:
                     s, n_rows, n_valid = _block_sum_masked(b.as_py(), mask)
                 if isinstance(s, float):
-                    is_float = True
-                    s_d += s
+                    a[2] = True
+                    a[1] += s
                 else:
-                    s_l += s
-                rows += n_rows
-                nulls += n_rows - n_valid
-            if rows:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([s_l], pa.int64()),
-                     pa.array([s_d], pa.float64()),
-                     pa.array([is_float], pa.bool_()),
-                     pa.array([rows], pa.int64()),
-                     pa.array([nulls], pa.int64())],
-                    names=["s_l", "s_d", "is_f", "rows", "nulls"])
+                    a[0] += s
+                a[3] += n_rows
+                a[4] += n_rows - n_valid
+        rows = [(pid, *v) for pid, v in acc.items() if v[3]]
+        if rows:
+            cols = list(zip(*rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[0], pa.int32()),
+                 pa.array(cols[1], pa.int64()),
+                 pa.array(cols[2], pa.float64()),
+                 pa.array(cols[3], pa.bool_()),
+                 pa.array(cols[4], pa.int64()),
+                 pa.array(cols[5], pa.int64())],
+                names=[PART_ID, "s_l", "s_d", "is_f", "rows", "nulls"])
 
-    partials = blocks.mapInArrow(
-        gen, "s_l long, s_d double, is_f boolean, rows long, nulls long")
+    return blocks.mapInArrow(
+        gen, f"{PART_ID} int, s_l long, s_d double, is_f boolean, "
+             "rows long, nulls long")
+
+
+def _fold_sum(partials: DataFrame, column: str) -> DataFrame:
+    """Fold (part_id, s_l, s_d, is_f, rows, nulls) partials into the
+    one-row column_sum result."""
     return (partials.agg(
         F.sum("s_l").alias("s_l"), F.sum("s_d").alias("s_d"),
         F.max("is_f").alias("is_f"), F.sum("rows").alias("n_rows"),
@@ -401,22 +421,34 @@ def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
     meta = manifestmod.table_meta(spark, manifest_path)
     schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
     field = {f.name: f for f in schema.fields}[column]
-    is_bytes = field.dataType.typeName() in ("string", "binary")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
+    partials = _vc_partials(spark, blocks, predicates, field.dataType)
+    return (partials.groupBy("value").agg(F.sum("cnt").alias("cnt")))
+
+
+def _vc_partials(spark: SparkSession, blocks: DataFrame,
+                 predicates: list[Predicate], value_type) -> DataFrame:
+    """Per-block (part_id, value, cnt) partial histograms over one
+    projected blocks frame; fold with groupBy(value).sum(cnt)."""
+    from pyspark.sql import types as T
+
+    is_bytes = value_type.typeName() in ("string", "binary")
     out_schema = T.StructType([
-        T.StructField("value", field.dataType, True),
+        T.StructField(PART_ID, T.IntegerType(), False),
+        T.StructField("value", value_type, True),
         T.StructField("cnt", T.LongType(), False),
     ])
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    out_t = arrow_out_type(field.dataType, tz)
+    out_t = arrow_out_type(value_type, tz)
 
     def gen(batches):
         for batch in batches:
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
+            pids = batch.column(names.index(PART_ID))
             blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
                         for p in predicates}
             st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
@@ -426,14 +458,16 @@ def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
                 if isinstance(mask, str) and mask == "none":
                     continue
                 b = blks[i]
+                pid = pids[i].as_py()
                 if not b.is_valid:
                     # evolved column: every surviving row is the NULL value
                     g = (grows[i].as_py() if isinstance(mask, str)
                          else int(mask.sum()))
                     if g:
                         yield pa.RecordBatch.from_arrays(
-                            [pa.nulls(1, out_t), pa.array([g], pa.int64())],
-                            names=["value", "cnt"])
+                            [pa.array([pid], pa.int32()),
+                             pa.nulls(1, out_t), pa.array([g], pa.int64())],
+                            names=[PART_ID, "value", "cnt"])
                     continue
                 if isinstance(mask, str):  # 'all'
                     u, cnt, n_null = _block_value_counts(b.as_py())
@@ -446,11 +480,12 @@ def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
                 if n_null:
                     varr = pa.concat_arrays([varr.cast(out_t), pa.nulls(1, out_t)])
                     carr = pa.concat_arrays([carr, pa.array([n_null], pa.int64())])
-                yield pa.RecordBatch.from_arrays([varr, carr],
-                                                 names=["value", "cnt"])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.full(len(varr), pid, dtype=np.int32)),
+                     varr, carr],
+                    names=[PART_ID, "value", "cnt"])
 
-    partials = blocks.mapInArrow(gen, out_schema)
-    return partials.groupBy("value").agg(F.sum("cnt").alias("cnt"))
+    return blocks.mapInArrow(gen, out_schema)
 
 
 def _group_codes(blk: bytes):

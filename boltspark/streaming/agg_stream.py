@@ -1,0 +1,135 @@
+"""Incremental compressed-domain aggregation over Structured Streaming.
+
+Follows the manifest commit log (the same pattern as
+stream_decode.decode_stream): each NEWLY COMMITTED run is reduced to
+tiny per-(part_id) partial-aggregate rows — computed in the encoded
+domain, never materializing the column — and written to a run-keyed
+sink directory.  The running total is then a metadata-scale fold over
+the partials, so a 100 TB table's streaming SUM never rescans old
+runs: per epoch it reads only the new run's blocks, and the read-side
+fold touches n_runs x n_parts rows.
+
+Exactly-once per run across restarts: the sink path is keyed by run id
+and written with ``mode("overwrite")``, so a replayed micro-batch
+re-derives byte-identical partials instead of double counting.
+
+Validity: partials carry ``part_id``, and the read-side fold
+inner-joins the manifest's CURRENT valid (part_id, run_id) pairs, so
+stale sink directories (a run whose manifest rows were removed, or
+leftovers from a crashed manual write into the sink) never contribute
+to the total.  ``compact_blocks`` writes a NEW table (new blocks +
+manifest paths); point a fresh stream at the compacted table rather
+than expecting in-place supersede.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..engine import agg as aggmod
+from ..engine import manifest as manifestmod
+from ..engine.manifest import _MANIFEST_SCHEMA, META_KEY
+from ..engine.schema import PART_ID
+
+
+def _manifest_stream(spark, manifest_path: str):
+    return (spark.readStream.schema(_MANIFEST_SCHEMA)
+            .parquet(manifest_path)
+            .filter(f"column = '{META_KEY}'"))  # one row per committed run
+
+
+def sum_stream(
+    spark,
+    blocks_path: str,
+    manifest_path: str,
+    column: str,
+    out_path: str,
+    checkpoint_path: str,
+    predicate=None,
+    trigger_seconds: int | None = None,
+):
+    """readStream(manifest) -> per-run compressed-domain SUM partials ->
+    parquet sink keyed by run.  Read the running total with
+    ``read_sum``.  Returns the StreamingQuery.  Decimal columns are not
+    supported on the streaming path (use column_sum batch)."""
+    predicates = aggmod._normalize_predicates(predicate)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        runs = sorted(r["run_id"] for r in
+                      batch_df.select("run_id").distinct().collect())
+        for run in runs:
+            blocks = aggmod._blocks_proj(
+                spark, blocks_path, manifest_path, column, predicates,
+                run_ids=[run])
+            partials = aggmod._sum_partials(blocks, predicates)
+            partials.write.mode("overwrite").parquet(
+                f"{out_path}/run_id={run}")
+
+    return _start(_manifest_stream(spark, manifest_path), handle,
+                  checkpoint_path, trigger_seconds)
+
+
+def read_sum(spark, out_path: str, manifest_path: str,
+             column: str) -> DataFrame:
+    """Fold the sink's per-run partials into the current one-row
+    column_sum result, honoring the manifest's CURRENT valid pairs
+    (superseded runs drop out)."""
+    partials = spark.read.parquet(out_path)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    live = partials.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+    return aggmod._fold_sum(live, column)
+
+
+def value_counts_stream(
+    spark,
+    blocks_path: str,
+    manifest_path: str,
+    column: str,
+    out_path: str,
+    checkpoint_path: str,
+    predicate=None,
+    trigger_seconds: int | None = None,
+):
+    """readStream(manifest) -> per-run (part_id, value, cnt) partial
+    histograms -> parquet sink keyed by run.  Read the running GROUP BY
+    with ``read_value_counts``.  Returns the StreamingQuery."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    predicates = aggmod._normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    vtype = {f.name: f for f in schema.fields}[column].dataType
+
+    def handle(batch_df, epoch_id: int) -> None:
+        runs = sorted(r["run_id"] for r in
+                      batch_df.select("run_id").distinct().collect())
+        for run in runs:
+            blocks = aggmod._blocks_proj(
+                spark, blocks_path, manifest_path, column, predicates,
+                run_ids=[run])
+            partials = aggmod._vc_partials(spark, blocks, predicates, vtype)
+            partials.write.mode("overwrite").parquet(
+                f"{out_path}/run_id={run}")
+
+    return _start(_manifest_stream(spark, manifest_path), handle,
+                  checkpoint_path, trigger_seconds)
+
+
+def read_value_counts(spark, out_path: str, manifest_path: str) -> DataFrame:
+    """Fold the sink's per-run histogram partials into the current
+    (value, cnt) GROUP BY result under the manifest's valid pairs."""
+    partials = spark.read.parquet(out_path)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    live = partials.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+    return live.groupBy("value").agg(F.sum("cnt").alias("cnt"))
+
+
+def _start(man, handle, checkpoint_path: str, trigger_seconds: int | None):
+    writer = (man.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

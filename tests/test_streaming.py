@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from boltspark.engine import decode_table, encode_table
@@ -186,3 +188,80 @@ def test_decode_stream_follows_manifest(spark, tmp_path):
     a = docs.select("doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("h"))
     b = got.select("doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("h"))
     assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+
+
+def test_sum_stream_incremental_and_valid_pair_guard(spark, tmp_path):
+    """streaming/agg_stream.py: per-run compressed-domain SUM partials
+    accumulate as commits appear; the read-side fold joins the
+    manifest's valid pairs, so stale sink directories (no committed
+    manifest rows) never contribute to the total."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.streaming.agg_stream import read_sum, sum_stream
+
+    d = str(tmp_path)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    half = F.col("l_orderkey") % 2
+    encode_table(li.filter(half == 0), f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False, run_id="e0")
+
+    q = sum_stream(spark, f"{d}/b", f"{d}/m", "l_quantity",
+                   f"{d}/out", f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+        got = read_sum(spark, f"{d}/out", f"{d}/m", "l_quantity").collect()[0]
+        exp = li.filter(half == 0).agg(F.sum("l_quantity")).collect()[0][0]
+        assert got["sum_value"] == pytest.approx(float(exp), rel=1e-12)
+        # second run appears -> total includes it without rescanning e0
+        encode_table(li.filter(half == 1), f"{d}/b", f"{d}/m",
+                     key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                     resume=False, run_id="e1")
+        q.processAllAvailable()
+        got2 = read_sum(spark, f"{d}/out", f"{d}/m", "l_quantity").collect()[0]
+        exp2 = li.agg(F.sum("l_quantity")).collect()[0][0]
+        assert got2["sum_value"] == pytest.approx(float(exp2), rel=1e-12)
+        assert got2["n_rows"] == li.count()
+        # a stale sink dir with no manifest commit must NOT count:
+        # clone e1's partials under a fabricated run id
+        shutil.copytree(f"{d}/out/run_id=e1", f"{d}/out/run_id=ghost")
+        got3 = read_sum(spark, f"{d}/out", f"{d}/m", "l_quantity").collect()[0]
+        assert got3["sum_value"] == pytest.approx(float(exp2), rel=1e-12)
+        assert got3["n_rows"] == li.count()
+    finally:
+        q.stop()
+
+
+def test_value_counts_stream_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.streaming.agg_stream import (read_value_counts,
+                                                value_counts_stream)
+
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang")
+    half = F.col("doc_id") % 2
+    encode_table(docs.filter(half == 0), f"{d}/b", f"{d}/m",
+                 key_cols=("doc_id",), n_parts=4, resume=False, run_id="e0")
+    q = value_counts_stream(spark, f"{d}/b", f"{d}/m", "lang",
+                            f"{d}/out", f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+        encode_table(docs.filter(half == 1), f"{d}/b", f"{d}/m",
+                     key_cols=("doc_id",), n_parts=4, resume=False,
+                     run_id="e1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["value"]: r["cnt"] for r in
+           read_value_counts(spark, f"{d}/out", f"{d}/m").collect()}
+    exp = {r["value"]: r["cnt"] for r in
+           docs.groupBy(F.col("lang").alias("value"))
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == exp
