@@ -561,14 +561,21 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
     predicates = _normalize_predicates(predicate)
     meta = manifestmod.table_meta(spark, manifest_path)
     schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
-    field = {f.name: f for f in schema.fields}[group_column]
+    fields = {f.name: f for f in schema.fields}
+    field = fields[group_column]
     is_bytes = field.dataType.typeName() in ("string", "binary")
+    dec_scale = (fields[value_column].dataType.scale
+                 if isinstance(fields[value_column].dataType, T.DecimalType)
+                 else None)
     blocks = _blocks_proj(spark, blocks_path, manifest_path, group_column,
                           predicates, value_column=value_column)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     out_t = arrow_out_type(field.dataType, tz)
+    if dec_scale is not None:
+        return _grouped_sum_decimal(blocks, predicates, field.dataType,
+                                    out_t, is_bytes, dec_scale)
     out_schema = T.StructType([
         T.StructField("value", field.dataType, True),
         T.StructField("cnt", T.LongType(), False),
@@ -658,6 +665,117 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
         F.when(F.col("nv") == 0, F.lit(None).cast("double"))
         .when(F.col("is_f"), F.col("s_d") + F.col("s_l"))
         .otherwise(F.col("s_l").cast("double")).alias("sum_value"),
+        "cnt")
+
+
+def _dense_full_dec(blk: bytes):
+    """Decimal value block -> (unscaled Python-int object array of full
+    block length, valid_mask_full).  int64 low-word storage widens to
+    Python int; d128 word pairs combine hi*2^64 + lo_u — both exact."""
+    payload, validity, meta, tag, codec, n_rows = blockmod.open_block(blk)
+    n_valid = int(validity.sum()) if validity is not None else n_rows
+    v = np.asarray(blockmod.decode_values(payload, meta, n_valid, tag, codec))
+    if tag == "d128":
+        vals = ((v[:, 1].astype(object) << 64)
+                + v[:, 0].astype(np.uint64).astype(object))
+    elif tag in ("bytes",) or tag in lists.LIST_TAGS:
+        raise TypeError(f"decimal sum over tag {tag!r} is not defined")
+    else:
+        vals = v.astype(object)
+    full = np.zeros(n_rows, dtype=object)
+    if validity is None:
+        return vals if len(vals) == n_rows else full, \
+            np.ones(n_rows, dtype=bool)
+    full[validity] = vals
+    return full, validity.astype(bool)
+
+
+def _grouped_sum_decimal(blocks: DataFrame, predicates: list[Predicate],
+                         group_type, out_t, is_bytes: bool,
+                         scale: int) -> DataFrame:
+    """grouped_sum for decimal value columns: per-group exact unscaled
+    sums in arbitrary-precision Python ints, decimal(38,0) partials,
+    decimal-domain rescale — sum_value decimal(38,s), digit-exact."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("value", group_type, True),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("nv", T.LongType(), False),
+        T.StructField("s_dec", T.DecimalType(38, 0), True),
+    ])
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            gblks = batch.column(names.index("__blk"))
+            vblks = batch.column(names.index("__blk2"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                gb, vb = gblks[i], vblks[i]
+                n_rows = grows[i].as_py()
+                if gb.is_valid:
+                    uniq, gfull = _group_codes(gb.as_py())
+                else:
+                    uniq, gfull = None, np.full(n_rows, -1, dtype=np.int64)
+                if vb.is_valid:
+                    vfull, vmask = _dense_full_dec(vb.as_py())
+                else:
+                    vfull = np.zeros(n_rows, dtype=object)
+                    vmask = np.zeros(n_rows, dtype=bool)
+                sel = (np.ones(len(gfull), dtype=bool)
+                       if isinstance(mask, str) else mask)
+                nu = len(uniq) if uniq is not None else 0
+                g1 = gfull + 1  # slot 0 = NULL group
+                cnt = np.bincount(g1[sel], minlength=nu + 1)
+                wv = vmask & sel
+                nv = np.bincount(g1[wv], minlength=nu + 1)
+                s = np.zeros(nu + 1, dtype=object)
+                np.add.at(s, g1[wv], vfull[wv])
+                keep = cnt > 0
+                if not keep.any():
+                    continue
+                kept_idx = np.nonzero(keep[1:])[0]
+                if uniq is not None and len(kept_idx):
+                    varr = (strings.to_arrow(uniq) if is_bytes
+                            else pa.array(np.asarray(uniq)))
+                    if not varr.type.equals(out_t):
+                        varr = varr.cast(out_t)
+                    if len(kept_idx) < len(varr):
+                        varr = varr.take(pa.array(kept_idx))
+                else:
+                    varr = pa.nulls(0, out_t)
+                if keep[0]:
+                    varr = pa.concat_arrays([pa.nulls(1, out_t), varr])
+                cnt, nv, s = cnt[keep], nv[keep], s[keep]
+                yield pa.RecordBatch.from_arrays(
+                    [varr,
+                     pa.array(cnt.astype(np.int64), pa.int64()),
+                     pa.array(nv.astype(np.int64), pa.int64()),
+                     pa.array([Decimal(int(x)) for x in s],
+                              pa.decimal128(38, 0))],
+                    names=["value", "cnt", "nv", "s_dec"])
+
+    partials = blocks.mapInArrow(gen, out_schema)
+    agg = partials.groupBy("value").agg(
+        F.sum("cnt").alias("cnt"), F.sum("nv").alias("nv"),
+        F.sum("s_dec").alias("s_dec"))
+    divisor = F.lit(10 ** scale).cast(T.DecimalType(scale + 1, 0))
+    return agg.select(
+        "value",
+        F.when(F.col("nv") == 0,
+               F.lit(None).cast(T.DecimalType(38, scale)))
+        .otherwise((F.col("s_dec") / divisor)
+                   .cast(T.DecimalType(38, scale))).alias("sum_value"),
         "cnt")
 
 

@@ -380,3 +380,38 @@ def test_decimal_sum_filtered(spark, tmp_path):
                    F.count(F.lit(1)).alias("n")).collect()[0]
     assert got["sum_value"] == exp["s"]
     assert got["n_rows"] == exp["n"]
+
+
+def test_grouped_sum_decimal_exact(spark, tmp_path):
+    """GROUP BY flag -> SUM(decimal): exact unscaled-domain arithmetic
+    for both int64 low-word (p<=18) and d128 word-pair storage, result
+    decimal(38,s) equal to Catalyst digit-for-digit; all-null-value
+    groups sum NULL."""
+    from boltspark.engine.agg import grouped_sum
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.expr("CAST(l_extendedprice AS DECIMAL(12,2))").alias("small"),
+        F.expr(
+            "CASE WHEN l_linenumber = 3 THEN NULL ELSE "
+            "CAST((CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000 "
+            "+ l_partkey) * CASE WHEN l_linenumber % 2 = 0 THEN -1 ELSE 1 END "
+            "AS DECIMAL(38,6)) END").alias("big"),
+    )
+    d = str(tmp_path)
+    encode_table(dfd, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False)
+    for col in ("small", "big"):
+        got = {r["value"]: (r["sum_value"], r["cnt"]) for r in
+               grouped_sum(spark, f"{d}/b", f"{d}/m", "l_returnflag",
+                           col).collect()}
+        exp = {r["value"]: (r["s"], r["c"]) for r in
+               dfd.groupBy(F.col("l_returnflag").alias("value"))
+               .agg(F.sum(col).alias("s"),
+                    F.count(F.lit(1)).alias("c")).collect()}
+        assert set(got) == set(exp), col
+        for k, (es, ec) in exp.items():
+            gs, gc = got[k]
+            assert gc == ec and gs == es, (col, k)  # exact Decimal equality
