@@ -1153,6 +1153,32 @@ def _q_decimal_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "n_nulls")
 
 
+def _q_multi_sum_onescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three column SUMs in ONE scan of the blocks parquet (the stats-
+    sweep shape): the predicate mask resolves once per block group and
+    is shared by every column, so the table is read once instead of
+    three times."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_sums
+    from boltspark.engine.filters import RangePredicate
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_tax")
+    d = tempfile.mkdtemp(prefix="boltspark_msum_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    pred = RangePredicate(column="l_quantity", lower=5.0, upper=45.0,
+                          null_allowed=False)
+    return column_sums(spark, f"{d}/blocks", f"{d}/manifest",
+                       ["l_quantity", "l_extendedprice", "l_tax"],
+                       predicate=pred).select(
+        "column", F.round("sum_value", 4).alias("sum_value"),
+        "n_rows", "n_nulls").orderBy("column")
+
+
 def _q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered MIN/MAX in the compressed domain, value-exact: sorted
     dictionaries answer O(1) from their head/tail, rle blocks reduce run
@@ -1226,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_pushdown": _q_topk_pushdown,
         "grouped_sum_pushdown": _q_grouped_sum_pushdown,
         "decimal_sum_pushdown": _q_decimal_sum_pushdown,
+        "multi_sum_onescan": _q_multi_sum_onescan,
         "minmax_pushdown": _q_minmax_pushdown,
         "distinct_pushdown": _q_distinct_pushdown,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
@@ -1439,6 +1466,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_nulls FROM lineitem "
             "WHERE l_quantity >= 10 AND l_quantity <= 35"
+        ),
+        "multi_sum_onescan": (
+            "WITH f AS (SELECT * FROM lineitem "
+            "WHERE l_quantity >= 5 AND l_quantity <= 45) "
+            'SELECT \'l_extendedprice\' AS "column", '
+            "ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_value, "
+            "count(*) AS n_rows, CAST(sum(CASE WHEN l_extendedprice IS NULL "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM f "
+            "UNION ALL SELECT 'l_quantity', "
+            "ROUND(CAST(sum(l_quantity) AS DOUBLE), 4), count(*), "
+            "CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM f "
+            "UNION ALL SELECT 'l_tax', "
+            "ROUND(CAST(sum(l_tax) AS DOUBLE), 4), count(*), "
+            "CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM f "
+            'ORDER BY "column"'
         ),
         "minmax_pushdown": (
             'SELECT \'l_extendedprice\' AS "column", '

@@ -339,6 +339,144 @@ def _fold_sum(partials: DataFrame, column: str) -> DataFrame:
                 F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls")))
 
 
+def column_sums(spark: SparkSession, blocks_path: str, manifest_path: str,
+                columns: list[str], predicate=None) -> DataFrame:
+    """SUM over MANY columns in ONE scan of the blocks parquet — the
+    stats-sweep shape (dashboards, validation) where per-column
+    column_sum calls would re-read the table N times.  The predicate
+    mask resolves once per block group and is shared by every column.
+    Returns one row per column: (column, sum_value double, n_rows,
+    n_nulls).  Decimal columns fold exactly in the unscaled decimal
+    domain and rescale at the end (use column_sum for a decimal(38,s)
+    result type); bytes/list columns raise."""
+    import json as jsonmod
+
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    predicates = _normalize_predicates(predicate)
+    tmeta = manifestmod.table_meta(spark, manifest_path)
+    known = set(tmeta["columns"])
+    for c in list(columns) + [p.column for p in predicates]:
+        if c not in known:
+            raise KeyError(f"unknown column {c}; encoded: {tmeta['columns']}")
+    schema = T.StructType.fromJson(jsonmod.loads(tmeta["schema_json"]))
+    fields = {f.name: f for f in schema.fields}
+    scales = {c: (fields[c].dataType.scale
+                  if isinstance(fields[c].dataType, T.DecimalType) else None)
+              for c in columns}
+
+    proj = [F.col(PART_ID), F.col("run_id"), F.col("n_rows")]
+    for c in columns:
+        proj.append(F.col("cols").getField(c).getField("block")
+                    .alias(f"__blkc_{c}"))
+    for p in predicates:
+        proj.append(F.col("cols").getField(p.column).getField("block")
+                    .alias(f"__blk_{p.column}"))
+        proj.append(F.col("cols").getField(p.column).getField("stats")
+                    .alias(f"__st_{p.column}"))
+    blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
+              .select(*proj))
+    keeps = [k for k in (p.jvm_zone_keep(F.col(f"__st_{p.column}"))
+                         for p in predicates) if k is not None]
+    for k in keeps:
+        blocks = blocks.filter(k)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    blocks = blocks.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+
+    out_schema = T.StructType([
+        T.StructField("column", T.StringType(), False),
+        T.StructField("s_l", T.LongType(), False),
+        T.StructField("s_d", T.DoubleType(), False),
+        T.StructField("is_f", T.BooleanType(), False),
+        T.StructField("s_dec", T.DecimalType(38, 0), True),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("nulls", T.LongType(), False),
+    ])
+    col_list = list(columns)
+
+    def gen(batches):
+        # per-column accumulators across the task's batches
+        acc = {c: [0, 0.0, False, 0, 0, 0] for c in col_list}
+        #        [s_l, s_d, is_f, s_dec, rows, nulls]
+        for batch in batches:
+            names = batch.schema.names
+            grows = batch.column(names.index("n_rows"))
+            cblks = {c: batch.column(names.index(f"__blkc_{c}"))
+                     for c in col_list}
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                g = grows[i].as_py()
+                n_sel_evolved = g if isinstance(mask, str) else int(mask.sum())
+                for c in col_list:
+                    a = acc[c]
+                    b = cblks[c][i]
+                    if not b.is_valid:
+                        a[4] += n_sel_evolved
+                        a[5] += n_sel_evolved
+                        continue
+                    if scales[c] is not None:
+                        s, n_rows, n_valid = _block_sum_dec(b.as_py(), mask)
+                        a[3] += s
+                    else:
+                        if isinstance(mask, str):
+                            s, n_rows, n_valid = _block_sum(b.as_py())
+                        else:
+                            s, n_rows, n_valid = _block_sum_masked(
+                                b.as_py(), mask)
+                        if isinstance(s, float):
+                            a[2] = True
+                            a[1] += s
+                        else:
+                            a[0] += s
+                    a[4] += n_rows
+                    a[5] += n_rows - n_valid
+        rows = [(c, a[0], a[1], a[2], Decimal(a[3]), a[4], a[5])
+                for c, a in acc.items() if a[4]]
+        if rows:
+            cols = list(zip(*rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[0], pa.string()),
+                 pa.array(cols[1], pa.int64()),
+                 pa.array(cols[2], pa.float64()),
+                 pa.array(cols[3], pa.bool_()),
+                 pa.array(cols[4], pa.decimal128(38, 0)),
+                 pa.array(cols[5], pa.int64()),
+                 pa.array(cols[6], pa.int64())],
+                names=["column", "s_l", "s_d", "is_f", "s_dec",
+                       "rows", "nulls"])
+
+    partials = blocks.mapInArrow(gen, out_schema)
+    agg = partials.groupBy("column").agg(
+        F.sum("s_l").alias("s_l"), F.sum("s_d").alias("s_d"),
+        F.max("is_f").alias("is_f"), F.sum("s_dec").alias("s_dec"),
+        F.sum("rows").alias("n_rows"), F.sum("nulls").alias("n_nulls"))
+    # per-column decimal scale: map literal column -> 10^scale (double)
+    dec_cols = [c for c, s in scales.items() if s is not None]
+    scale_map = F.create_map(*[x for c in dec_cols
+                               for x in (F.lit(c),
+                                         F.lit(float(10 ** scales[c])))]) \
+        if dec_cols else None
+    sum_col = (F.when(F.col("is_f"), F.col("s_d") + F.col("s_l"))
+               .otherwise(F.col("s_l").cast("double")))
+    if scale_map is not None:
+        sum_col = (F.when(F.col("column").isin(dec_cols),
+                          F.col("s_dec").cast("double")
+                          / scale_map[F.col("column")])
+                   .otherwise(sum_col))
+    return agg.select("column", sum_col.alias("sum_value"),
+                      "n_rows", "n_nulls")
+
+
 def _column_sum_decimal(spark: SparkSession, blocks_path: str,
                         manifest_path: str, column: str,
                         predicates: list[Predicate], scale: int) -> DataFrame:

@@ -415,3 +415,53 @@ def test_grouped_sum_decimal_exact(spark, tmp_path):
         for k, (es, ec) in exp.items():
             gs, gc = got[k]
             assert gc == ec and gs == es, (col, k)  # exact Decimal equality
+
+
+def test_column_sums_one_scan_matches_per_column(spark, agg_table):
+    """column_sums: N sums in one scan must equal per-column column_sum
+    and Catalyst, with and without a shared predicate."""
+    from boltspark.engine.agg import column_sums
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    cols = ["k", "runs", "val"]
+    for pred, flt in ((None, None),
+                      (RangePredicate(column="k", lower=3000, upper=15000,
+                                      null_allowed=False),
+                       (F.col("k") >= 3000) & (F.col("k") <= 15000))):
+        got = {r["column"]: r for r in
+               column_sums(spark, out, man, cols, predicate=pred).collect()}
+        d = sdf if flt is None else sdf.filter(flt)
+        for c in cols:
+            exp = d.agg(F.sum(c).alias("s"), F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col(c).isNull().cast("long")).alias("z")
+                        ).collect()[0]
+            assert got[c]["n_rows"] == exp["n"], c
+            assert got[c]["n_nulls"] == exp["z"], c
+            assert got[c]["sum_value"] == pytest.approx(float(exp["s"]),
+                                                        rel=1e-12), c
+    with pytest.raises(ValueError):
+        column_sums(spark, out, man, [])
+    with pytest.raises(KeyError):
+        column_sums(spark, out, man, ["nope"])
+
+
+def test_column_sums_mixed_decimal(spark, tmp_path):
+    from boltspark.engine.agg import column_sums
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dfd = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.expr("CAST(l_extendedprice AS DECIMAL(12,2))").alias("price"))
+    d = str(tmp_path)
+    encode_table(dfd, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False)
+    got = {r["column"]: r for r in
+           column_sums(spark, f"{d}/b", f"{d}/m",
+                       ["l_quantity", "price"]).collect()}
+    exp = dfd.agg(F.sum("l_quantity").alias("q"),
+                  F.sum("price").cast("double").alias("p")).collect()[0]
+    assert got["l_quantity"]["sum_value"] == pytest.approx(float(exp["q"]),
+                                                           rel=1e-12)
+    assert got["price"]["sum_value"] == pytest.approx(exp["p"], rel=1e-12)
