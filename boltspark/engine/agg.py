@@ -204,8 +204,10 @@ def _normalize_predicates(predicate) -> list[Predicate]:
 def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
                  column: str, predicates: list[Predicate],
                  value_column: str | None = None,
-                 run_ids: list[str] | None = None) -> DataFrame:
-    meta = manifestmod.table_meta(spark, manifest_path)
+                 run_ids: list[str] | None = None,
+                 meta: dict | None = None) -> DataFrame:
+    if meta is None:
+        meta = manifestmod.table_meta(spark, manifest_path)
     known = set(meta["columns"])
     extra = [value_column] if value_column is not None else []
     for c in [column] + extra + [p.column for p in predicates]:
@@ -263,7 +265,8 @@ def column_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
     if dec_scale is not None:
         return _column_sum_decimal(spark, blocks_path, manifest_path, column,
                                    predicates, dec_scale)
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates, meta=tmeta)
     return _fold_sum(_sum_partials(blocks, predicates), column)
 
 
@@ -559,7 +562,8 @@ def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
     meta = manifestmod.table_meta(spark, manifest_path)
     schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
     field = {f.name: f for f in schema.fields}[column]
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates, meta=meta)
     partials = _vc_partials(spark, blocks, predicates, field.dataType)
     return (partials.groupBy("value").agg(F.sum("cnt").alias("cnt")))
 
@@ -706,7 +710,7 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
                  if isinstance(fields[value_column].dataType, T.DecimalType)
                  else None)
     blocks = _blocks_proj(spark, blocks_path, manifest_path, group_column,
-                          predicates, value_column=value_column)
+                          predicates, value_column=value_column, meta=meta)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
@@ -961,7 +965,7 @@ def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
     field = {f.name: f for f in schema.fields}[column]
     is_bytes = field.dataType.typeName() in ("string", "binary")
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates)
+                          predicates, meta=meta)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
@@ -1058,7 +1062,7 @@ def column_distinct(spark: SparkSession, blocks_path: str,
     field = {f.name: f for f in schema.fields}[column]
     is_bytes = field.dataType.typeName() in ("string", "binary")
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates)
+                          predicates, meta=meta)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
