@@ -169,3 +169,61 @@ def test_byte_predicate_stats_filter_is_jvm_side(spark, encoded):
         # cols.lang.stats.* directly
         filt = [ln for ln in plan.splitlines() if "Filter" in ln]
         assert any("lang.stats" in ln for ln in filt), plan
+
+
+def test_aggregate_plan_one_tiny_exchange(spark, tmp_path_factory):
+    """Compressed-domain aggregates must shuffle exactly once — the
+    final fold over partial rows — and their scan must prune to the
+    aggregated column's block leaf (+ stats for predicates).  If a
+    regroup or repartition sneaks in before the partials, the 'one tiny
+    shuffle' claim is dead at 100 TB."""
+    from boltspark.engine.agg import column_sum, grouped_sum, value_counts
+    from boltspark.engine.filters import RangePredicate
+
+    # the shared fixture has no numeric column; encode one with stars
+    base = tmp_path_factory.mktemp("aggplans")
+    path = str(base / "c.parquet")
+    corpus.write_parquet(path, 1200, with_nullable=True)
+    res = encode_table(spark.read.parquet(path),
+                       str(base / "blocks"), str(base / "manifest"),
+                       target_partition_bytes=1 << 20)
+    bp, mp = res.out_path, res.manifest_path
+    pred = RangePredicate(column="stars", lower=100, upper=None,
+                          null_allowed=False)
+    plans = {
+        "column_sum": _plan(column_sum(spark, bp, mp, "stars")),
+        "column_sum_pred": _plan(column_sum(spark, bp, mp, "stars",
+                                            predicate=pred)),
+        "value_counts": _plan(value_counts(spark, bp, mp, "lang")),
+        "grouped_sum": _plan(grouped_sum(spark, bp, mp, "lang",
+                                         "stars")),
+    }
+    import re
+
+    for name, plan in plans.items():
+        # exactly two shuffles: the final fold over partial rows, and
+        # the metadata-scale manifest distinct that feeds the broadcast
+        # join (hashpartitioning(part_id, run_id) under
+        # BroadcastExchange).  A THIRD exchange means the blocks data
+        # itself got regrouped — dead at 100 TB.
+        n_shuffle = plan.count("Exchange hashpartitioning") + \
+            plan.count("Exchange SinglePartition") + \
+            plan.count("Exchange rangepartitioning")
+        assert n_shuffle == 2, (name, plan)
+        assert re.search(r"Exchange hashpartitioning\(part_id#\d+L?, run_id#\d+",
+                         plan), (name, plan)
+        assert "BroadcastHashJoin" in plan, name
+        assert "MapInArrow" in plan, name
+    # column pruning: the sum's scan reads only the summed column's
+    # block leaf, never the giant content chunk
+    for name in ("column_sum", "value_counts"):
+        schemas = [s for s in _read_schemas(plans[name])
+                   if "cols:struct" in s]
+        assert schemas, plans[name]
+        for s in schemas:
+            assert "content" not in s, (name, s)
+    # predicate variant additionally reads the stats leaf for the JVM
+    # zone prefilter
+    pred_schema = [s for s in _read_schemas(plans["column_sum_pred"])
+                   if "cols:struct" in s]
+    assert any("stats" in s for s in pred_schema), pred_schema
