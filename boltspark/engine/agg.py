@@ -239,7 +239,8 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
 
 
 def column_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
-               column: str, predicate=None) -> DataFrame:
+               column: str, predicate=None,
+               run_ids: list[str] | None = None) -> DataFrame:
     """One-row DataFrame (column, sum_value, n_rows, n_nulls) computed in
     the compressed domain: each task reduces its blocks to one partial
     row; Spark's final aggregation folds the partials (exact int64 for
@@ -264,9 +265,9 @@ def column_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
                  if isinstance(field.dataType, T.DecimalType) else None)
     if dec_scale is not None:
         return _column_sum_decimal(spark, blocks_path, manifest_path, column,
-                                   predicates, dec_scale)
+                                   predicates, dec_scale, run_ids=run_ids)
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates, meta=tmeta)
+                          predicates, meta=tmeta, run_ids=run_ids)
     return _fold_sum(_sum_partials(blocks, predicates), column)
 
 
@@ -482,7 +483,8 @@ def column_sums(spark: SparkSession, blocks_path: str, manifest_path: str,
 
 def _column_sum_decimal(spark: SparkSession, blocks_path: str,
                         manifest_path: str, column: str,
-                        predicates: list[Predicate], scale: int) -> DataFrame:
+                        predicates: list[Predicate], scale: int,
+                        run_ids: list[str] | None = None) -> DataFrame:
     """column_sum for decimal storage: per-task exact unscaled sums ride
     as decimal(38,0) partials (arbitrary-precision in Python, loud
     overflow past 38 digits at the Arrow boundary — never silent), the
@@ -492,7 +494,7 @@ def _column_sum_decimal(spark: SparkSession, blocks_path: str,
     from pyspark.sql import types as T
 
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates)
+                          predicates, run_ids=run_ids)
     out_schema = T.StructType([
         T.StructField("s_dec", T.DecimalType(38, 0), True),
         T.StructField("rows", T.LongType(), False),
@@ -546,7 +548,8 @@ def _column_sum_decimal(spark: SparkSession, blocks_path: str,
 
 
 def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
-                 column: str, predicate=None) -> DataFrame:
+                 column: str, predicate=None,
+                 run_ids: list[str] | None = None) -> DataFrame:
     """GROUP BY ``column`` -> COUNT(*) in the compressed domain: dict
     blocks contribute (dictionary value, code-histogram count) rows, rle
     blocks (run value, summed lengths), others reduce with np.unique —
@@ -563,7 +566,7 @@ def value_counts(spark: SparkSession, blocks_path: str, manifest_path: str,
     schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
     field = {f.name: f for f in schema.fields}[column]
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates, meta=meta)
+                          predicates, meta=meta, run_ids=run_ids)
     partials = _vc_partials(spark, blocks, predicates, field.dataType)
     return (partials.groupBy("value").agg(F.sum("cnt").alias("cnt")))
 
@@ -683,7 +686,7 @@ def _dense_full(blk: bytes):
 
 def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
                 group_column: str, value_column: str,
-                predicate=None) -> DataFrame:
+                predicate=None, run_ids: list[str] | None = None) -> DataFrame:
     """GROUP BY ``group_column`` -> SUM(``value_column``), COUNT(*) in
     the compressed domain.  The WIDE blocks layout aligns both columns
     inside one parquet row (same group = same rows, same order), so each
@@ -710,7 +713,8 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
                  if isinstance(fields[value_column].dataType, T.DecimalType)
                  else None)
     blocks = _blocks_proj(spark, blocks_path, manifest_path, group_column,
-                          predicates, value_column=value_column, meta=meta)
+                          predicates, value_column=value_column, meta=meta,
+                          run_ids=run_ids)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
@@ -949,7 +953,8 @@ def _block_minmax(blk: bytes):
 
 
 def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
-                  column: str, predicate=None) -> DataFrame:
+                  column: str, predicate=None,
+                  run_ids: list[str] | None = None) -> DataFrame:
     """One-row (column, vmin, vmax, n_rows, n_nulls), value-exact and
     predicate-aware — the companion to stats.column_minmax (which reads
     only float64 zone leaves and can't filter).  Sorted dictionaries
@@ -965,7 +970,7 @@ def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
     field = {f.name: f for f in schema.fields}[column]
     is_bytes = field.dataType.typeName() in ("string", "binary")
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates, meta=meta)
+                          predicates, meta=meta, run_ids=run_ids)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
@@ -1044,7 +1049,8 @@ def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
 
 def column_distinct(spark: SparkSession, blocks_path: str,
                     manifest_path: str, column: str,
-                    predicate=None) -> DataFrame:
+                    predicate=None,
+                    run_ids: list[str] | None = None) -> DataFrame:
     """DISTINCT values of ``column`` (NULL excluded, SQL COUNT(DISTINCT)
     semantics) — dict blocks contribute their dictionary directly
     WITHOUT decoding the code stream (every entry occurs by
@@ -1062,7 +1068,7 @@ def column_distinct(spark: SparkSession, blocks_path: str,
     field = {f.name: f for f in schema.fields}[column]
     is_bytes = field.dataType.typeName() in ("string", "binary")
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates, meta=meta)
+                          predicates, meta=meta, run_ids=run_ids)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
@@ -1129,7 +1135,8 @@ def column_distinct(spark: SparkSession, blocks_path: str,
 
 def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                 column: str, k: int, ascending: bool = False,
-                predicate=None) -> DataFrame:
+                predicate=None,
+                run_ids: list[str] | None = None) -> DataFrame:
     """ORDER BY ``column`` LIMIT ``k`` pushed into the encoded domain:
     each block contributes only its own top-k values (np.partition over
     the dense decode; dict blocks read the SORTED dictionary's tail
@@ -1150,7 +1157,8 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
     field = {f.name: f for f in schema.fields}[column]
     is_bytes = field.dataType.typeName() in ("string", "binary")
     out_schema = T.StructType([T.StructField("value", field.dataType, True)])
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column, predicates)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates, run_ids=run_ids)
     from .decode import arrow_out_type
 
     tz = spark.conf.get("spark.sql.session.timeZone", "UTC")

@@ -247,6 +247,21 @@ def run_order(spark: SparkSession, manifest_path: str) -> dict[str, tuple]:
     return out
 
 
+def runs_as_of(spark: SparkSession, manifest_path: str,
+               run_id: str) -> list[str]:
+    """Time travel over the append-only commit log: all run ids
+    committed AT OR BEFORE ``run_id`` in run_order (run_seq) terms —
+    the run set that reconstructs the table as it stood right after
+    that commit.  Pass the result as ``run_ids=`` to decode_table or
+    any compressed-domain aggregate."""
+    order = run_order(spark, manifest_path)
+    if run_id not in order:
+        raise KeyError(f"unknown run_id {run_id!r}; committed: "
+                       f"{sorted(order)}")
+    cut = order[run_id]
+    return sorted(r for r, k in order.items() if k <= cut)
+
+
 def valid_pairs_df(spark: SparkSession, manifest_path: str) -> DataFrame:
     """Distinct (part_id, run_id) pairs with a committed manifest entry —
     the broadcast join key that makes orphan blocks from crashed runs

@@ -465,3 +465,42 @@ def test_column_sums_mixed_decimal(spark, tmp_path):
     assert got["l_quantity"]["sum_value"] == pytest.approx(float(exp["q"]),
                                                            rel=1e-12)
     assert got["price"]["sum_value"] == pytest.approx(exp["p"], rel=1e-12)
+
+
+def test_aggregate_as_of_run(spark, tmp_path):
+    """Time travel: runs_as_of(run) + run_ids= reconstructs the
+    aggregate exactly as it stood after that commit — appended runs
+    don't leak into the past."""
+    from boltspark.engine.agg import column_sum, value_counts
+    from boltspark.engine.manifest import runs_as_of
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    half = F.col("l_orderkey") % 2
+    d = str(tmp_path)
+    encode_table(li.filter(half == 0), f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False, run_id="e0")
+    encode_table(li.filter(half == 1), f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False, run_id="e1")
+    past = runs_as_of(spark, f"{d}/m", "e0")
+    assert past == ["e0"]
+    got = column_sum(spark, f"{d}/b", f"{d}/m", "l_quantity",
+                     run_ids=past).collect()[0]
+    exp = li.filter(half == 0).agg(F.sum("l_quantity"),
+                                   F.count(F.lit(1))).collect()[0]
+    assert got["sum_value"] == pytest.approx(float(exp[0]), rel=1e-12)
+    assert got["n_rows"] == exp[1]
+    # present: both runs
+    now = runs_as_of(spark, f"{d}/m", "e1")
+    assert now == ["e0", "e1"]
+    vc = {r["value"]: r["cnt"] for r in
+          value_counts(spark, f"{d}/b", f"{d}/m", "l_returnflag",
+                       run_ids=now).collect()}
+    exp_vc = {r["value"]: r["cnt"] for r in
+              li.groupBy(F.col("l_returnflag").alias("value"))
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert vc == exp_vc
+    with pytest.raises(KeyError):
+        runs_as_of(spark, f"{d}/m", "nope")
