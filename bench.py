@@ -217,6 +217,24 @@ def main() -> None:
     queries["roundtrip_documents"] = round(time.time() - t0, 3)
     extras["documents_rows"] = rows
 
+    # --- compressed-domain aggregates over the already-encoded corpus ------
+    # recorded as an EXTRA (not in the headline total, which must stay
+    # comparable across rounds); best-of like the decode queries
+    from boltspark.engine.agg import value_counts
+
+    agg_q: dict[str, float] = {}
+    agg_q["value_counts_lang"], _ = best_of(
+        lambda: value_counts(spark, f"{work}/blocks",
+                             f"{work}/manifest", "lang").collect())
+    agg_q["value_counts_repo"], _ = best_of(
+        lambda: value_counts(spark, f"{work}/blocks",
+                             f"{work}/manifest", "repo").collect())
+    pred_q = BytesPrefixPredicate(column="repo", prefix=b"org3/")
+    agg_q["filtered_counts"], _ = best_of(
+        lambda: value_counts(spark, f"{work}/blocks", f"{work}/manifest",
+                             "lang", predicate=pred_q).collect())
+    extras["agg_queries"] = agg_q
+
     # --- per-codec kernel microbench (single core, one 4 MB block) ---------
     extras["codec_mbps"] = _codec_microbench(df)
 
