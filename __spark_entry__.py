@@ -1222,6 +1222,33 @@ def _q_distinct_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "l_returnflag", predicate=pred).orderBy("value")
 
 
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog COUNT(DISTINCT) in the compressed domain
+    (engine/agg.py::column_distinct_approx): each task folds its blocks
+    into one 2^14-byte register array, so ONE constant-size row per task
+    crosses the shuffle regardless of cardinality — the shape a 100 TB
+    distinct count needs.  The estimate itself is not SQL-portable; the
+    oracle pins the exact count plus the error invariant (within 3% of
+    exact — deterministic: fixed hash functions, no seed)."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_distinct_approx
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber")
+    d = tempfile.mkdtemp(prefix="boltspark_hll_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    got = column_distinct_approx(spark, f"{d}/blocks", f"{d}/manifest",
+                                 "l_orderkey").collect()[0]
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    ok = abs(got["approx_distinct"] - exact) <= max(3.0, 0.03 * exact)
+    return spark.createDataFrame(
+        [(int(exact), int(got["n_rows"]), bool(ok))],
+        "exact_distinct long, n_rows long, within_3pct boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
@@ -1255,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_sum_onescan": _q_multi_sum_onescan,
         "minmax_pushdown": _q_minmax_pushdown,
         "distinct_pushdown": _q_distinct_pushdown,
+        "approx_distinct": _q_approx_distinct,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
         "roundtrip_after_compact": _q_roundtrip_after_compact,
         "decode_range_filter": _q_decode_range_filter,
@@ -1495,6 +1523,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_pushdown": (
             "SELECT DISTINCT l_returnflag AS value FROM lineitem "
             "WHERE l_quantity <= 25 ORDER BY value"
+        ),
+        "approx_distinct": (
+            "SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct, "
+            "COUNT(*) AS n_rows, TRUE AS within_3pct FROM lineitem"
         ),
         "roundtrip_after_compact": (
             "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars "

@@ -1133,6 +1133,140 @@ def column_distinct(spark: SparkSession, blocks_path: str,
     return partials.distinct()
 
 
+def column_distinct_approx(spark: SparkSession, blocks_path: str,
+                           manifest_path: str, column: str, p: int = 14,
+                           predicate=None,
+                           run_ids: list[str] | None = None) -> DataFrame:
+    """APPROX COUNT(DISTINCT) via a HyperLogLog sketch (kernels/hll.py)
+    — the constant-shuffle companion to ``column_distinct``, which ships
+    per-block distinct SETS and so degenerates to n_rows shuffled values
+    on high-cardinality columns.  Here every task folds its blocks into
+    ONE 2^p-byte register array; one such row per task crosses the
+    shuffle regardless of cardinality (p=14 -> 16 KB partials, ~0.8%
+    standard error) — the shape a 100 TB COUNT(DISTINCT) needs.
+
+    Dict blocks hash only their dictionary (the code stream is never
+    touched); rle blocks hash run values; byte columns dedupe through
+    Arrow BEFORE the per-string hash so Python cost is bounded by
+    per-block distinct count.  NULLs are excluded (SQL semantics).
+    Deterministic: fixed hash functions, no seed.  Returns one row
+    (column, approx_distinct, n_rows, n_nulls)."""
+    from ..kernels import hll
+
+    predicates = _normalize_predicates(predicate)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates, run_ids=run_ids)
+    m = 1 << p
+
+    def _hash_block_vals(vals, tag: str) -> np.ndarray:
+        if tag == "bytes":
+            arr = (strings.to_arrow(vals) if hasattr(vals, "offsets")
+                   else pa.array(vals))
+            return hll.hash_bytes(
+                [v if isinstance(v, bytes) else v.encode()
+                 for v in arr.unique().to_pylist()])
+        return hll.hash_fixed(np.asarray(vals))
+
+    def gen(batches):
+        regs = hll.empty_registers(p)
+        rows = 0
+        nulls = 0
+        any_group = False
+        for batch in batches:
+            names = batch.schema.names
+            blks = batch.column(names.index("__blk"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
+                        for q in predicates}
+            st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
+                       for q in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                any_group = True
+                b = blks[i]
+                if not b.is_valid:
+                    # evolved column: all NULL here, nothing to sketch
+                    n_sel = (grows[i].as_py() if isinstance(mask, str)
+                             else int(mask.sum()))
+                    rows += n_sel
+                    nulls += n_sel
+                    continue
+                if isinstance(mask, str):  # 'all'
+                    payload, meta_b, tag, codec, n_rows, n_valid = _open_dense(
+                        b.as_py())
+                    if tag == "d128" or tag in lists.LIST_TAGS:
+                        raise TypeError(
+                            f"approx distinct over tag {tag!r} is not defined")
+                    rows += n_rows
+                    nulls += n_rows - n_valid
+                    if not n_valid:
+                        continue
+                    if codec == "dict":
+                        u = dictionary.decode_dictionary(payload, meta_b, tag)
+                        h = (hll.hash_bytes(u) if tag == "bytes"
+                             else hll.hash_fixed(np.asarray(u)))
+                    elif codec == "rle" and tag != "bytes":
+                        rv, _rl = blockmod.decode_rle_runs(
+                            payload, meta_b, n_valid, tag)
+                        h = hll.hash_fixed(np.asarray(rv))
+                    else:
+                        vals = blockmod.decode_values(
+                            payload, meta_b, n_valid, tag, codec)
+                        h = _hash_block_vals(vals, tag)
+                else:
+                    vals, _v, tag, codec, n_sel = blockmod.decode_block_rows(
+                        b.as_py(), mask)
+                    if tag == "d128" or tag in lists.LIST_TAGS:
+                        raise TypeError(
+                            f"approx distinct over tag {tag!r} is not defined")
+                    rows += n_sel
+                    nulls += n_sel - len(vals)
+                    if not len(vals):
+                        continue
+                    h = _hash_block_vals(vals, tag)
+                hll.update(regs, h)
+        if any_group:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([regs.tobytes()], pa.binary()),
+                 pa.array([rows], pa.int64()),
+                 pa.array([nulls], pa.int64())],
+                names=["regs", "rows", "nulls"])
+
+    partials = blocks.mapInArrow(gen, "regs binary, rows long, nulls long")
+
+    def fold(batches):
+        regs = hll.empty_registers(p)
+        rows = 0
+        nulls = 0
+        for batch in batches:
+            names = batch.schema.names
+            rcol = batch.column(names.index("regs"))
+            rrows = batch.column(names.index("rows"))
+            rnulls = batch.column(names.index("nulls"))
+            for i in range(batch.num_rows):
+                part = np.frombuffer(rcol[i].as_py(), dtype=np.uint8)
+                if len(part) != m:
+                    raise ValueError("HLL register width mismatch in partial")
+                np.maximum(regs, part, out=regs)
+                rows += rrows[i].as_py()
+                nulls += rnulls[i].as_py()
+        est = int(round(hll.estimate(regs))) if regs.any() else 0
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([est], pa.int64()),
+             pa.array([rows], pa.int64()),
+             pa.array([nulls], pa.int64())],
+            names=["approx_distinct", "n_rows", "n_nulls"])
+
+    # one constant-size row per task -> a single merge task; repartition
+    # (not coalesce) keeps the scan's parallelism upstream of the barrier
+    merged = partials.repartition(1).mapInArrow(
+        fold, "approx_distinct long, n_rows long, n_nulls long")
+    return merged.select(F.lit(column).alias("column"),
+                         "approx_distinct", "n_rows", "n_nulls")
+
+
 def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                 column: str, k: int, ascending: bool = False,
                 predicate=None,

@@ -504,3 +504,49 @@ def test_aggregate_as_of_run(spark, tmp_path):
     assert vc == exp_vc
     with pytest.raises(KeyError):
         runs_as_of(spark, f"{d}/m", "nope")
+
+
+def test_column_distinct_approx_matches_exact(spark, agg_table):
+    """HLL approx distinct within its error bound on every codec path:
+    dict strings (flag), rle ints (runs), high-cardinality ints (k),
+    floats with nulls (val)."""
+    from boltspark.engine.agg import column_distinct_approx
+
+    sdf, out, man = agg_table
+    n = sdf.count()
+    for col in ("flag", "runs", "k", "val"):
+        got = column_distinct_approx(spark, out, man, col).collect()[0]
+        exact = sdf.select(F.countDistinct(col)).collect()[0][0]
+        nulls = sdf.filter(F.col(col).isNull()).count()
+        assert got["column"] == col
+        assert got["n_rows"] == n, col
+        assert got["n_nulls"] == nulls, col
+        assert abs(got["approx_distinct"] - exact) <= max(3, 0.03 * exact), col
+
+
+def test_column_distinct_approx_filtered_and_pruned(spark, agg_table):
+    from boltspark.engine.agg import column_distinct_approx
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="k", lower=0, upper=499, null_allowed=False)
+    got = column_distinct_approx(spark, out, man, "runs",
+                                 predicate=pred).collect()[0]
+    # k in [0, 500) -> runs is the single value 0
+    assert got["approx_distinct"] == 1
+    assert got["n_rows"] == 500
+    # fully-pruned predicate -> zero row, not an empty frame
+    dead = RangePredicate(column="k", lower=10**9, upper=None,
+                          null_allowed=False)
+    got = column_distinct_approx(spark, out, man, "k",
+                                 predicate=dead).collect()[0]
+    assert got["approx_distinct"] == 0 and got["n_rows"] == 0
+
+
+def test_column_distinct_approx_is_deterministic(spark, agg_table):
+    from boltspark.engine.agg import column_distinct_approx
+
+    _, out, man = agg_table
+    a = column_distinct_approx(spark, out, man, "k").collect()[0]
+    b = column_distinct_approx(spark, out, man, "k").collect()[0]
+    assert a["approx_distinct"] == b["approx_distinct"]
