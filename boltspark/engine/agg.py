@@ -37,6 +37,7 @@ from ..kernels import block as blockmod
 from ..kernels import dictionary, lists, strings
 from . import manifest as manifestmod
 from .filters import Predicate
+from .memutil import trimmed
 from .schema import PART_ID
 
 
@@ -325,7 +326,7 @@ def _sum_partials(blocks: DataFrame, predicates: list[Predicate]) -> DataFrame:
                 names=[PART_ID, "s_l", "s_d", "is_f", "rows", "nulls"])
 
     return blocks.mapInArrow(
-        gen, f"{PART_ID} int, s_l long, s_d double, is_f boolean, "
+        trimmed(gen), f"{PART_ID} int, s_l long, s_d double, is_f boolean, "
              "rows long, nulls long")
 
 
@@ -459,7 +460,7 @@ def column_sums(spark: SparkSession, blocks_path: str, manifest_path: str,
                 names=["column", "s_l", "s_d", "is_f", "s_dec",
                        "rows", "nulls"])
 
-    partials = blocks.mapInArrow(gen, out_schema)
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
     agg = partials.groupBy("column").agg(
         F.sum("s_l").alias("s_l"), F.sum("s_d").alias("s_d"),
         F.max("is_f").alias("is_f"), F.sum("s_dec").alias("s_dec"),
@@ -535,7 +536,7 @@ def _column_sum_decimal(spark: SparkSession, blocks_path: str,
                      pa.array([nulls], pa.int64())],
                     names=["s_dec", "rows", "nulls"])
 
-    partials = blocks.mapInArrow(gen, out_schema)
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
     divisor = F.lit(10 ** scale).cast(T.DecimalType(scale + 1, 0))
     return (partials.agg(
         F.sum("s_dec").alias("s_dec"), F.sum("rows").alias("n_rows"),
@@ -630,7 +631,7 @@ def _vc_partials(spark: SparkSession, blocks: DataFrame,
                      varr, carr],
                     names=[PART_ID, "value", "cnt"])
 
-    return blocks.mapInArrow(gen, out_schema)
+    return blocks.mapInArrow(trimmed(gen), out_schema)
 
 
 def _group_codes(blk: bytes):
@@ -801,7 +802,7 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
                      pa.array(np.full(len(cnt), is_f), pa.bool_())],
                     names=["value", "cnt", "nv", "s_l", "s_d", "is_f"])
 
-    partials = blocks.mapInArrow(gen, out_schema)
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
     agg = partials.groupBy("value").agg(
         F.sum("cnt").alias("cnt"), F.sum("nv").alias("nv"),
         F.sum("s_l").alias("s_l"), F.sum("s_d").alias("s_d"),
@@ -911,7 +912,7 @@ def _grouped_sum_decimal(blocks: DataFrame, predicates: list[Predicate],
                               pa.decimal128(38, 0))],
                     names=["value", "cnt", "nv", "s_dec"])
 
-    partials = blocks.mapInArrow(gen, out_schema)
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
     agg = partials.groupBy("value").agg(
         F.sum("cnt").alias("cnt"), F.sum("nv").alias("nv"),
         F.sum("s_dec").alias("s_dec"))
@@ -1039,7 +1040,7 @@ def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
                      pa.array([n_rows - n_valid], pa.int64())],
                     names=["vmin", "vmax", "rows", "nulls"])
 
-    partials = blocks.mapInArrow(gen, out_schema)
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
     return partials.agg(
         F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"),
         F.coalesce(F.sum("rows"), F.lit(0)).alias("n_rows"),
@@ -1129,7 +1130,7 @@ def column_distinct(spark: SparkSession, blocks_path: str,
                 if len(arr):
                     yield pa.RecordBatch.from_arrays([arr], names=["value"])
 
-    partials = blocks.mapInArrow(gen, out_schema)
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
     return partials.distinct()
 
 
@@ -1234,7 +1235,7 @@ def column_distinct_approx(spark: SparkSession, blocks_path: str,
                  pa.array([nulls], pa.int64())],
                 names=["regs", "rows", "nulls"])
 
-    partials = blocks.mapInArrow(gen, "regs binary, rows long, nulls long")
+    partials = blocks.mapInArrow(trimmed(gen), "regs binary, rows long, nulls long")
 
     def fold(batches):
         regs = hll.empty_registers(p)
@@ -1262,7 +1263,7 @@ def column_distinct_approx(spark: SparkSession, blocks_path: str,
     # one constant-size row per task -> a single merge task; repartition
     # (not coalesce) keeps the scan's parallelism upstream of the barrier
     merged = partials.repartition(1).mapInArrow(
-        fold, "approx_distinct long, n_rows long, n_nulls long")
+        trimmed(fold), "approx_distinct long, n_rows long, n_nulls long")
     return merged.select(F.lit(column).alias("column"),
                          "approx_distinct", "n_rows", "n_nulls")
 
@@ -1381,6 +1382,6 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                     out = out.cast(out_t)
                 yield pa.RecordBatch.from_arrays([out], names=["value"])
 
-    partials = blocks.mapInArrow(gen, out_schema)
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
     order_col = F.col("value").asc() if ascending else F.col("value").desc()
     return partials.orderBy(order_col).limit(k)

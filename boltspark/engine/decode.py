@@ -35,6 +35,7 @@ import pyarrow as pa
 from ..kernels import block as blockmod
 from ..kernels import bitpack, dictionary, lists, strings
 from . import manifest as manifestmod
+from .memutil import trimmed
 from .filters import ALL, NONE, Predicate
 from .schema import PART_ID
 
@@ -493,8 +494,8 @@ def decode_table(
     if n_tasks:
         blocks = blocks.repartition(n_tasks)
     decoded = blocks.mapInArrow(
-        _make_decoder(read_cols, out_cols, out_types, predicates,
-                      include_part_id, row_window),
+        trimmed(_make_decoder(read_cols, out_cols, out_types, predicates,
+                      include_part_id, row_window)),
         out_schema,
     )
     if any(nest.needs_flatten(logical_by_name[c].dataType)

@@ -27,6 +27,7 @@ from ..kernels import block as blockmod
 from ..kernels import fsst, lists, selector, strings
 from . import manifest as manifestmod
 from . import nest
+from .memutil import trimmed
 from .partitioner import (
     DEFAULT_TARGET_PARTITION_BYTES,
     PART_COL,
@@ -509,8 +510,8 @@ def encode_table(
     prebuilt_fsst = (_prebuild_fsst_tables(df_sel, columns, codec_override)
                      if n_planned > 0 else {})
     blocks = keyed.mapInArrow(
-        _make_encoder(columns, run_id, block_bytes, outer, codec_override,
-                      outer_level, prebuilt_fsst),
+        trimmed(_make_encoder(columns, run_id, block_bytes, outer,
+                              codec_override, outer_level, prebuilt_fsst)),
         blocks_spark_schema(columns),
     )
     # payloads are self-compressed; parquet recompression would waste CPU
