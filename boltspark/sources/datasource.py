@@ -172,6 +172,11 @@ class BoltReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
+        from ..engine.memutil import trimmed
+
+        yield from trimmed(self._read)(partition)
+
+    def _read(self, partition):
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.types import StructType as ST
