@@ -22,38 +22,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_level(cpus: int, rows: int, corpus: str, repeats: int,
-              n_parts: int) -> dict:
-    """spark-submit --py-files at one parallelism level; best of N runs."""
-    from boltspark.engine.shipping import build_package_zip
-
-    zip_path = build_package_zip()
+def run_level_once(cpus: int, rows: int, corpus: str, n_parts: int,
+                   zip_path: str) -> dict:
+    """One spark-submit --py-files job at one parallelism level."""
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("python")), "spark-submit")
-    best = None
-    for _ in range(repeats):
-        out_json = tempfile.mktemp(suffix=".json")
-        cmd = [
-            spark_submit,
-            "--master", f"local[{cpus}]",
-            "--py-files", zip_path,
-            "--conf", f"spark.sql.shuffle.partitions={cpus}",
-            "--conf", f"spark.default.parallelism={cpus}",
-            "--conf", "spark.driver.memory=8g",
-            "--conf", "spark.ui.enabled=false",
-            "--conf", "spark.local.dir=/dev/shm/bsk/spark-local",
-            "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=2048",
-            os.path.join(REPO, "bench", "job.py"),
-            "--rows", str(rows), "--corpus", corpus, "--json-out", out_json,
-            "--n-parts", str(n_parts),
-        ]
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-        with open(out_json) as f:
-            r = json.load(f)
-        assert r["sha_mismatches"] == 0, "round-trip broke during bench!"
-        if best is None or r["encode_sec"] + r["decode_sec"] < best["encode_sec"] + best["decode_sec"]:
-            best = r
-    return best
+    out_json = tempfile.mktemp(suffix=".json")
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cpus}]",
+        "--py-files", zip_path,
+        "--conf", f"spark.sql.shuffle.partitions={cpus}",
+        "--conf", f"spark.default.parallelism={cpus}",
+        "--conf", "spark.driver.memory=8g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.local.dir=/dev/shm/bsk/spark-local",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=2048",
+        os.path.join(REPO, "bench", "job.py"),
+        "--rows", str(rows), "--corpus", corpus, "--json-out", out_json,
+        "--n-parts", str(n_parts),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    with open(out_json) as f:
+        r = json.load(f)
+    assert r["sha_mismatches"] == 0, "round-trip broke during bench!"
+    return r
 
 
 def _memcpy_bw(size_mb):
@@ -109,8 +102,31 @@ def main() -> None:
         corpusmod.write_parquet(corpus_path, args.rows)
     raw_mb = os.path.getsize(corpus_path) / 1e6
 
-    results = {c: run_level(c, args.rows, corpus_path, args.repeats, n_parts)
-               for c in levels}
+    # repeats are INTERLEAVED round-robin across levels: this host
+    # phase-shifts on a minutes timescale, so consecutive repeats of one
+    # level sample ONE phase and cross-level ratios from different
+    # phases are garbage (two such runs discarded in the round-4
+    # appendix).  Round-robin gives every level a sample in every phase;
+    # best-of per level per metric then compares like with like.
+    from boltspark.engine.shipping import build_package_zip
+
+    zip_path = build_package_zip()
+    raw_runs: dict[int, list] = {c: [] for c in levels}
+    for _rep in range(args.repeats):
+        for c in levels:
+            raw_runs[c].append(run_level_once(
+                c, args.rows, corpus_path, n_parts, zip_path))
+    results = {}
+    for c in levels:
+        rs = raw_runs[c]
+        best = dict(rs[0])
+        best["encode_sec"] = min(r["encode_sec"] for r in rs)
+        best["decode_sec"] = min(r["decode_sec"] for r in rs)
+        best["encode_gbps"] = round(
+            best["raw_bytes"] / 1e9 / best["encode_sec"], 4)
+        best["decode_gbps"] = round(
+            best["raw_bytes"] / 1e9 / best["decode_sec"], 4)
+        results[c] = best
     cliff = [] if args.skip_cliff else measure_host_memory_cliff()
 
     def eff(lo_c, hi_c, key):
@@ -131,9 +147,12 @@ def main() -> None:
         "--py-files boltspark.zip bench/job.py`. Input: deterministic "
         f"synthetic corpus (seed=42), {args.rows:,} rows, "
         f"{r0['raw_bytes']/1e9:.2f} GB logical column bytes "
-        f"({raw_mb:.0f} MB as snappy parquet on disk). Best of "
-        f"{args.repeats} runs per level; an untimed warmup run precedes "
-        "the timed one inside each job (worker spin-up excluded).\n",
+        f"({raw_mb:.0f} MB as snappy parquet on disk). "
+        f"{args.repeats} repeats INTERLEAVED round-robin across levels "
+        "(the host phase-shifts on a minutes timescale; interleaving "
+        "gives every level a sample in every phase), best-of per level "
+        "per metric; an untimed warmup run precedes the timed one "
+        "inside each job (worker spin-up excluded).\n",
         "## Results\n",
         "| level | encode s | decode s | encode GB/s | decode GB/s | compression |",
         "|---|---|---|---|---|---|",
@@ -194,7 +213,11 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
         if appendix:
             f.write("\n" + appendix)
-    print(json.dumps({"results": results, "efficiency": effs}))
+    print(json.dumps({
+        "results": results, "efficiency": effs,
+        "raw_runs": {c: [{"encode_sec": r["encode_sec"],
+                          "decode_sec": r["decode_sec"]} for r in rs]
+                     for c, rs in raw_runs.items()}}))
 
 
 if __name__ == "__main__":
