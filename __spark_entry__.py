@@ -1249,6 +1249,35 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct long, n_rows long, within_3pct boolean")
 
 
+def _q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth-summary quantiles in the compressed domain
+    (engine/agg.py::column_quantiles): each block contributes <= 256
+    weighted points, each task one compacted summary row — an ORDER-BY-
+    free percentile whose shuffle is O(n_tasks * 4096) tiny rows at any
+    scale.  The estimates are not SQL-portable; the oracle pins the rank
+    invariant (each estimate's true rank within 1% of its target p —
+    deterministic: pure arithmetic, no sampling)."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_quantiles
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    d = tempfile.mkdtemp(prefix="boltspark_qtl_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    got = column_quantiles(spark, f"{d}/blocks", f"{d}/manifest",
+                           "l_extendedprice",
+                           probs=(0.25, 0.5, 0.95)).collect()
+    n = li.count()
+    out = []
+    for r in sorted(got, key=lambda r: r["p"]):
+        rank = li.filter(F.col("l_extendedprice") <= r["value"]).count() / n
+        out.append((float(r["p"]), bool(abs(rank - r["p"]) <= 0.01)))
+    return spark.createDataFrame(out, "p double, rank_within_1pct boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": _q_roundtrip_documents,
@@ -1283,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_pushdown": _q_minmax_pushdown,
         "distinct_pushdown": _q_distinct_pushdown,
         "approx_distinct": _q_approx_distinct,
+        "approx_quantiles": _q_approx_quantiles,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
         "roundtrip_after_compact": _q_roundtrip_after_compact,
         "decode_range_filter": _q_decode_range_filter,
@@ -1527,6 +1557,10 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct": (
             "SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct, "
             "COUNT(*) AS n_rows, TRUE AS within_3pct FROM lineitem"
+        ),
+        "approx_quantiles": (
+            "SELECT CAST(p AS DOUBLE) AS p, TRUE AS rank_within_1pct "
+            "FROM (VALUES (0.25), (0.5), (0.95)) AS t(p) ORDER BY p"
         ),
         "roundtrip_after_compact": (
             "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars "

@@ -550,3 +550,62 @@ def test_column_distinct_approx_is_deterministic(spark, agg_table):
     a = column_distinct_approx(spark, out, man, "k").collect()[0]
     b = column_distinct_approx(spark, out, man, "k").collect()[0]
     assert a["approx_distinct"] == b["approx_distinct"]
+
+
+def test_column_quantiles_matches_exact(spark, agg_table):
+    """Equi-depth summary quantiles within 1% rank error on every codec
+    path; rle/dict blocks are exact per block (distinct <= k)."""
+    from boltspark.engine.agg import column_quantiles
+
+    sdf, out, man = agg_table
+    n = sdf.count()
+    for col in ("runs", "k", "val"):
+        rows = column_quantiles(spark, out, man, col,
+                                probs=(0.1, 0.5, 0.9)).collect()
+        nulls = sdf.filter(F.col(col).isNull()).count()
+        n_valid = n - nulls
+        assert len(rows) == 3
+        for r in rows:
+            assert r["column"] == col
+            assert r["n_rows"] == n and r["n_nulls"] == nulls
+            # rank check: the true rank interval of the estimate,
+            # [P(col < v), P(col <= v)], must cover p within 1% —
+            # point masses legitimately widen the interval (a discrete
+            # lower-quantile's rank overshoots p by up to the mass)
+            lo = sdf.filter(F.col(col) < r["value"]).count() / n_valid
+            hi = sdf.filter(F.col(col) <= r["value"]).count() / n_valid
+            assert lo <= r["p"] + 0.01 and hi >= r["p"] - 0.01, \
+                (col, r["p"], r["value"], lo, hi)
+
+
+def test_column_quantiles_low_cardinality_exact(spark, agg_table):
+    from boltspark.engine.agg import column_quantiles
+
+    sdf, out, man = agg_table
+    # runs has 7 distinct values -> every block summary exact; median
+    # must equal the true weighted median
+    got = {r["p"]: r["value"] for r in
+           column_quantiles(spark, out, man, "runs", probs=(0.5,)).collect()}
+    exact = sdf.selectExpr("percentile_cont(0.5) WITHIN GROUP "
+                           "(ORDER BY runs) AS m").collect()[0]["m"]
+    assert abs(got[0.5] - float(exact)) <= 1.0
+
+
+def test_column_quantiles_filtered_pruned_and_bytes_raise(spark, agg_table):
+    from boltspark.engine.agg import column_quantiles
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="k", lower=0, upper=499, null_allowed=False)
+    rows = column_quantiles(spark, out, man, "k", probs=(0.5,),
+                            predicate=pred).collect()
+    assert rows[0]["n_rows"] == 500
+    assert 0 <= rows[0]["value"] <= 499
+    dead = RangePredicate(column="k", lower=10**9, upper=None,
+                          null_allowed=False)
+    rows = column_quantiles(spark, out, man, "k", probs=(0.5,),
+                            predicate=dead).collect()
+    assert rows[0]["value"] is None and rows[0]["n_rows"] == 0
+    import pytest as _pt
+    with _pt.raises(Exception):
+        column_quantiles(spark, out, man, "flag", probs=(0.5,)).collect()
