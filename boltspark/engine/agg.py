@@ -1134,30 +1134,16 @@ def column_distinct(spark: SparkSession, blocks_path: str,
     return partials.distinct()
 
 
-def column_distinct_approx(spark: SparkSession, blocks_path: str,
-                           manifest_path: str, column: str, p: int = 14,
-                           predicate=None,
-                           run_ids: list[str] | None = None) -> DataFrame:
-    """APPROX COUNT(DISTINCT) via a HyperLogLog sketch (kernels/hll.py)
-    — the constant-shuffle companion to ``column_distinct``, which ships
-    per-block distinct SETS and so degenerates to n_rows shuffled values
-    on high-cardinality columns.  Here every task folds its blocks into
-    ONE 2^p-byte register array; one such row per task crosses the
-    shuffle regardless of cardinality (p=14 -> 16 KB partials, ~0.8%
-    standard error) — the shape a 100 TB COUNT(DISTINCT) needs.
-
-    Dict blocks hash only their dictionary (the code stream is never
-    touched); rle blocks hash run values; byte columns dedupe through
-    Arrow BEFORE the per-string hash so Python cost is bounded by
-    per-block distinct count.  NULLs are excluded (SQL semantics).
-    Deterministic: fixed hash functions, no seed.  Returns one row
-    (column, approx_distinct, n_rows, n_nulls)."""
+def _hll_partials(blocks: DataFrame, predicates: list[Predicate],
+                  p: int) -> DataFrame:
+    """Per-(task, part_id) HyperLogLog register partials over one
+    projected blocks frame -> (part_id, regs binary, rows, nulls).
+    part_id rides along so incremental consumers
+    (streaming/agg_stream.py) can re-validate partials against the
+    manifest's valid pairs after compaction; registers merge
+    commutatively (elementwise max), so any regrouping of partials
+    yields bit-identical final registers."""
     from ..kernels import hll
-
-    predicates = _normalize_predicates(predicate)
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates, run_ids=run_ids)
-    m = 1 << p
 
     def _hash_block_vals(vals, tag: str) -> np.ndarray:
         if tag == "bytes":
@@ -1169,14 +1155,12 @@ def column_distinct_approx(spark: SparkSession, blocks_path: str,
         return hll.hash_fixed(np.asarray(vals))
 
     def gen(batches):
-        regs = hll.empty_registers(p)
-        rows = 0
-        nulls = 0
-        any_group = False
+        acc: dict[int, list] = {}  # pid -> [regs, rows, nulls]
         for batch in batches:
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
+            pids = batch.column(names.index(PART_ID))
             blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
                         for q in predicates}
             st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
@@ -1185,14 +1169,15 @@ def column_distinct_approx(spark: SparkSession, blocks_path: str,
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
                     continue
-                any_group = True
+                a = acc.setdefault(pids[i].as_py(),
+                                   [hll.empty_registers(p), 0, 0])
                 b = blks[i]
                 if not b.is_valid:
                     # evolved column: all NULL here, nothing to sketch
                     n_sel = (grows[i].as_py() if isinstance(mask, str)
                              else int(mask.sum()))
-                    rows += n_sel
-                    nulls += n_sel
+                    a[1] += n_sel
+                    a[2] += n_sel
                     continue
                 if isinstance(mask, str):  # 'all'
                     payload, meta_b, tag, codec, n_rows, n_valid = _open_dense(
@@ -1200,8 +1185,8 @@ def column_distinct_approx(spark: SparkSession, blocks_path: str,
                     if tag == "d128" or tag in lists.LIST_TAGS:
                         raise TypeError(
                             f"approx distinct over tag {tag!r} is not defined")
-                    rows += n_rows
-                    nulls += n_rows - n_valid
+                    a[1] += n_rows
+                    a[2] += n_rows - n_valid
                     if not n_valid:
                         continue
                     if codec == "dict":
@@ -1222,20 +1207,31 @@ def column_distinct_approx(spark: SparkSession, blocks_path: str,
                     if tag == "d128" or tag in lists.LIST_TAGS:
                         raise TypeError(
                             f"approx distinct over tag {tag!r} is not defined")
-                    rows += n_sel
-                    nulls += n_sel - len(vals)
+                    a[1] += n_sel
+                    a[2] += n_sel - len(vals)
                     if not len(vals):
                         continue
                     h = _hash_block_vals(vals, tag)
-                hll.update(regs, h)
-        if any_group:
+                hll.update(a[0], h)
+        for pid, (regs, rows, nulls) in acc.items():
             yield pa.RecordBatch.from_arrays(
-                [pa.array([regs.tobytes()], pa.binary()),
+                [pa.array([pid], pa.int32()),
+                 pa.array([regs.tobytes()], pa.binary()),
                  pa.array([rows], pa.int64()),
                  pa.array([nulls], pa.int64())],
-                names=["regs", "rows", "nulls"])
+                names=[PART_ID, "regs", "rows", "nulls"])
 
-    partials = blocks.mapInArrow(trimmed(gen), "regs binary, rows long, nulls long")
+    return blocks.mapInArrow(
+        trimmed(gen), f"{PART_ID} int, regs binary, rows long, nulls long")
+
+
+def _fold_hll(partials: DataFrame, column: str, p: int) -> DataFrame:
+    """Fold (regs, rows, nulls) partials into the one-row
+    column_distinct_approx result (single merge task; registers merge
+    by elementwise max)."""
+    from ..kernels import hll
+
+    m = 1 << p
 
     def fold(batches):
         regs = hll.empty_registers(p)
@@ -1260,12 +1256,40 @@ def column_distinct_approx(spark: SparkSession, blocks_path: str,
              pa.array([nulls], pa.int64())],
             names=["approx_distinct", "n_rows", "n_nulls"])
 
-    # one constant-size row per task -> a single merge task; repartition
-    # (not coalesce) keeps the scan's parallelism upstream of the barrier
+    # one constant-size row per (task, part) -> a single merge task;
+    # repartition (not coalesce) keeps the scan parallel upstream
     merged = partials.repartition(1).mapInArrow(
         trimmed(fold), "approx_distinct long, n_rows long, n_nulls long")
     return merged.select(F.lit(column).alias("column"),
                          "approx_distinct", "n_rows", "n_nulls")
+
+
+def column_distinct_approx(spark: SparkSession, blocks_path: str,
+                           manifest_path: str, column: str, p: int = 14,
+                           predicate=None,
+                           run_ids: list[str] | None = None) -> DataFrame:
+    """APPROX COUNT(DISTINCT) via a HyperLogLog sketch (kernels/hll.py)
+    — the constant-shuffle companion to ``column_distinct``, which ships
+    per-block distinct SETS and so degenerates to n_rows shuffled values
+    on high-cardinality columns.  Here every task folds its blocks into
+    per-partition 2^p-byte register arrays; one such row per (task,
+    part_id) crosses the shuffle regardless of cardinality (p=14 ->
+    16 KB partials, ~0.8% standard error) — the shape a 100 TB
+    COUNT(DISTINCT) needs.
+
+    Dict blocks hash only their dictionary (the code stream is never
+    touched); rle blocks hash run values; byte columns dedupe through
+    Arrow BEFORE the per-string hash so Python cost is bounded by
+    per-block distinct count.  NULLs are excluded (SQL semantics).
+    Deterministic: fixed hash functions, no seed.  Returns one row
+    (column, approx_distinct, n_rows, n_nulls).  For the incremental
+    variant over a growing table see streaming/agg_stream.py
+    ``distinct_stream``/``read_distinct`` (same partials, same
+    estimate)."""
+    predicates = _normalize_predicates(predicate)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates, run_ids=run_ids)
+    return _fold_hll(_hll_partials(blocks, predicates, p), column, p)
 
 
 def column_quantiles(spark: SparkSession, blocks_path: str,

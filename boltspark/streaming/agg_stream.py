@@ -133,3 +133,51 @@ def _start(man, handle, checkpoint_path: str, trigger_seconds: int | None):
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def distinct_stream(
+    spark,
+    blocks_path: str,
+    manifest_path: str,
+    column: str,
+    out_path: str,
+    checkpoint_path: str,
+    p: int = 14,
+    predicate=None,
+    trigger_seconds: int | None = None,
+):
+    """readStream(manifest) -> per-run HyperLogLog register partials
+    (one 2^p-byte row per (part_id, run_id)) -> parquet sink keyed by
+    run.  The running COUNT(DISTINCT) estimate never rescans old runs:
+    registers merge commutatively (elementwise max), so ``read_distinct``
+    folds n_runs x n_parts constant-size rows.  Exactly-once per run by
+    the same run-keyed overwrite contract as sum_stream.  Returns the
+    StreamingQuery."""
+    predicates = aggmod._normalize_predicates(predicate)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        runs = sorted(r["run_id"] for r in
+                      batch_df.select("run_id").distinct().collect())
+        for run in runs:
+            blocks = aggmod._blocks_proj(
+                spark, blocks_path, manifest_path, column, predicates,
+                run_ids=[run])
+            partials = aggmod._hll_partials(blocks, predicates, p)
+            partials.write.mode("overwrite").parquet(
+                f"{out_path}/run_id={run}")
+
+    return _start(_manifest_stream(spark, manifest_path), handle,
+                  checkpoint_path, trigger_seconds)
+
+
+def read_distinct(spark, out_path: str, manifest_path: str,
+                  column: str, p: int = 14) -> DataFrame:
+    """Fold the sink's per-run HLL partials into the current one-row
+    column_distinct_approx result under the manifest's valid pairs
+    (superseded runs drop out; the estimate is bit-identical to the
+    batch operator on the same live data, since register merge is
+    commutative and the hashes are fixed)."""
+    partials = spark.read.parquet(out_path)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    live = partials.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+    return aggmod._fold_hll(live, column, p)

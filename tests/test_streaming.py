@@ -265,3 +265,38 @@ def test_value_counts_stream_matches_batch(spark, tmp_path):
            docs.groupBy(F.col("lang").alias("value"))
            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert got == exp
+
+
+def test_distinct_stream_matches_batch(spark, tmp_path):
+    """Incremental HLL partials fold to the SAME estimate as the batch
+    operator on the full table (register merge is commutative and the
+    hashes are fixed), and the second epoch never rescans run e0."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_distinct_approx
+    from boltspark.streaming.agg_stream import distinct_stream, read_distinct
+
+    d = str(tmp_path)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source")
+    half = F.col("doc_id") % 2
+    encode_table(docs.filter(half == 0), f"{d}/b", f"{d}/m",
+                 key_cols=("doc_id",), n_parts=4, resume=False, run_id="e0")
+    q = distinct_stream(spark, f"{d}/b", f"{d}/m", "source",
+                        f"{d}/out", f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+        encode_table(docs.filter(half == 1), f"{d}/b", f"{d}/m",
+                     key_cols=("doc_id",), n_parts=4, resume=False,
+                     run_id="e1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_distinct(spark, f"{d}/out", f"{d}/m", "source").collect()[0]
+    batch = column_distinct_approx(spark, f"{d}/b", f"{d}/m",
+                                   "source").collect()[0]
+    assert got["approx_distinct"] == batch["approx_distinct"]
+    assert got["n_rows"] == batch["n_rows"] == docs.count()
+    exact = docs.select(F.countDistinct("source")).collect()[0][0]
+    assert abs(got["approx_distinct"] - exact) <= max(3, 0.03 * exact)
