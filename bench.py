@@ -233,6 +233,12 @@ def main() -> None:
     agg_q["filtered_counts"], _ = best_of(
         lambda: value_counts(spark, f"{work}/blocks", f"{work}/manifest",
                              "lang", predicate=pred_q).collect())
+    from boltspark.engine.agg import column_distinct_approx
+
+    agg_q["hll_distinct_path"], hll_rows = best_of(
+        lambda: column_distinct_approx(spark, f"{work}/blocks",
+                                       f"{work}/manifest", "path").collect())
+    extras["hll_distinct_path"] = hll_rows[0]["approx_distinct"]
     extras["agg_queries"] = agg_q
 
     # --- per-codec kernel microbench (single core, one 4 MB block) ---------
