@@ -376,8 +376,11 @@ def _prebuild_fsst_tables(df_sel, columns: list[str],
     if not byte_cols:
         return {}
     rows = df_sel.select(*byte_cols).limit(_FSST_SAMPLE_ROWS).collect()
-    out: dict[str, list[bytes]] = {}
+    jobs: dict[str, bytes] = {}
     for c in byte_cols:
+        override = codec_override.get(c) if codec_override else None
+        if override is not None and override != "fsst":
+            continue  # column pinned to another codec: a table is dead weight
         vals: list[bytes] = []
         total = 0
         for r in rows:
@@ -392,8 +395,7 @@ def _prebuild_fsst_tables(df_sel, columns: list[str],
         if not vals:
             continue
         blob = b"".join(vals)[: fsst._DEFAULT_SAMPLE]
-        forced = bool(codec_override and codec_override.get(c) == "fsst")
-        if not forced:
+        if override != "fsst":
             lens = np.array([len(b) for b in vals], dtype=np.int64)
             offs = np.zeros(len(vals) + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
@@ -401,8 +403,28 @@ def _prebuild_fsst_tables(df_sel, columns: list[str],
             stats = selector.compute_stats(sc, "bytes")
             if "fsst" not in selector.candidate_codecs(stats, "bytes"):
                 continue
-        out[c] = fsst.build_symbol_table_best(blob)
-    return out
+        jobs[c] = blob
+    if not jobs:
+        return {}
+    if len(jobs) == 1:
+        c, blob = next(iter(jobs.items()))
+        return {c: fsst.build_symbol_table_best(blob)}
+    # each table is a pure function of its sample blob: build them in
+    # parallel worker processes instead of serially on the driver
+    # (measured ~2 s serial for 5 columns = a quarter of the whole
+    # encode wall at sf0.1); fork-safe — children touch only numpy
+    import multiprocessing as mp
+
+    import os as osmod
+
+    names = list(jobs.keys())
+    try:
+        with mp.Pool(min(len(names), osmod.cpu_count() or 2)) as pool:
+            tables = pool.map(fsst.build_symbol_table_best,
+                              [jobs[c] for c in names])
+    except OSError:  # fork unavailable: fall back to serial
+        tables = [fsst.build_symbol_table_best(jobs[c]) for c in names]
+    return {c: t for c, t in zip(names, tables) if t}
 
 
 def encode_table(
