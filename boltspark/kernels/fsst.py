@@ -151,8 +151,14 @@ def _find_salt(keys: np.ndarray):
     return None
 
 
+_MATCH_CACHE: dict[tuple, tuple] = {}
+
+
 def _match_tables(table: list[bytes]):
-    """Probe tables for the vectorized EXACT longest-match:
+    """Probe tables for the vectorized EXACT longest-match (memoized
+    per process: the salt search + slot fill cost ~90 ms and the engine
+    calls encode many times with ONE driver-prebuilt table per column —
+    selector trials alone paid it once per partition before):
 
     * ``classes`` — for each symbol length >= 3 (descending), an
       injective multiply-shift hash over that length-class's values:
@@ -163,6 +169,10 @@ def _match_tables(table: list[bytes]):
     * ``short2`` — direct 65536-entry code table for 2-byte symbols.
     * ``lut1`` — 256-entry table for single-byte symbols.
     """
+    key = tuple(table)
+    hit = _MATCH_CACHE.get(key)
+    if hit is not None:
+        return hit
     lut1 = np.full(256, LITERAL, dtype=np.uint8)
     short2 = np.full(1 << 16, LITERAL, dtype=np.uint8)
     by_len: dict[int, list[tuple[int, int]]] = {}
@@ -199,6 +209,9 @@ def _match_tables(table: list[bytes]):
             slot_val[h] = v
             slot_code[h] = c
         classes.append((l, np.uint64(salt), slot_val, slot_code))
+    if len(_MATCH_CACHE) >= 64:  # bound worker memory; tables are tiny but finite
+        _MATCH_CACHE.clear()
+    _MATCH_CACHE[key] = (lut1, short2, classes)
     return lut1, short2, classes
 
 
