@@ -1249,6 +1249,39 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct long, n_rows long, within_3pct boolean")
 
 
+def _q_grouped_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL COUNT(DISTINCT) in the compressed domain
+    (engine/agg.py::grouped_distinct_approx) — the "distinct users per
+    day" shape: per-(block, group) 4 KB registers cross the shuffle,
+    never the values.  The oracle pins each group's exact distinct
+    count, row count, and the 5% error invariant (deterministic: fixed
+    hashes)."""
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import grouped_distinct_approx
+
+    _ship(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag")
+    d = tempfile.mkdtemp(prefix="boltspark_ghll_")
+    encode_table(li, f"{d}/blocks", f"{d}/manifest",
+                 key_cols=("l_orderkey", "l_linenumber"),
+                 target_partition_bytes=4 << 20, resume=False)
+    got = grouped_distinct_approx(spark, f"{d}/blocks", f"{d}/manifest",
+                                  "l_returnflag", "l_orderkey").collect()
+    exact = {r["value"]: r for r in
+             li.groupBy(F.col("l_returnflag").alias("value"))
+             .agg(F.countDistinct("l_orderkey").alias("nd"),
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    rows = []
+    for r in sorted(got, key=lambda r: r["value"]):
+        e = exact[r["value"]]
+        ok = (abs(r["approx_distinct"] - e["nd"]) <= max(3.0, 0.05 * e["nd"])
+              and r["cnt"] == e["cnt"])
+        rows.append((r["value"], int(e["nd"]), int(e["cnt"]), bool(ok)))
+    return spark.createDataFrame(
+        rows, "value string, exact_distinct long, cnt long, within_5pct boolean")
+
+
 def _q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth-summary quantiles in the compressed domain
     (engine/agg.py::column_quantiles): each block contributes <= 256
@@ -1313,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pushdown": _q_distinct_pushdown,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
+        "grouped_approx_distinct": _q_grouped_approx_distinct,
         "roundtrip_media_meta": _q_roundtrip_media_meta,
         "roundtrip_after_compact": _q_roundtrip_after_compact,
         "decode_range_filter": _q_decode_range_filter,
@@ -1561,6 +1595,12 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles": (
             "SELECT CAST(p AS DOUBLE) AS p, TRUE AS rank_within_1pct "
             "FROM (VALUES (0.25), (0.5), (0.95)) AS t(p) ORDER BY p"
+        ),
+        "grouped_approx_distinct": (
+            "SELECT l_returnflag AS value, "
+            "COUNT(DISTINCT l_orderkey) AS exact_distinct, "
+            "COUNT(*) AS cnt, TRUE AS within_5pct "
+            "FROM lineitem GROUP BY 1 ORDER BY 1"
         ),
         "roundtrip_after_compact": (
             "SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars "

@@ -1292,6 +1292,196 @@ def column_distinct_approx(spark: SparkSession, blocks_path: str,
     return _fold_hll(_hll_partials(blocks, predicates, p), column, p)
 
 
+def grouped_distinct_approx(spark: SparkSession, blocks_path: str,
+                            manifest_path: str, group_column: str,
+                            value_column: str, p: int = 12,
+                            predicate=None,
+                            run_ids: list[str] | None = None) -> DataFrame:
+    """GROUP BY ``group_column`` -> APPROX COUNT(DISTINCT
+    ``value_column``) via per-group HyperLogLog registers — the
+    "distinct users per day" shape.  The WIDE blocks layout aligns both
+    columns inside one parquet row, so each task folds block pairs into
+    per-(block, group) registers; what crosses the shuffle is
+    n_blocks x n_groups x 2^p bytes (p=12 -> 4 KB per group row)
+    regardless of value cardinality, and the final fold is one
+    groupBy(value) with a commutative register max-merge.  Groups must
+    be low-cardinality (the same dict/rle assumption grouped_sum
+    makes); values hash per row (splitmix64 for fixed widths; byte
+    values hash their per-block dictionary uniques once and gather by
+    code).
+
+    SQL semantics: NULL groups aggregate into a NULL-group row; NULL
+    values never count.  Deterministic (fixed hashes), ~1.6% standard
+    error at p=12, time-travel via ``run_ids``.  Returns
+    (value, approx_distinct, cnt); ``cnt`` is the group's row count."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    from ..kernels import hll
+
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    field = {f.name: f for f in schema.fields}[group_column]
+    is_bytes = field.dataType.typeName() in ("string", "binary")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, group_column,
+                          predicates, value_column=value_column, meta=meta,
+                          run_ids=run_ids)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_t = arrow_out_type(field.dataType, tz)
+    out_schema = T.StructType([
+        T.StructField("value", field.dataType, True),
+        T.StructField("regs", T.BinaryType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+    m = 1 << p
+
+    def _value_hashes(blk: bytes):
+        """Full-length row hashes of the value block -> (hashes_full
+        uint64, valid_mask_full)."""
+        payload, validity, meta_b, tag, codec, n_rows = blockmod.open_block(blk)
+        if tag == "d128" or tag in lists.LIST_TAGS:
+            raise TypeError(
+                f"approx distinct over tag {tag!r} is not defined")
+        n_valid = int(validity.sum()) if validity is not None else n_rows
+        if tag == "bytes":
+            if codec == "dict":
+                uniques, codes = dictionary.decode_parts(
+                    payload, meta_b, n_valid, tag)
+                codes = np.asarray(codes, dtype=np.int64)
+            else:
+                vals = blockmod.decode_values(payload, meta_b, n_valid,
+                                              tag, codec)
+                de = strings.to_arrow(vals).dictionary_encode()
+                uniques = strings.from_arrow(
+                    de.dictionary.combine_chunks()
+                    if isinstance(de.dictionary, pa.ChunkedArray)
+                    else de.dictionary)
+                codes = np.asarray(de.indices).astype(np.int64)
+            h = hll.hash_bytes(uniques)[codes]
+        else:
+            vals = blockmod.decode_values(payload, meta_b, n_valid, tag, codec)
+            h = hll.hash_fixed(np.asarray(vals))
+        full = np.zeros(n_rows, dtype=np.uint64)
+        if validity is None:
+            full[:] = h
+            return full, np.ones(n_rows, dtype=bool)
+        vmask = validity.astype(bool)
+        full[vmask] = h
+        return full, vmask
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            gblks = batch.column(names.index("__blk"))
+            vblks = batch.column(names.index("__blk2"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
+                        for q in predicates}
+            st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
+                       for q in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                gb, vb = gblks[i], vblks[i]
+                n_rows = grows[i].as_py()
+                if gb.is_valid:
+                    uniq, gfull = _group_codes(gb.as_py())
+                else:
+                    uniq, gfull = None, np.full(n_rows, -1, dtype=np.int64)
+                if vb.is_valid:
+                    hfull, vmask = _value_hashes(vb.as_py())
+                else:
+                    hfull = np.zeros(n_rows, dtype=np.uint64)
+                    vmask = np.zeros(n_rows, dtype=bool)
+                sel = (np.ones(len(gfull), dtype=bool)
+                       if isinstance(mask, str) else mask)
+                nu = len(uniq) if uniq is not None else 0
+                g1 = gfull + 1  # slot 0 = NULL group
+                cnt = np.bincount(g1[sel], minlength=nu + 1)
+                # per-group registers: one vectorized update per group
+                # SEGMENT of the (group-sorted) surviving hash rows
+                regs_by = {}
+                idx = np.nonzero(vmask & sel)[0]
+                if len(idx):
+                    order = np.argsort(g1[idx], kind="stable")
+                    sg = g1[idx][order]
+                    sh = hfull[idx][order]
+                    bounds = np.nonzero(np.diff(sg))[0] + 1
+                    starts = np.concatenate(([0], bounds))
+                    ends = np.concatenate((bounds, [len(sg)]))
+                    for s, e in zip(starts, ends):
+                        regs = hll.empty_registers(p)
+                        hll.update(regs, sh[s:e])
+                        regs_by[int(sg[s])] = regs
+                keep = cnt > 0
+                if not keep.any():
+                    continue
+                kept_idx = np.nonzero(keep[1:])[0]
+                if uniq is not None and len(kept_idx):
+                    varr = (strings.to_arrow(uniq) if is_bytes
+                            else pa.array(np.asarray(uniq)))
+                    if not varr.type.equals(out_t):
+                        varr = varr.cast(out_t)
+                    if len(kept_idx) < len(varr):
+                        varr = varr.take(pa.array(kept_idx))
+                else:
+                    varr = pa.nulls(0, out_t)
+                if keep[0]:
+                    varr = pa.concat_arrays([pa.nulls(1, out_t), varr])
+                kept_gids = ([0] if keep[0] else []) + [int(g) + 1
+                                                        for g in kept_idx]
+                empty = hll.empty_registers(p)
+                regs_arr = [regs_by.get(g, empty).tobytes()
+                            for g in kept_gids]
+                yield pa.RecordBatch.from_arrays(
+                    [varr,
+                     pa.array(regs_arr, pa.binary()),
+                     pa.array(cnt[keep].astype(np.int64), pa.int64())],
+                    names=["value", "regs", "cnt"])
+
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit UDF kinds: `from __future__ import annotations` turns the
+    # type hints into strings, which Spark's hint inference rejects
+    @F.pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+    def _merge_regs(regs_series: pd.Series) -> bytes:
+        acc = hll.empty_registers(p)
+        for blob in regs_series:
+            r = np.frombuffer(blob, dtype=np.uint8)
+            if len(r) != m:
+                raise ValueError("HLL register width mismatch in partial")
+            np.maximum(acc, r, out=acc)
+        return acc.tobytes()
+
+    @F.pandas_udf("long", PandasUDFType.SCALAR)
+    def _estimate(regs_series: pd.Series) -> pd.Series:
+        out = []
+        for blob in regs_series:
+            r = np.frombuffer(blob, dtype=np.uint8)
+            out.append(int(round(hll.estimate(r))) if r.any() else 0)
+        return pd.Series(out, dtype="int64")
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg, so the row count folds through a pandas sum as well
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _sum_cnt(cnt_series: pd.Series) -> int:
+        return int(cnt_series.sum())
+
+    folded = partials.groupBy("value").agg(
+        _merge_regs(F.col("regs")).alias("regs"),
+        _sum_cnt(F.col("cnt")).alias("cnt"))
+    return folded.select(
+        "value", _estimate(F.col("regs")).alias("approx_distinct"), "cnt")
+
+
 def column_quantiles(spark: SparkSession, blocks_path: str,
                      manifest_path: str, column: str,
                      probs=(0.25, 0.5, 0.75), k: int = 256,

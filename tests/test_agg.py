@@ -609,3 +609,56 @@ def test_column_quantiles_filtered_pruned_and_bytes_raise(spark, agg_table):
     import pytest as _pt
     with _pt.raises(Exception):
         column_quantiles(spark, out, man, "flag", probs=(0.5,)).collect()
+
+
+def test_grouped_distinct_approx_matches_exact(spark, agg_table):
+    """Per-group HLL distinct within the error bound; NULL group row and
+    NULL-value exclusion per SQL semantics."""
+    from boltspark.engine.agg import grouped_distinct_approx
+
+    sdf, out, man = agg_table
+    got = {r["value"]: r for r in
+           grouped_distinct_approx(spark, out, man, "flag", "k").collect()}
+    exp = {r["value"]: r for r in
+           sdf.groupBy(F.col("flag").alias("value"))
+           .agg(F.countDistinct("k").alias("nd"),
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(got) == set(exp)
+    for v, e in exp.items():
+        assert got[v]["cnt"] == e["cnt"], v
+        assert abs(got[v]["approx_distinct"] - e["nd"]) <= \
+            max(3, 0.05 * e["nd"]), (v, got[v]["approx_distinct"], e["nd"])
+    # null VALUES never count: val has nulls, runs is the group
+    got2 = {r["value"]: r for r in
+            grouped_distinct_approx(spark, out, man, "runs", "val").collect()}
+    exp2 = {r["value"]: r for r in
+            sdf.groupBy(F.col("runs").alias("value"))
+            .agg(F.countDistinct("val").alias("nd"),
+                 F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(got2) == set(exp2)
+    for v, e in exp2.items():
+        assert got2[v]["cnt"] == e["cnt"], v
+        assert abs(got2[v]["approx_distinct"] - e["nd"]) <= \
+            max(3, 0.05 * e["nd"]), (v, got2[v]["approx_distinct"], e["nd"])
+
+
+def test_grouped_distinct_approx_filtered(spark, agg_table):
+    from boltspark.engine.agg import grouped_distinct_approx
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="k", lower=3000, upper=15000,
+                          null_allowed=False)
+    got = {r["value"]: r for r in
+           grouped_distinct_approx(spark, out, man, "flag", "k",
+                                   predicate=pred).collect()}
+    filt = sdf.filter((F.col("k") >= 3000) & (F.col("k") <= 15000))
+    exp = {r["value"]: r for r in
+           filt.groupBy(F.col("flag").alias("value"))
+           .agg(F.countDistinct("k").alias("nd"),
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(got) == set(exp)
+    for v, e in exp.items():
+        assert got[v]["cnt"] == e["cnt"], v
+        assert abs(got[v]["approx_distinct"] - e["nd"]) <= \
+            max(3, 0.05 * e["nd"]), v
