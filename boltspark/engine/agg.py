@@ -1482,35 +1482,16 @@ def grouped_distinct_approx(spark: SparkSession, blocks_path: str,
         "value", _estimate(F.col("regs")).alias("approx_distinct"), "cnt")
 
 
-def column_quantiles(spark: SparkSession, blocks_path: str,
-                     manifest_path: str, column: str,
-                     probs=(0.25, 0.5, 0.75), k: int = 256,
-                     task_k: int = 4096, predicate=None,
-                     run_ids: list[str] | None = None) -> DataFrame:
-    """APPROX quantiles via mergeable equi-depth summaries
-    (kernels/quantile.py) — ORDER-BY-free: each block contributes at
-    most ``k`` weighted points (rank error <= n_block/(2k)), each task
-    compacts its blocks to ``task_k`` points, and ONE summary row per
-    task crosses the shuffle — O(n_tasks * task_k) tiny rows instead of
-    a full-column sort, the shape a 100 TB percentile needs.  End-to-end
-    rank error ~ N/(2k) + N/(2*task_k): sub-percent at the defaults.
-
-    Fast paths: rle blocks summarize (run_value, run_length) pairs and
-    dict blocks (dictionary, code histogram) — both EXACT per block when
-    distinct <= k, without materializing rows.  NULLs are excluded (SQL
-    percentile semantics); values quantize through float64 (int64 above
-    2^53 loses low bits — an approximate quantile tolerates that by
-    definition).  Deterministic: pure arithmetic, no sampling.  Returns
-    one row per probability: (column, p, value, n_rows, n_nulls)."""
+def _quantile_partials(blocks: DataFrame, predicates: list[Predicate],
+                       k: int, task_k: int) -> DataFrame:
+    """Per-(task, part_id) equi-depth summary partials over one
+    projected blocks frame -> (part_id, vs, ws, rows, nulls).  part_id
+    rides along so incremental consumers (streaming/agg_stream.py) can
+    re-validate partials against the manifest after compaction;
+    summaries merge by weighted concatenation, so any regrouping only
+    REFINES the final summary (rank error never grows past the
+    per-partial bound)."""
     from ..kernels import quantile as qk
-
-    plist = [float(p) for p in (probs if hasattr(probs, "__iter__")
-                                else [probs])]
-    if not plist or any(p < 0 or p > 1 for p in plist):
-        raise ValueError("probs must be non-empty, each in [0, 1]")
-    predicates = _normalize_predicates(predicate)
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates, run_ids=run_ids)
 
     def _block_summary(blk: bytes, mask):
         """(values, weights) equi-depth summary of one block under the
@@ -1546,14 +1527,12 @@ def column_quantiles(spark: SparkSession, blocks_path: str,
         return qk.summarize(v, None, k), n_sel, len(v)
 
     def gen(batches):
-        summaries = []
-        rows = 0
-        nulls = 0
-        any_group = False
+        acc: dict[int, list] = {}  # pid -> [summaries, rows, nulls]
         for batch in batches:
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
+            pids = batch.column(names.index(PART_ID))
             blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
                         for q in predicates}
             st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
@@ -1562,31 +1541,41 @@ def column_quantiles(spark: SparkSession, blocks_path: str,
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
                     continue
-                any_group = True
+                a = acc.setdefault(pids[i].as_py(), [[], 0, 0])
                 b = blks[i]
                 if not b.is_valid:
                     n_sel = (grows[i].as_py() if isinstance(mask, str)
                              else int(mask.sum()))
-                    rows += n_sel
-                    nulls += n_sel
+                    a[1] += n_sel
+                    a[2] += n_sel
                     continue
-                s, n_rows, n_valid = _block_summary(b.as_py(), mask)
-                rows += n_rows
-                nulls += n_rows - n_valid
-                if s is not None:
-                    summaries.append(s)
-        if any_group:
+                smry, n_rows, n_valid = _block_summary(b.as_py(), mask)
+                a[1] += n_rows
+                a[2] += n_rows - n_valid
+                if smry is not None:
+                    a[0].append(smry)
+        for pid, (summaries, rows, nulls) in acc.items():
             v, w = qk.merge(summaries, k=task_k)
             yield pa.RecordBatch.from_arrays(
-                [pa.array([v.tolist()], pa.list_(pa.float64())),
+                [pa.array([pid], pa.int32()),
+                 pa.array([v.tolist()], pa.list_(pa.float64())),
                  pa.array([w.tolist()], pa.list_(pa.float64())),
                  pa.array([rows], pa.int64()),
                  pa.array([nulls], pa.int64())],
-                names=["vs", "ws", "rows", "nulls"])
+                names=[PART_ID, "vs", "ws", "rows", "nulls"])
 
-    partials = blocks.mapInArrow(
+    return blocks.mapInArrow(
         trimmed(gen),
-        "vs array<double>, ws array<double>, rows long, nulls long")
+        f"{PART_ID} int, vs array<double>, ws array<double>, "
+        "rows long, nulls long")
+
+
+def _fold_quantiles(partials: DataFrame, column: str,
+                    plist: list[float]) -> DataFrame:
+    """Fold (vs, ws, rows, nulls) summary partials into the
+    column_quantiles result (single merge task, lossless weighted
+    concatenation)."""
+    from ..kernels import quantile as qk
 
     def fold(batches):
         summaries = []
@@ -1620,6 +1609,40 @@ def column_quantiles(spark: SparkSession, blocks_path: str,
         trimmed(fold), "p double, value double, n_rows long, n_nulls long")
     return merged.select(F.lit(column).alias("column"),
                          "p", "value", "n_rows", "n_nulls")
+
+
+def column_quantiles(spark: SparkSession, blocks_path: str,
+                     manifest_path: str, column: str,
+                     probs=(0.25, 0.5, 0.75), k: int = 256,
+                     task_k: int = 4096, predicate=None,
+                     run_ids: list[str] | None = None) -> DataFrame:
+    """APPROX quantiles via mergeable equi-depth summaries
+    (kernels/quantile.py) — ORDER-BY-free: each block contributes at
+    most ``k`` weighted points (rank error <= n_block/(2k)), each task
+    compacts its blocks to ``task_k`` points per partition, and ONE
+    summary row per (task, part_id) crosses the shuffle — O(n_tasks *
+    task_k) tiny rows instead of a full-column sort, the shape a 100 TB
+    percentile needs.  End-to-end rank error ~ N/(2k) + N/(2*task_k):
+    sub-percent at the defaults.
+
+    Fast paths: rle blocks summarize (run_value, run_length) pairs and
+    dict blocks (dictionary, code histogram) — both EXACT per block when
+    distinct <= k, without materializing rows.  NULLs are excluded (SQL
+    percentile semantics); values quantize through float64 (int64 above
+    2^53 loses low bits — an approximate quantile tolerates that by
+    definition).  Deterministic: pure arithmetic, no sampling.  Returns
+    one row per probability: (column, p, value, n_rows, n_nulls).  For
+    the incremental variant over a growing table see
+    streaming/agg_stream.py ``quantile_stream``/``read_quantiles``."""
+    plist = [float(p) for p in (probs if hasattr(probs, "__iter__")
+                                else [probs])]
+    if not plist or any(p < 0 or p > 1 for p in plist):
+        raise ValueError("probs must be non-empty, each in [0, 1]")
+    predicates = _normalize_predicates(predicate)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates, run_ids=run_ids)
+    return _fold_quantiles(
+        _quantile_partials(blocks, predicates, k, task_k), column, plist)
 
 
 def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,

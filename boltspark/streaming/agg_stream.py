@@ -181,3 +181,52 @@ def read_distinct(spark, out_path: str, manifest_path: str,
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     live = partials.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
     return aggmod._fold_hll(live, column, p)
+
+
+def quantile_stream(
+    spark,
+    blocks_path: str,
+    manifest_path: str,
+    column: str,
+    out_path: str,
+    checkpoint_path: str,
+    k: int = 256,
+    task_k: int = 4096,
+    predicate=None,
+    trigger_seconds: int | None = None,
+):
+    """readStream(manifest) -> per-run equi-depth summary partials
+    (one (vs, ws) row per (part_id, run_id)) -> parquet sink keyed by
+    run.  Summaries merge by weighted concatenation — regrouping only
+    refines them — so ``read_quantiles`` folds n_runs x n_parts tiny
+    rows into current percentiles without rescanning old runs.
+    Exactly-once per run by the same run-keyed overwrite contract as
+    sum_stream.  Returns the StreamingQuery."""
+    predicates = aggmod._normalize_predicates(predicate)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        runs = sorted(r["run_id"] for r in
+                      batch_df.select("run_id").distinct().collect())
+        for run in runs:
+            blocks = aggmod._blocks_proj(
+                spark, blocks_path, manifest_path, column, predicates,
+                run_ids=[run])
+            partials = aggmod._quantile_partials(blocks, predicates, k, task_k)
+            partials.write.mode("overwrite").parquet(
+                f"{out_path}/run_id={run}")
+
+    return _start(_manifest_stream(spark, manifest_path), handle,
+                  checkpoint_path, trigger_seconds)
+
+
+def read_quantiles(spark, out_path: str, manifest_path: str,
+                   column: str, probs=(0.25, 0.5, 0.75)) -> DataFrame:
+    """Fold the sink's per-run summary partials into the current
+    column_quantiles result under the manifest's valid pairs
+    (superseded runs drop out)."""
+    plist = [float(p) for p in (probs if hasattr(probs, "__iter__")
+                                else [probs])]
+    partials = spark.read.parquet(out_path)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    live = partials.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+    return aggmod._fold_quantiles(live, column, plist)

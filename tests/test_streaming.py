@@ -300,3 +300,39 @@ def test_distinct_stream_matches_batch(spark, tmp_path):
     assert got["n_rows"] == batch["n_rows"] == docs.count()
     exact = docs.select(F.countDistinct("source")).collect()[0][0]
     assert abs(got["approx_distinct"] - exact) <= max(3, 0.03 * exact)
+
+
+def test_quantile_stream_matches_batch(spark, tmp_path):
+    """Incremental summary partials fold to percentiles within the same
+    rank bound as the batch operator on the full table; second epoch
+    never rescans run e0."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.streaming.agg_stream import quantile_stream, read_quantiles
+
+    d = str(tmp_path)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    half = F.col("l_orderkey") % 2
+    encode_table(li.filter(half == 0), f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False, run_id="e0")
+    q = quantile_stream(spark, f"{d}/b", f"{d}/m", "l_extendedprice",
+                        f"{d}/out", f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+        encode_table(li.filter(half == 1), f"{d}/b", f"{d}/m",
+                     key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                     resume=False, run_id="e1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = read_quantiles(spark, f"{d}/out", f"{d}/m", "l_extendedprice",
+                          probs=(0.25, 0.5, 0.9)).collect()
+    n = li.count()
+    assert all(r["n_rows"] == n for r in rows)
+    for r in rows:
+        lo = li.filter(F.col("l_extendedprice") < r["value"]).count() / n
+        hi = li.filter(F.col("l_extendedprice") <= r["value"]).count() / n
+        assert lo <= r["p"] + 0.01 and hi >= r["p"] - 0.01, (r["p"], lo, hi)
