@@ -250,36 +250,19 @@ def _q_manifest_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array<float> embeddings through the engine (kernels/lists.py):
-    exploded back to (vec_id, idx, val) so the oracle compares every
-    element bit-exact."""
-    from boltspark.engine import decode_table, encode_table
-
-    _ship(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    d = tempfile.mkdtemp(prefix="boltspark_emb_")
-    encode_table(emb, f"{d}/blocks", f"{d}/manifest", key_cols=("vec_id",),
-                 target_partition_bytes=4 << 20, resume=False)
-    back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
-    return back.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("label").cast("long").alias("label"),
-        F.posexplode("embedding").alias("idx", "val"),
-    ).select("vec_id", "label", F.col("idx").cast("long").alias("idx"),
-             F.col("val").cast("double").alias("val"))
-
-
 def _q_roundtrip_nullable_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null elements INSIDE list values (element-validity bitmap,
-    kernels/lists.py — the def-level-at-depth case the reference refuses,
-    rep_def_parser.rs:36-46): embeddings with every (vec_id+idx)%97==0
-    element nulled, round-tripped and exploded for the oracle."""
+    """array<float> embeddings through the engine (kernels/lists.py),
+    WITH null elements INSIDE list values (element-validity bitmap —
+    the def-level-at-depth case the reference refuses,
+    rep_def_parser.rs:36-46): every (vec_id+idx)%97==0 element nulled.
+    The label column rides along so the plain fixed-width path is
+    pinned by the same oracle (round-5 consolidation of the former
+    roundtrip_embeddings query — same decode machinery, one entry)."""
     from boltspark.engine import decode_table, encode_table
 
     _ship(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
+        "vec_id", "label",
         F.transform(
             "embedding",
             lambda x, i: F.when((F.col("vec_id") + i) % 97 == 0,
@@ -292,8 +275,9 @@ def _q_roundtrip_nullable_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = decode_table(spark, f"{d}/blocks", f"{d}/manifest")
     return back.select(
         F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
         F.posexplode("embedding").alias("idx", "val"),
-    ).select("vec_id", F.col("idx").cast("long").alias("idx"),
+    ).select("vec_id", "label", F.col("idx").cast("long").alias("idx"),
              F.col("val").cast("double").alias("val"))
 
 

@@ -206,11 +206,13 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
                  column: str, predicates: list[Predicate],
                  value_column: str | None = None,
                  run_ids: list[str] | None = None,
-                 meta: dict | None = None) -> DataFrame:
+                 meta: dict | None = None,
+                 extra_group_columns: list[str] | None = None) -> DataFrame:
     if meta is None:
         meta = manifestmod.table_meta(spark, manifest_path)
     known = set(meta["columns"])
     extra = [value_column] if value_column is not None else []
+    extra += list(extra_group_columns or [])
     for c in [column] + extra + [p.column for p in predicates]:
         if c not in known:
             raise KeyError(f"unknown column {c}; encoded: {meta['columns']}")
@@ -219,6 +221,11 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
     if value_column is not None:
         proj.append(F.col("cols").getField(value_column).getField("block")
                     .alias("__blk2"))
+    for j, c in enumerate(extra_group_columns or [], start=1):
+        # additional GROUP BY columns (grouped_sum_multi): the wide
+        # layout aligns them in the same parquet row as __blk/__blk2
+        proj.append(F.col("cols").getField(c).getField("block")
+                    .alias(f"__gblk_{j}"))
     for p in predicates:
         proj.append(F.col("cols").getField(p.column).getField("block")
                     .alias(f"__blk_{p.column}"))
@@ -490,53 +497,75 @@ def _column_sum_decimal(spark: SparkSession, blocks_path: str,
     as decimal(38,0) partials (arbitrary-precision in Python, loud
     overflow past 38 digits at the Arrow boundary — never silent), the
     final fold divides by 10^scale in the decimal domain."""
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates, run_ids=run_ids)
+    return _fold_sum_dec(_sum_dec_partials(blocks, predicates), column, scale)
+
+
+def _sum_dec_partials(blocks: DataFrame,
+                      predicates: list[Predicate]) -> DataFrame:
+    """Per-(task, part_id) exact unscaled decimal partials over one
+    projected blocks frame -> (part_id, s_dec, rows, nulls).  part_id
+    rides along so incremental consumers (streaming/agg_stream.py) can
+    re-validate partials against the manifest — the decimal analog of
+    ``_sum_partials``."""
     from decimal import Decimal
 
     from pyspark.sql import types as T
 
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
-                          predicates, run_ids=run_ids)
     out_schema = T.StructType([
+        T.StructField(PART_ID, T.IntegerType(), False),
         T.StructField("s_dec", T.DecimalType(38, 0), True),
         T.StructField("rows", T.LongType(), False),
         T.StructField("nulls", T.LongType(), False),
     ])
 
     def gen(batches):
+        acc: dict[int, list] = {}  # pid -> [s_int, rows, nulls]
         for batch in batches:
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
+            pids = batch.column(names.index(PART_ID))
             blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
                         for p in predicates}
             st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
                        for p in predicates}
-            s_int = 0
-            rows = 0
-            nulls = 0
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
                     continue
+                a = acc.setdefault(pids[i].as_py(), [0, 0, 0])
                 b = blks[i]
                 if not b.is_valid:
                     n_sel = (grows[i].as_py() if isinstance(mask, str)
                              else int(mask.sum()))
-                    rows += n_sel
-                    nulls += n_sel
+                    a[1] += n_sel
+                    a[2] += n_sel
                     continue
                 s, n_rows, n_valid = _block_sum_dec(b.as_py(), mask)
-                s_int += s
-                rows += n_rows
-                nulls += n_rows - n_valid
-            if rows:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([Decimal(s_int)], pa.decimal128(38, 0)),
-                     pa.array([rows], pa.int64()),
-                     pa.array([nulls], pa.int64())],
-                    names=["s_dec", "rows", "nulls"])
+                a[0] += s
+                a[1] += n_rows
+                a[2] += n_rows - n_valid
+        rows = [(pid, *v) for pid, v in acc.items() if v[1]]
+        if rows:
+            cols = list(zip(*rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[0], pa.int32()),
+                 pa.array([Decimal(int(s)) for s in cols[1]],
+                          pa.decimal128(38, 0)),
+                 pa.array(cols[2], pa.int64()),
+                 pa.array(cols[3], pa.int64())],
+                names=[PART_ID, "s_dec", "rows", "nulls"])
 
-    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+    return blocks.mapInArrow(trimmed(gen), out_schema)
+
+
+def _fold_sum_dec(partials: DataFrame, column: str, scale: int) -> DataFrame:
+    """Fold (part_id, s_dec, rows, nulls) partials into the one-row
+    column_sum result for decimal storage (decimal-domain rescale)."""
+    from pyspark.sql import types as T
+
     divisor = F.lit(10 ** scale).cast(T.DecimalType(scale + 1, 0))
     return (partials.agg(
         F.sum("s_dec").alias("s_dec"), F.sum("rows").alias("n_rows"),
@@ -1762,3 +1791,415 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
     partials = blocks.mapInArrow(trimmed(gen), out_schema)
     order_col = F.col("value").asc() if ascending else F.col("value").desc()
     return partials.orderBy(order_col).limit(k)
+
+
+def column_avg(spark: SparkSession, blocks_path: str, manifest_path: str,
+               column: str, predicate=None,
+               run_ids: list[str] | None = None) -> DataFrame:
+    """AVG(``column``) in the compressed domain with SQL null semantics:
+    nulls leave both the numerator and the denominator (AVG over an
+    all-null selection is NULL, never 0/0).  Built on ``column_sum``'s
+    partials, so the shuffle shape is identical (one partial row per
+    task).  Decimal columns sum exactly in the unscaled domain first
+    and divide once at the end (the quotient itself is a float64 —
+    document consumers that need digit-exact division should divide
+    ``column_sum`` themselves).  Returns one row:
+    (column, avg_value double, n_rows, n_nulls)."""
+    s = column_sum(spark, blocks_path, manifest_path, column,
+                   predicate=predicate, run_ids=run_ids)
+    n_valid = F.col("n_rows") - F.col("n_nulls")
+    return s.select(
+        "column",
+        F.when(n_valid == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("sum_value").cast("double") / n_valid)
+        .alias("avg_value"),
+        "n_rows", "n_nulls")
+
+
+def column_count(spark: SparkSession, blocks_path: str, manifest_path: str,
+                 column: str, predicate=None,
+                 run_ids: list[str] | None = None) -> DataFrame:
+    """COUNT(``column``) / COUNT(*) in the compressed domain: each task
+    reads only block VALIDITY (open_block parses the header + validity
+    bitmap; values are never decoded), so the operator works for every
+    tag — including byte/list columns that ``column_sum`` refuses.
+    Under a predicate, partially-surviving blocks count
+    ``validity[mask]``.  Returns one row:
+    (column, n_values, n_rows, n_nulls) where n_values = COUNT(column)
+    and n_rows = COUNT(*) of the surviving selection."""
+    predicates = _normalize_predicates(predicate)
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
+                          predicates, run_ids=run_ids)
+
+    def gen(batches):
+        acc: dict[int, list] = {}  # pid -> [rows, nulls]
+        for batch in batches:
+            names = batch.schema.names
+            blks = batch.column(names.index("__blk"))
+            grows = batch.column(names.index("n_rows"))
+            pids = batch.column(names.index(PART_ID))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                a = acc.setdefault(pids[i].as_py(), [0, 0])
+                b = blks[i]
+                if not b.is_valid:
+                    # evolved column: the group predates it — all NULL
+                    n_sel = (grows[i].as_py() if isinstance(mask, str)
+                             else int(mask.sum()))
+                    a[0] += n_sel
+                    a[1] += n_sel
+                    continue
+                _p, validity, _m, _t, _c, n_rows = blockmod.open_block(
+                    b.as_py())
+                if isinstance(mask, str):  # 'all'
+                    n_sel = n_rows
+                    n_valid = (int(validity.sum()) if validity is not None
+                               else n_rows)
+                else:
+                    n_sel = int(mask.sum())
+                    n_valid = (int(validity[mask].sum())
+                               if validity is not None else n_sel)
+                a[0] += n_sel
+                a[1] += n_sel - n_valid
+        rows = [(pid, *v) for pid, v in acc.items() if v[0]]
+        if rows:
+            cols = list(zip(*rows))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[0], pa.int32()),
+                 pa.array(cols[1], pa.int64()),
+                 pa.array(cols[2], pa.int64())],
+                names=[PART_ID, "rows", "nulls"])
+
+    partials = blocks.mapInArrow(
+        trimmed(gen), f"{PART_ID} int, rows long, nulls long")
+    return (partials.agg(
+        F.sum("rows").alias("n_rows"), F.sum("nulls").alias("n_nulls"))
+        .select(F.lit(column).alias("column"),
+                (F.coalesce(F.col("n_rows"), F.lit(0))
+                 - F.coalesce(F.col("n_nulls"), F.lit(0))).alias("n_values"),
+                F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.col("n_nulls"), F.lit(0)).alias("n_nulls")))
+
+
+def grouped_sum_multi(spark: SparkSession, blocks_path: str,
+                      manifest_path: str, group_columns,
+                      value_column: str, predicate=None,
+                      run_ids: list[str] | None = None) -> DataFrame:
+    """GROUP BY (c1, ..., cN) -> SUM(``value_column``), COUNT(*) in the
+    compressed domain — the (lang, repo) / (flag, status) rollup shape.
+    The wide layout aligns all N group leaves plus the value leaf in
+    ONE parquet row, so each task joint-codes the aligned code streams
+    into a composite group id (per-block pair dictionary via np.unique
+    — memory scales with the distinct COMBINATIONS present in the
+    block, not the dimension product) and reduces with bincount; only
+    per-block distinct combinations cross the final shuffle.
+
+    SQL GROUP BY semantics per dimension: NULLs form their own group
+    key; NULL values count rows but add nothing (all-null group sums
+    NULL).  Returns one column per group dimension (named after it)
+    plus (sum_value double, cnt).  Decimal value columns are not
+    supported here — use single-column ``grouped_sum`` (exact decimal
+    partials) or ``column_sum`` per group."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    gcols = [str(c) for c in group_columns]
+    if not gcols:
+        raise ValueError("group_columns must be non-empty")
+    if len(set(gcols)) != len(gcols):
+        raise ValueError(f"duplicate group columns {gcols}")
+    if len(gcols) == 1:
+        return (grouped_sum(spark, blocks_path, manifest_path, gcols[0],
+                            value_column, predicate=predicate,
+                            run_ids=run_ids)
+                .withColumnRenamed("value", gcols[0]))
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    fields = {f.name: f for f in schema.fields}
+    if isinstance(fields[value_column].dataType, T.DecimalType):
+        raise NotImplementedError(
+            "grouped_sum_multi over decimal values is not supported; "
+            "use grouped_sum (exact decimal) per group column")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, gcols[0],
+                          predicates, value_column=value_column, meta=meta,
+                          run_ids=run_ids, extra_group_columns=gcols[1:])
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_ts = [arrow_out_type(fields[c].dataType, tz) for c in gcols]
+    is_bytes = [fields[c].dataType.typeName() in ("string", "binary")
+                for c in gcols]
+    out_schema = T.StructType(
+        [T.StructField(c, fields[c].dataType, True) for c in gcols]
+        + [T.StructField("__cnt", T.LongType(), False),
+           T.StructField("__nv", T.LongType(), False),
+           T.StructField("__s_l", T.LongType(), False),
+           T.StructField("__s_d", T.DoubleType(), False),
+           T.StructField("__is_f", T.BooleanType(), False)])
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            gblk_cols = ([batch.column(names.index("__blk"))]
+                         + [batch.column(names.index(f"__gblk_{j}"))
+                            for j in range(1, len(gcols))])
+            vblks = batch.column(names.index("__blk2"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                n_rows = grows[i].as_py()
+                uniqs, g1s, dims = [], [], []
+                for gc in gblk_cols:
+                    gb = gc[i]
+                    if gb.is_valid:
+                        u, gfull = _group_codes(gb.as_py())
+                    else:
+                        # evolved dimension: every row is its NULL group
+                        u, gfull = None, np.full(n_rows, -1, dtype=np.int64)
+                    uniqs.append(u)
+                    g1s.append(gfull + 1)  # slot 0 = NULL key
+                    dims.append((len(u) if u is not None else 0) + 1)
+                vb = vblks[i]
+                if vb.is_valid:
+                    vfull, vmask = _dense_full(vb.as_py())
+                else:
+                    vfull = np.zeros(n_rows, dtype=np.int64)
+                    vmask = np.zeros(n_rows, dtype=bool)
+                sel = (np.ones(n_rows, dtype=bool)
+                       if isinstance(mask, str) else mask)
+                # composite code: mixed-radix over the per-block
+                # dictionary sizes (each dim <= block rows + 1, so the
+                # radix product stays far below 2^63 for any sane N)
+                comp = g1s[0].astype(np.int64).copy()
+                for d, g1 in zip(dims[1:], g1s[1:]):
+                    comp *= d
+                    comp += g1
+                sel_idx = np.nonzero(sel)[0]
+                if not len(sel_idx):
+                    continue
+                ukeys, inv = np.unique(comp[sel_idx], return_inverse=True)
+                cnt = np.bincount(inv, minlength=len(ukeys))
+                wv_idx = np.nonzero(vmask & sel)[0]
+                pos = np.searchsorted(ukeys, comp[wv_idx])
+                nv = np.bincount(pos, minlength=len(ukeys))
+                if vfull.dtype.kind == "f":
+                    is_f = True
+                    s_d = np.bincount(pos, weights=vfull[wv_idx],
+                                      minlength=len(ukeys))
+                    s_l = np.zeros(len(ukeys), dtype=np.int64)
+                else:
+                    is_f = False
+                    s_l = np.zeros(len(ukeys), dtype=np.int64)
+                    np.add.at(s_l, pos, vfull[wv_idx].astype(np.int64))
+                    s_d = np.zeros(len(ukeys), dtype=np.float64)
+                # decompose composite keys -> per-dimension value arrays
+                rem = ukeys.copy()
+                idxs = []
+                for d in reversed(dims[1:]):
+                    idxs.append(rem % d)
+                    rem //= d
+                idxs.append(rem)
+                idxs.reverse()
+                arrs = []
+                for j, (u, idx_j) in enumerate(zip(uniqs, idxs)):
+                    if u is not None and len(u):
+                        ua = (strings.to_arrow(u) if is_bytes[j]
+                              else pa.array(np.asarray(u)))
+                        if not ua.type.equals(out_ts[j]):
+                            ua = ua.cast(out_ts[j])
+                        base = pa.concat_arrays(
+                            [pa.nulls(1, out_ts[j]), ua])
+                    else:
+                        base = pa.nulls(1, out_ts[j])
+                    arrs.append(base.take(pa.array(idx_j.astype(np.int64))))
+                yield pa.RecordBatch.from_arrays(
+                    arrs + [pa.array(cnt.astype(np.int64), pa.int64()),
+                            pa.array(nv.astype(np.int64), pa.int64()),
+                            pa.array(s_l, pa.int64()),
+                            pa.array(s_d, pa.float64()),
+                            pa.array(np.full(len(cnt), is_f), pa.bool_())],
+                    names=list(gcols) + ["__cnt", "__nv", "__s_l",
+                                         "__s_d", "__is_f"])
+
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+    agg = partials.groupBy(*gcols).agg(
+        F.sum("__cnt").alias("__cnt"), F.sum("__nv").alias("__nv"),
+        F.sum("__s_l").alias("__s_l"), F.sum("__s_d").alias("__s_d"),
+        F.max("__is_f").alias("__is_f"))
+    return agg.select(
+        *gcols,
+        F.when(F.col("__nv") == 0, F.lit(None).cast("double"))
+        .when(F.col("__is_f"), F.col("__s_d") + F.col("__s_l"))
+        .otherwise(F.col("__s_l").cast("double")).alias("sum_value"),
+        F.col("__cnt").alias("cnt"))
+
+
+def grouped_quantiles(spark: SparkSession, blocks_path: str,
+                      manifest_path: str, group_column: str,
+                      value_column: str, probs=(0.25, 0.5, 0.75),
+                      k: int = 256, predicate=None,
+                      run_ids: list[str] | None = None) -> DataFrame:
+    """GROUP BY ``group_column`` -> APPROX quantiles of
+    ``value_column`` — the "p95 latency per group" shape.  Each task
+    emits one equi-depth summary row per (block, group): <= ``k``
+    weighted points each (kernels/quantile.py), so the shuffle moves
+    O(n_blocks x n_groups x k) tiny rows regardless of row count, and
+    the per-group fold (applyInPandas over the low-cardinality group
+    key) merges summaries losslessly before reading the percentiles.
+    Rank error per group ~ N_group/(2k): sub-percent at the default.
+
+    SQL semantics: NULL groups form their own row; NULL values are
+    excluded per group (percentile of an all-null group is NULL).
+    Deterministic — pure arithmetic, no sampling.  Returns one row per
+    (group, p): (value, p, q, n_rows, n_nulls)."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    from ..kernels import quantile as qk
+
+    plist = [float(p) for p in (probs if hasattr(probs, "__iter__")
+                                else [probs])]
+    if not plist or any(p < 0 or p > 1 for p in plist):
+        raise ValueError("probs must be non-empty, each in [0, 1]")
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    field = {f.name: f for f in schema.fields}[group_column]
+    is_bytes = field.dataType.typeName() in ("string", "binary")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, group_column,
+                          predicates, value_column=value_column, meta=meta,
+                          run_ids=run_ids)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_t = arrow_out_type(field.dataType, tz)
+    out_schema = T.StructType([
+        T.StructField("value", field.dataType, True),
+        T.StructField("vs", T.ArrayType(T.DoubleType()), False),
+        T.StructField("ws", T.ArrayType(T.DoubleType()), False),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("nulls", T.LongType(), False),
+    ])
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            gblks = batch.column(names.index("__blk"))
+            vblks = batch.column(names.index("__blk2"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
+                        for q in predicates}
+            st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
+                       for q in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                gb, vb = gblks[i], vblks[i]
+                n_rows = grows[i].as_py()
+                if gb.is_valid:
+                    uniq, gfull = _group_codes(gb.as_py())
+                else:
+                    uniq, gfull = None, np.full(n_rows, -1, dtype=np.int64)
+                if vb.is_valid:
+                    vfull, vmask = _dense_full(vb.as_py())
+                else:
+                    vfull = np.zeros(n_rows, dtype=np.int64)
+                    vmask = np.zeros(n_rows, dtype=bool)
+                sel = (np.ones(n_rows, dtype=bool)
+                       if isinstance(mask, str) else mask)
+                nu = len(uniq) if uniq is not None else 0
+                g1 = gfull + 1  # slot 0 = NULL group
+                cnt = np.bincount(g1[sel], minlength=nu + 1)
+                # per-group summaries over group-sorted valid rows
+                smry_by: dict[int, tuple] = {}
+                idx = np.nonzero(vmask & sel)[0]
+                if len(idx):
+                    order = np.argsort(g1[idx], kind="stable")
+                    sg = g1[idx][order]
+                    sv = vfull[idx][order].astype(np.float64)
+                    bounds = np.nonzero(np.diff(sg))[0] + 1
+                    starts = np.concatenate(([0], bounds))
+                    ends = np.concatenate((bounds, [len(sg)]))
+                    for s, e in zip(starts, ends):
+                        smry_by[int(sg[s])] = qk.summarize(sv[s:e], None, k)
+                keep = cnt > 0
+                if not keep.any():
+                    continue
+                kept_idx = np.nonzero(keep[1:])[0]
+                if uniq is not None and len(kept_idx):
+                    varr = (strings.to_arrow(uniq) if is_bytes
+                            else pa.array(np.asarray(uniq)))
+                    if not varr.type.equals(out_t):
+                        varr = varr.cast(out_t)
+                    if len(kept_idx) < len(varr):
+                        varr = varr.take(pa.array(kept_idx))
+                else:
+                    varr = pa.nulls(0, out_t)
+                if keep[0]:
+                    varr = pa.concat_arrays([pa.nulls(1, out_t), varr])
+                kept_gids = ([0] if keep[0] else []) + [int(g) + 1
+                                                        for g in kept_idx]
+                vs_arr, ws_arr, nulls_arr = [], [], []
+                for g, c in zip(kept_gids, cnt[keep]):
+                    sm = smry_by.get(g)
+                    if sm is None:
+                        vs_arr.append([])
+                        ws_arr.append([])
+                        nulls_arr.append(int(c))
+                    else:
+                        vs_arr.append(sm[0].tolist())
+                        ws_arr.append(sm[1].tolist())
+                        nulls_arr.append(int(c) - int(round(sm[1].sum())))
+                yield pa.RecordBatch.from_arrays(
+                    [varr,
+                     pa.array(vs_arr, pa.list_(pa.float64())),
+                     pa.array(ws_arr, pa.list_(pa.float64())),
+                     pa.array(cnt[keep].astype(np.int64), pa.int64()),
+                     pa.array(nulls_arr, pa.int64())],
+                    names=["value", "vs", "ws", "rows", "nulls"])
+
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+    fold_schema = T.StructType([
+        T.StructField("value", field.dataType, True),
+        T.StructField("p", T.DoubleType(), False),
+        T.StructField("q", T.DoubleType(), True),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_nulls", T.LongType(), False),
+    ])
+
+    def fold_group(pdf):
+        import pandas as pd
+
+        summaries = [(np.asarray(v, dtype=np.float64),
+                      np.asarray(w, dtype=np.float64))
+                     for v, w in zip(pdf["vs"], pdf["ws"])]
+        v, w = qk.merge(summaries, k=None)  # lossless final fold
+        rows = int(pdf["rows"].sum())
+        nulls = int(pdf["nulls"].sum())
+        qs = (qk.quantile(v, w, plist) if len(v)
+              else [None] * len(plist))
+        return pd.DataFrame({
+            "value": [pdf["value"].iloc[0]] * len(plist),
+            "p": plist,
+            "q": qs,
+            "n_rows": [rows] * len(plist),
+            "n_nulls": [nulls] * len(plist),
+        })
+
+    return partials.groupBy("value").applyInPandas(fold_group, fold_schema)

@@ -208,8 +208,8 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
     """Row-independent decoder: every input row is one complete block
     group (all columns), so there is no regrouping state at all.
 
-    ``row_window`` = (start, end, {(run_id, seq) -> partition-global row
-    offset of the group}) implements the mid-partition positional slice
+    ``row_window`` = (start, end, {(part_id, run_id, seq) -> global row
+    offset of the group}) implements the positional slice
     (the reference positions INSIDE a row group after skipping whole
     ones, row_group_reader.rs:188-198): boundary groups decode only the
     overlapping rows via the same late-materialization gather predicates
@@ -289,7 +289,9 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
                 base_mask = None
                 if row_window is not None:
                     start, end, offsets = row_window
-                    goff = offsets.get((run_arr[i].as_py(), seq_arr[i].as_py()))
+                    goff = offsets.get((part_arr[i].as_py(),
+                                        run_arr[i].as_py(),
+                                        seq_arr[i].as_py()))
                     if goff is None:
                         continue  # group outside the slice (orphan/pruned)
                     lo = max(start - goff, 0)
@@ -335,16 +337,18 @@ def decode_table(
 
     ``seq_range=(lo, hi)`` additionally prunes block groups by their
     inclusive seq interval (pushed to the parquet scan).  ``row_range=
-    (start, end)`` is the MID-PARTITION point query (requires exactly
-    one part id): rows [start, end) of that partition in its encode
-    order — whole groups outside the slice are pruned by a pushed seq
-    filter from manifest-free block arithmetic (one tiny metadata scan),
-    and boundary groups decode only the overlapping rows (the analog of
-    positioning inside a row group after skipping whole ones,
-    row_group_reader.rs:188-198).  "Encode order" across appended runs
-    means manifest COMMIT order (the monotonic run_seq each commit
-    records), so positions are stable append positions even though run
-    ids themselves are random hex.
+    (start, end)`` is the positional point query: rows [start, end) in
+    GLOBAL encode order — partitions ordered by part_id, rows within a
+    partition in append order.  With one ``part_ids`` entry this is the
+    classic mid-partition slice; without (or with several) the slice
+    spans partition boundaries, resolved from per-partition row-count
+    prefix sums so only OVERLAPPING partitions are ever scanned (two
+    tiny metadata jobs; whole groups outside the slice are pruned by a
+    pushed seq filter — the analog of positioning inside a row group
+    after skipping whole ones, row_group_reader.rs:188-198).  "Append
+    order" across runs means manifest COMMIT order (the monotonic
+    run_seq each commit records), so positions are stable append
+    positions even though run ids themselves are random hex.
 
     The wide blocks layout makes every row a complete block group, so
     decode needs NO shuffle (``shuffle`` is accepted and ignored for
@@ -404,40 +408,63 @@ def decode_table(
 
     row_window = None
     if row_range is not None:
-        if part_ids is None or len(part_ids) != 1:
-            raise ValueError("row_range requires exactly one part_id")
         start, end = int(row_range[0]), int(row_range[1])
         if end <= start:
             raise ValueError(f"empty row_range {row_range}")
-        # one tiny metadata scan (seq/n_rows leaves only, part_id pruned,
-        # orphans excluded) -> partition-global group offsets; a point
-        # query's group list is O(partition bytes / block bytes) rows.
-        # With run_ids the offsets are RUN-RELATIVE (positions among the
-        # named runs' rows in (run_id, seq) order), matching the scan
-        # filter below.
+        # Global row positions: partitions ordered by part_id, rows
+        # within a partition in APPEND order (manifest commit order
+        # run_seq, then seq).  With one part_id this is the classic
+        # mid-partition point query; with several (or none = the whole
+        # table) the slice spans partition boundaries.  Two tiny
+        # metadata jobs keep the driver footprint scale-safe:
+        #   1. per-partition row totals (n_parts rows) -> prefix sums
+        #      pick the partitions OVERLAPPING [start, end);
+        #   2. group offsets are computed from ONLY those partitions'
+        #      group metadata (seq/n_rows leaves, part_id pruned) —
+        #      never the whole table's group list.
+        # With run_ids the offsets are RUN-RELATIVE (positions among
+        # the named runs' rows), matching the scan filter below.
         valid0 = manifestmod.valid_pairs_df(spark, manifest_path)
         if run_ids is not None:
             valid0 = valid0.filter(F.col("run_id").isin(list(run_ids)))
-        groups = (
-            spark.read.option("mergeSchema", "true").parquet(blocks_path)
-            .filter(F.col(PART_ID) == int(part_ids[0]))
-            .select(PART_ID, "run_id", "seq", "n_rows")
-            .join(F.broadcast(valid0), [PART_ID, "run_id"], "inner")
-            .collect()
-        )
-        offsets = {}
+        gmeta = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
+                 .select(PART_ID, "run_id", "seq", "n_rows"))
+        if part_ids is not None:
+            gmeta = gmeta.filter(
+                F.col(PART_ID).isin([int(p) for p in part_ids]))
+        gmeta = gmeta.join(F.broadcast(valid0), [PART_ID, "run_id"], "inner")
+        per_part = (gmeta.groupBy(PART_ID)
+                    .agg(F.sum("n_rows").alias("p_rows"))
+                    .orderBy(PART_ID).collect())
+        overlap = {}  # part_id -> global offset of its first row
         goff = 0
+        for r in per_part:
+            p0, pr = int(r[PART_ID]), int(r["p_rows"])
+            if goff < end and goff + pr > start:
+                overlap[p0] = goff
+            goff += pr
+        offsets = {}
         seqs_hit = []
-        # append order across runs: manifest commit order (run_seq),
-        # falling back to lexicographic run_id for pre-round-4 runs
-        order = manifestmod.run_order(spark, manifest_path)
-        for r in sorted(groups, key=lambda r: (
-                order.get(r["run_id"], (0, 0, r["run_id"])), r["seq"])):
-            if goff < end and goff + r["n_rows"] > start:
-                offsets[(r["run_id"], r["seq"])] = goff
-                seqs_hit.append(int(r["seq"]))
-            goff += r["n_rows"]
+        if overlap:
+            groups = gmeta.filter(
+                F.col(PART_ID).isin(list(overlap))).collect()
+            # append order across runs: manifest commit order (run_seq),
+            # falling back to lexicographic run_id for pre-round-4 runs
+            order = manifestmod.run_order(spark, manifest_path)
+            cursor = dict.fromkeys(overlap, 0)
+            for r in sorted(groups, key=lambda r: (
+                    int(r[PART_ID]),
+                    order.get(r["run_id"], (0, 0, r["run_id"])),
+                    r["seq"])):
+                p0 = int(r[PART_ID])
+                g = overlap[p0] + cursor[p0]
+                if g < end and g + r["n_rows"] > start:
+                    offsets[(p0, r["run_id"], r["seq"])] = g
+                    seqs_hit.append(int(r["seq"]))
+                cursor[p0] += r["n_rows"]
         row_window = (start, end, offsets)
+        # prune the scan to the overlapping partitions only
+        part_ids = sorted(overlap) if overlap else [-1]
         if seqs_hit and seq_range is None:
             # pushed seq interval prunes non-overlapping groups at scan
             seq_range = (min(seqs_hit), max(seqs_hit))

@@ -37,12 +37,14 @@ def validate_table(
     * every manifested (part_id, run_id, column) row count equals the
       sum of its blocks' n_rows (missing/extra groups surface here);
     * no duplicate (part_id, run_id, seq) group identity;
-    * ``crc_sample`` block payloads, drawn with a SEEDED uniform sample
-      over every (group, column) cell of the table — so rot in the last
-      file or a rarely-read column is reachable, unlike a limit() over
-      the first scanned file — decode cleanly (CorruptBlockError =
-      storage rot caught before a reader hits it).  Pass a different
-      ``crc_seed`` per run to rotate coverage.
+    * ``crc_sample`` block payloads, drawn with a SEEDED hash-rank
+      top-n over every group identity (distributed — the driver never
+      materializes the group list) plus a hash-picked column per
+      sampled group, so rot in the last file or a rarely-read column
+      is reachable, unlike a limit() over the first scanned file —
+      decode cleanly (CorruptBlockError = storage rot caught before a
+      reader hits it).  Pass a different ``crc_seed`` per run to
+      rotate coverage.
 
     Returns {"ok": bool, "errors": [up to 20 strings]}.  An empty or
     orphan-bearing blocks dir is fine — orphans are invisible to decode
@@ -86,22 +88,29 @@ def validate_table(
                       f"run={r['run_id']} seq={r['seq']} x{r['n']}")
 
     if crc_sample and not errors:
-        import random
-
-        # phase 1 (metadata-only): every group identity — 3 tiny leaves,
-        # no payload bytes cross the wire.  The (group x column) cell
-        # universe is sampled by INDEX (divmod), never materialized:
-        # at 100 TB that cross-product is ~10^8 tuples of driver memory
-        # for an 8-cell spot check otherwise
-        keys = blocks.select(PART_ID, "run_id", "seq").collect()
-        rng = random.Random(crc_seed)
-        n_cells = len(keys) * len(cols)
-        idx = rng.sample(range(n_cells), min(int(crc_sample), n_cells))
-        picks = []
-        for i in idx:
-            g, ci = divmod(i, len(cols))
-            r = keys[g]
-            picks.append((r[PART_ID], r["run_id"], r["seq"], cols[ci]))
+        # phase 1 (metadata-only, DISTRIBUTED): a seeded hash ranks
+        # every group identity and a top-n over the rank picks the
+        # sample, so the driver receives exactly ``crc_sample`` rows —
+        # never the group list (at 100 TB that list is ~25M rows for an
+        # 8-cell spot check).  Each sampled group checks one column,
+        # itself hash-picked from the seed, so the (group x column)
+        # cell universe is reachable: a different ``crc_seed`` rotates
+        # both the groups and the columns (deterministic regardless of
+        # scan partitioning — the rank is a pure function of identity).
+        ranked = (
+            blocks.select(PART_ID, "run_id", "seq")
+            .withColumn("__rk", F.xxhash64(
+                F.col(PART_ID), F.col("run_id"), F.col("seq"),
+                F.lit(int(crc_seed))))
+            .withColumn("__ci", F.pmod(F.xxhash64(
+                F.col("run_id"), F.col("seq"), F.col(PART_ID),
+                F.lit(int(crc_seed) + 1)), F.lit(len(cols))))
+            .orderBy("__rk")
+            .limit(int(crc_sample))
+            .collect()
+        )
+        picks = [(r[PART_ID], r["run_id"], r["seq"], cols[int(r["__ci"])])
+                 for r in ranked]
         if picks:
             # phase 2: one job reading ONLY the sampled groups' blocks
             # (part_id row-group stats prune most files)

@@ -50,9 +50,12 @@ def sum_stream(
 ):
     """readStream(manifest) -> per-run compressed-domain SUM partials ->
     parquet sink keyed by run.  Read the running total with
-    ``read_sum``.  Returns the StreamingQuery.  Decimal columns are not
-    supported on the streaming path (use column_sum batch)."""
+    ``read_sum``.  Returns the StreamingQuery.  Decimal columns write
+    exact unscaled decimal(38,0) partials (``_sum_dec_partials``) —
+    the incremental total stays digit-exact, same as batch
+    ``column_sum``."""
     predicates = aggmod._normalize_predicates(predicate)
+    dec = _decimal_scale(spark, manifest_path, column) is not None
 
     def handle(batch_df, epoch_id: int) -> None:
         runs = sorted(r["run_id"] for r in
@@ -61,7 +64,8 @@ def sum_stream(
             blocks = aggmod._blocks_proj(
                 spark, blocks_path, manifest_path, column, predicates,
                 run_ids=[run])
-            partials = aggmod._sum_partials(blocks, predicates)
+            partials = (aggmod._sum_dec_partials(blocks, predicates) if dec
+                        else aggmod._sum_partials(blocks, predicates))
             partials.write.mode("overwrite").parquet(
                 f"{out_path}/run_id={run}")
 
@@ -69,14 +73,34 @@ def sum_stream(
                   checkpoint_path, trigger_seconds)
 
 
+def _decimal_scale(spark, manifest_path: str, column: str) -> int | None:
+    """Scale of ``column`` when it is decimal, else None."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    t = {f.name: f for f in schema.fields}[column].dataType
+    return t.scale if isinstance(t, T.DecimalType) else None
+
+
 def read_sum(spark, out_path: str, manifest_path: str,
              column: str) -> DataFrame:
     """Fold the sink's per-run partials into the current one-row
     column_sum result, honoring the manifest's CURRENT valid pairs
-    (superseded runs drop out)."""
+    (superseded runs drop out).  Decimal sinks (s_dec partials) fold in
+    the unscaled decimal domain and rescale once — digit-exact."""
     partials = spark.read.parquet(out_path)
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     live = partials.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+    if "s_dec" in partials.columns:
+        scale = _decimal_scale(spark, manifest_path, column)
+        if scale is None:
+            raise TypeError(
+                f"sink at {out_path} holds decimal partials but {column} "
+                "is not a decimal column in the manifest schema")
+        return aggmod._fold_sum_dec(live, column, scale)
     return aggmod._fold_sum(live, column)
 
 

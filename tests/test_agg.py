@@ -662,3 +662,227 @@ def test_grouped_distinct_approx_filtered(spark, agg_table):
         assert got[v]["cnt"] == e["cnt"], v
         assert abs(got[v]["approx_distinct"] - e["nd"]) <= \
             max(3, 0.05 * e["nd"]), v
+
+
+# ---------------------------------------------------------------------------
+# round 5: multi-column GROUP BY, AVG/COUNT, grouped quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_sum_multi_matches_catalyst(spark, agg_table):
+    """GROUP BY (flag, runs) -> SUM/COUNT via the composite code stream
+    must match Catalyst on the decoded table, for int and float value
+    columns."""
+    from boltspark.engine.agg import grouped_sum_multi
+
+    sdf, out, man = agg_table
+    for vcol in ("val", "k"):
+        got = {(r["flag"], r["runs"]): r for r in grouped_sum_multi(
+            spark, out, man, ["flag", "runs"], vcol).collect()}
+        exp = {(r["flag"], r["runs"]): r for r in sdf.groupBy("flag", "runs")
+               .agg(F.sum(vcol).alias("sum_value"),
+                    F.count(F.lit(1)).alias("cnt")).collect()}
+        assert set(got) == set(exp), vcol
+        for key, e in exp.items():
+            assert got[key]["cnt"] == e["cnt"], (vcol, key)
+            if e["sum_value"] is None:
+                assert got[key]["sum_value"] is None, (vcol, key)
+            else:
+                assert got[key]["sum_value"] == pytest.approx(
+                    float(e["sum_value"]), rel=1e-12), (vcol, key)
+
+
+def test_grouped_sum_multi_null_group_keys(spark, agg_table):
+    """A nullable group dimension (val has the %5/%17 null pattern)
+    forms its own composite key rows, matching SQL GROUP BY."""
+    from boltspark.engine.agg import grouped_sum_multi
+
+    sdf, out, man = agg_table
+    got = {(r["flag"], r["val"]): r["cnt"] for r in grouped_sum_multi(
+        spark, out, man, ["flag", "val"], "k").collect()}
+    exp = {(r["flag"], r["val"]): r["cnt"] for r in sdf.groupBy("flag", "val")
+           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == exp
+    assert any(k[1] is None for k in got)  # NULL dimension keys exist
+
+
+def test_grouped_sum_multi_filtered(spark, agg_table):
+    from boltspark.engine.agg import grouped_sum_multi
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    pred = RangePredicate(column="k", lower=3000, upper=15000,
+                          null_allowed=False)
+    got = {(r["flag"], r["runs"]): r for r in grouped_sum_multi(
+        spark, out, man, ["flag", "runs"], "val", predicate=pred).collect()}
+    fsdf = sdf.filter((F.col("k") >= 3000) & (F.col("k") <= 15000))
+    exp = {(r["flag"], r["runs"]): r for r in fsdf.groupBy("flag", "runs")
+           .agg(F.sum("val").alias("sum_value"),
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(got) == set(exp)
+    for key, e in exp.items():
+        assert got[key]["cnt"] == e["cnt"], key
+        assert got[key]["sum_value"] == pytest.approx(
+            float(e["sum_value"]), rel=1e-12), key
+
+
+def test_grouped_sum_multi_single_column_falls_back(spark, agg_table):
+    from boltspark.engine.agg import grouped_sum, grouped_sum_multi
+
+    _, out, man = agg_table
+    a = {r["flag"]: (r["sum_value"], r["cnt"]) for r in grouped_sum_multi(
+        spark, out, man, ["flag"], "val").collect()}
+    b = {r["value"]: (r["sum_value"], r["cnt"]) for r in grouped_sum(
+        spark, out, man, "flag", "val").collect()}
+    assert a == b
+
+
+def test_grouped_sum_multi_rejects_decimal_and_dups(spark, tmp_path):
+    from boltspark.engine.agg import grouped_sum_multi
+
+    d = str(tmp_path)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"))
+    encode_table(li, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), resume=False)
+    with pytest.raises(NotImplementedError):
+        grouped_sum_multi(spark, f"{d}/b", f"{d}/m",
+                          ["l_returnflag", "l_linestatus"], "qty")
+    with pytest.raises(ValueError):
+        grouped_sum_multi(spark, f"{d}/b", f"{d}/m",
+                          ["l_returnflag", "l_returnflag"], "l_orderkey")
+
+
+def test_grouped_sum_multi_tpch_q1_shape(spark, tmp_path):
+    """The TPC-H Q1 core: GROUP BY (l_returnflag, l_linestatus) with a
+    quantity predicate — the exact rollup VERDICT r4 named."""
+    from boltspark.engine.agg import grouped_sum_multi
+    from boltspark.engine.filters import RangePredicate
+
+    d = str(tmp_path)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_extendedprice", "l_quantity")
+    encode_table(li, f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), resume=False)
+    pred = RangePredicate(column="l_quantity", lower=5.0, upper=45.0,
+                          null_allowed=False)
+    got = {(r["l_returnflag"], r["l_linestatus"]): r for r in
+           grouped_sum_multi(spark, f"{d}/b", f"{d}/m",
+                             ["l_returnflag", "l_linestatus"],
+                             "l_extendedprice", predicate=pred).collect()}
+    fli = li.filter((F.col("l_quantity") >= 5.0) & (F.col("l_quantity") <= 45.0))
+    exp = {(r["l_returnflag"], r["l_linestatus"]): r for r in
+           fli.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_extendedprice").alias("sum_value"),
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(got) == set(exp)
+    for key, e in exp.items():
+        assert got[key]["cnt"] == e["cnt"], key
+        assert got[key]["sum_value"] == pytest.approx(
+            float(e["sum_value"]), rel=1e-12), key
+
+
+def test_column_avg_matches_catalyst(spark, agg_table):
+    """AVG with SQL null semantics: nulls leave numerator AND
+    denominator; an empty selection averages to NULL (not 0/0)."""
+    from boltspark.engine.agg import column_avg
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    for col in ("k", "val"):
+        got = column_avg(spark, out, man, col).collect()[0]
+        exp = sdf.agg(F.avg(col).alias("a"),
+                      F.count(F.lit(1)).alias("n")).collect()[0]
+        assert got["n_rows"] == exp["n"], col
+        assert got["avg_value"] == pytest.approx(float(exp["a"]),
+                                                 rel=1e-12), col
+    # empty selection -> NULL average, zero counts
+    pred = RangePredicate(column="k", lower=10**9, upper=2 * 10**9,
+                          null_allowed=False)
+    got = column_avg(spark, out, man, "val", predicate=pred).collect()[0]
+    assert got["avg_value"] is None
+    assert got["n_rows"] == 0
+
+
+def test_column_count_matches_catalyst(spark, agg_table):
+    """COUNT(col) works for STRING columns too (validity only, no value
+    decode) and under a predicate."""
+    from boltspark.engine.agg import column_count
+    from boltspark.engine.filters import RangePredicate
+
+    sdf, out, man = agg_table
+    for col in ("flag", "val", "k"):
+        got = column_count(spark, out, man, col).collect()[0]
+        exp = sdf.agg(F.count(col).alias("nv"),
+                      F.count(F.lit(1)).alias("n")).collect()[0]
+        assert got["n_values"] == exp["nv"], col
+        assert got["n_rows"] == exp["n"], col
+        assert got["n_nulls"] == exp["n"] - exp["nv"], col
+    pred = RangePredicate(column="k", lower=100, upper=4999,
+                          null_allowed=False)
+    got = column_count(spark, out, man, "val", predicate=pred).collect()[0]
+    fsdf = sdf.filter((F.col("k") >= 100) & (F.col("k") <= 4999))
+    exp = fsdf.agg(F.count("val").alias("nv"),
+                   F.count(F.lit(1)).alias("n")).collect()[0]
+    assert got["n_values"] == exp["nv"]
+    assert got["n_rows"] == exp["n"]
+
+
+def test_grouped_quantiles_matches_exact(spark, agg_table):
+    """Per-group equi-depth quantiles: each group's estimate must sit
+    within 2% true rank of its target, and the per-group row/null
+    bookkeeping must be exact."""
+    from boltspark.engine.agg import grouped_quantiles
+
+    sdf, out, man = agg_table
+    probs = (0.25, 0.5, 0.9)
+    rows = grouped_quantiles(spark, out, man, "flag", "val",
+                             probs=probs).collect()
+    exp_counts = {r["flag"]: r for r in sdf.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").isNull().cast("long")).alias("z")).collect()}
+    assert {r["value"] for r in rows} == set(exp_counts)
+    for r in rows:
+        e = exp_counts[r["value"]]
+        assert r["n_rows"] == e["n"], r
+        assert r["n_nulls"] == e["z"], r
+        grp = sdf.filter(F.col("flag") == r["value"])
+        n_valid = e["n"] - e["z"]
+        rank = grp.filter(F.col("val") <= r["q"]).count() / n_valid
+        assert abs(rank - r["p"]) <= 0.02, (r, rank)
+
+
+def test_grouped_quantiles_all_null_group_and_filter(spark, tmp_path):
+    """An all-null group quantiles to NULL; a predicate restricts the
+    per-group populations."""
+    from boltspark.engine.agg import grouped_quantiles
+    from boltspark.engine.filters import RangePredicate
+
+    import pandas as pd
+
+    n = 4000
+    i = np.arange(n)
+    g = np.where(i % 4 == 0, "dead", np.where(i % 2 == 0, "x", "y"))
+    v = np.where(g == "dead", np.nan, i.astype(np.float64))
+    df = pd.DataFrame({"k": i, "g": g, "v": v})
+    sdf = spark.createDataFrame(df).withColumn(
+        "v", F.when(~F.isnan("v"), F.col("v")))
+    d = str(tmp_path)
+    encode_table(sdf, f"{d}/b", f"{d}/m", key_cols=("k",),
+                 block_bytes=16 << 10, resume=False)
+    pred = RangePredicate(column="k", lower=0, upper=1999,
+                          null_allowed=False)
+    rows = {(r["value"], r["p"]): r for r in grouped_quantiles(
+        spark, f"{d}/b", f"{d}/m", "g", "v", probs=(0.5,),
+        predicate=pred).collect()}
+    assert rows[("dead", 0.5)]["q"] is None
+    assert rows[("dead", 0.5)]["n_nulls"] == rows[("dead", 0.5)]["n_rows"]
+    for gname in ("x", "y"):
+        r = rows[(gname, 0.5)]
+        grp = sdf.filter((F.col("g") == gname) & (F.col("k") <= 1999))
+        n_valid = grp.filter(F.col("v").isNotNull()).count()
+        assert r["n_rows"] == grp.count()
+        rank = grp.filter(F.col("v") <= r["q"]).count() / n_valid
+        assert abs(rank - 0.5) <= 0.03, (gname, rank)

