@@ -22,6 +22,37 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _memcpy_bw(size_mb: float) -> float:
+    """One worker's memcpy GB/s over a ~1 s window (bench/scaling.py's
+    probe kernel)."""
+    import numpy as np
+
+    a = np.empty(int(size_mb * 1e6 // 8), dtype=np.float64)
+    b = np.empty_like(a)
+    t = time.time()
+    n = 0
+    while time.time() - t < 1.0:
+        np.copyto(b, a)
+        n += 1
+    return n * 2 * size_mb / 1000
+
+
+def _host_probe(procs: int = 32, size_mb: float = 4.0) -> float:
+    """Aggregate parallel-memcpy GB/s at 4 MB x 32 — the host-phase
+    probe BENCH/BASELINE.md documents (~1000 GB/s healthy envelope,
+    decaying to ~400 over a long session).  Emitted as ``probe_gbps``
+    so cross-round bench totals can be normalized without re-running
+    interleaved A/Bs: compare round N vs N-1 only after scaling by
+    their probes (queries are Python-worker-bound; the JVM-side
+    parquet_write_ref control is the secondary normalizer)."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        t = time.time()
+        res = p.map(_memcpy_bw, [size_mb] * procs)
+        return round(sum(res) / (time.time() - t), 1)
+
+
 def _dir_bytes(path: str) -> int:
     return sum(
         os.path.getsize(p)
@@ -79,6 +110,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
+
+    # host-phase probe BEFORE Spark exists (exclusive CPU): the number
+    # that makes this run comparable to other rounds' runs
+    probe_gbps = _host_probe()
 
     from pyspark.sql import functions as F
 
@@ -253,6 +288,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "raw_gb": round(raw_gb, 3),
+        "probe_gbps": probe_gbps,
         **extras,
     }))
     spark.stop()
