@@ -134,15 +134,37 @@ def _q_decode_null_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_decode_dict_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dictionary-level equality pushdown: lang = 'en' evaluated once per
-    distinct dictionary entry, mapped over codes (reference #16 made
-    real for byte arrays)."""
-    from boltspark.engine.filters import BytesEqPredicate
+    """Dictionary-level string predicate pushdown, three shapes over ONE
+    encoded table: tag 'eq' = lang = 'en' (reference #16 made real for
+    byte arrays); tag 'has1' = source LIKE '%1%' (BytesContainsPredicate
+    — byte-level substring evaluated once per dictionary DISTINCT, round
+    5); tag 'end3' = source LIKE '%3' (BytesSuffixPredicate).  Substring
+    and suffix have no order relation, so zone maps can't prune — the
+    dictionary path is exactly what makes them cheap."""
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import (BytesContainsPredicate,
+                                          BytesEqPredicate,
+                                          BytesSuffixPredicate)
 
-    pred = BytesEqPredicate(column="lang", value=b"en")
-    _, decoded = _encode_decode_documents(
-        spark, sf_dir, predicate=pred, columns=["doc_id", "lang"])
-    return decoded.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_dicteq_")
+    encode_table(docs, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+
+    def leg(tag: str, pred, col: str) -> DataFrame:
+        out = decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                           columns=["doc_id", col], predicate=pred)
+        return out.select(F.lit(tag).alias("tag"),
+                          F.col("doc_id").cast("long").alias("doc_id"),
+                          F.col(col).alias("val"))
+
+    return (
+        leg("eq", BytesEqPredicate(column="lang", value=b"en"), "lang")
+        .unionAll(leg("has1", BytesContainsPredicate(column="source",
+                                                     needle=b"1"), "source"))
+        .unionAll(leg("end3", BytesSuffixPredicate(column="source",
+                                                   suffix=b"3"), "source")))
 
 
 def _q_dsv2_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,25 +1113,47 @@ def _q_multi_sum_onescan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered MIN/MAX in the compressed domain, value-exact: sorted
-    dictionaries answer O(1) from their head/tail, rle blocks reduce run
-    values, and a quantity predicate rides the zone/mask cascade so
-    pruned blocks are never opened."""
+    """MIN/MAX in the compressed domain, value-exact, three shapes over
+    ONE encoded table: tag 'flat' = filtered scalar min/max (sorted
+    dictionaries answer O(1) from their head/tail, rle blocks reduce
+    run values, the quantity predicate rides the zone/mask cascade);
+    tag 'dec' = decimal(12,2) min/max reduced in the UNSCALED integer
+    domain, digit-exact (round-5: decimals previously raised here);
+    tags 'grp:*' = GROUP BY l_returnflag -> min/max per group (round-5
+    grouped_minmax: typed per-(block,group) partials folded under
+    Catalyst's own F.min/F.max, one row per (block, group) through the
+    shuffle)."""
     from boltspark.engine import encode_table
-    from boltspark.engine.agg import column_minmax
+    from boltspark.engine.agg import column_minmax, grouped_minmax
     from boltspark.engine.filters import RangePredicate
 
     _ship(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"))
     d = tempfile.mkdtemp(prefix="boltspark_minmax_")
     encode_table(li, f"{d}/blocks", f"{d}/manifest",
                  key_cols=("l_orderkey", "l_linenumber"),
                  target_partition_bytes=4 << 20, resume=False)
     pred = RangePredicate(column="l_quantity", lower=10.0, upper=40.0,
                           null_allowed=False)
-    return column_minmax(spark, f"{d}/blocks", f"{d}/manifest",
-                         "l_extendedprice", predicate=pred)
+    b, m = f"{d}/blocks", f"{d}/manifest"
+    flat = column_minmax(spark, b, m, "l_extendedprice",
+                         predicate=pred).select(
+        F.lit("flat").alias("tag"), F.round("vmin", 2).alias("vmin"),
+        F.round("vmax", 2).alias("vmax"), "n_rows")
+    dec = column_minmax(spark, b, m, "price_dec").select(
+        F.lit("dec").alias("tag"),
+        F.round(F.col("vmin").cast("double"), 2).alias("vmin"),
+        F.round(F.col("vmax").cast("double"), 2).alias("vmax"), "n_rows")
+    grp = grouped_minmax(spark, b, m, "l_returnflag",
+                         "l_extendedprice").select(
+        F.concat(F.lit("grp:"), F.col("value")).alias("tag"),
+        F.round("min_value", 2).alias("vmin"),
+        F.round("max_value", 2).alias("vmax"),
+        F.col("cnt").alias("n_rows"))
+    return flat.unionAll(dec).unionAll(grp)
 
 
 def _q_distinct_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1648,12 +1692,19 @@ def oracle_sql() -> dict[str, str]:
             'ORDER BY "column"'
         ),
         "minmax_pushdown": (
-            'SELECT \'l_extendedprice\' AS "column", '
-            "min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax, "
-            "count(*) AS n_rows, "
-            "CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) "
-            "AS BIGINT) AS n_nulls FROM lineitem "
-            "WHERE l_quantity >= 10 AND l_quantity <= 40"
+            "SELECT 'flat' AS tag, ROUND(min(l_extendedprice), 2) AS vmin, "
+            "ROUND(max(l_extendedprice), 2) AS vmax, count(*) AS n_rows "
+            "FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 40 "
+            "UNION ALL "
+            "SELECT 'dec', "
+            "ROUND(CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) "
+            "AS DOUBLE), 2), "
+            "ROUND(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) "
+            "AS DOUBLE), 2), count(*) FROM lineitem "
+            "UNION ALL "
+            "SELECT 'grp:' || l_returnflag, ROUND(min(l_extendedprice), 2), "
+            "ROUND(max(l_extendedprice), 2), count(*) FROM lineitem "
+            "GROUP BY l_returnflag"
         ),
         "distinct_pushdown": (
             "SELECT DISTINCT l_returnflag AS value FROM lineitem "
@@ -1726,8 +1777,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_chars >= 500 OR n_chars IS NULL"
         ),
         "decode_dict_eq": (
-            "SELECT doc_id, lang FROM documents "
-            "WHERE lang = 'en' AND lang IS NOT NULL"
+            "SELECT 'eq' AS tag, doc_id, lang AS val FROM documents "
+            "WHERE lang = 'en' AND lang IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'has1', doc_id, source FROM documents "
+            "WHERE source LIKE '%1%' AND source IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'end3', doc_id, source FROM documents "
+            "WHERE source LIKE '%3' AND source IS NOT NULL"
         ),
         "dsv2_read": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "

@@ -955,16 +955,58 @@ def _grouped_sum_decimal(blocks: DataFrame, predicates: list[Predicate],
         "cnt")
 
 
+def _d128_minmax(pairs: np.ndarray) -> tuple[int, int]:
+    """(min, max) of (lo, hi) int64 word pairs as exact Python ints —
+    signed-128 order = lexicographic (hi signed, lo unsigned)."""
+    lo_u = pairs[:, 0].astype(np.uint64)
+    hi = pairs[:, 1]
+    order = np.lexsort((lo_u, hi))
+    i, j = int(order[0]), int(order[-1])
+
+    def val(k: int) -> int:
+        return (int(hi[k]) << 64) + int(lo_u[k])
+
+    return val(i), val(j)
+
+
+def _dec_scalar_arr(unscaled, out_t: "pa.DataType"):
+    """One unscaled int (or None) -> 1-element arrow decimal array."""
+    import decimal as dec
+
+    if unscaled is None:
+        return pa.nulls(1, out_t)
+    v = dec.Decimal(int(unscaled)).scaleb(-out_t.scale)
+    return pa.array([v], out_t)
+
+
+def _dec_arr(unscaled_ints, out_t: "pa.DataType"):
+    """Vector of unscaled ints (python ints / int64s, None allowed) ->
+    arrow decimal array.  Per-element Decimal construction — callers
+    only pass aggregate RESULTS (<= k per block / one per group), never
+    row streams."""
+    import decimal as dec
+
+    py = [None if x is None else dec.Decimal(int(x)).scaleb(-out_t.scale)
+          for x in unscaled_ints]
+    return pa.array(py, out_t)
+
+
 def _block_minmax(blk: bytes):
     """(vmin, vmax, n_rows, n_valid) for one block, value-exact (unlike
     the float64 zone stats): sorted dict blocks answer in O(1) from the
     dictionary's head/tail; rle blocks reduce run values (O(runs));
-    everything else decodes dense.  Returns numpy scalars / bytes."""
+    everything else decodes dense.  Returns numpy scalars / bytes;
+    d128 blocks return exact Python ints (unscaled)."""
     payload, meta, tag, codec, n_rows, n_valid = _open_dense(blk)
-    if tag == "d128" or tag in lists.LIST_TAGS:
+    if tag in lists.LIST_TAGS:
         raise TypeError(f"min/max over tag {tag!r} is not defined")
     if not n_valid:
         return None, None, n_rows, 0
+    if tag == "d128":
+        pairs = np.asarray(blockmod.decode_values(
+            payload, meta, n_valid, tag, codec))
+        lo, hi = _d128_minmax(pairs)
+        return lo, hi, n_rows, n_valid
     if codec == "dict":
         u = dictionary.decode_dictionary(payload, meta, tag)
         return u[0], u[len(u) - 1], n_rows, n_valid
@@ -999,6 +1041,7 @@ def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
     schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
     field = {f.name: f for f in schema.fields}[column]
     is_bytes = field.dataType.typeName() in ("string", "binary")
+    is_dec = isinstance(field.dataType, T.DecimalType)
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
                           predicates, meta=meta, run_ids=run_ids)
     from .decode import arrow_out_type
@@ -1041,12 +1084,14 @@ def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
                 else:
                     vals, _v, tag, codec, n_sel = blockmod.decode_block_rows(
                         b.as_py(), mask)
-                    if tag == "d128" or tag in lists.LIST_TAGS:
+                    if tag in lists.LIST_TAGS:
                         raise TypeError(
                             f"min/max over tag {tag!r} is not defined")
                     n_rows, n_valid = n_sel, len(vals)
                     if not n_valid:
                         lo = hi = None
+                    elif tag == "d128":
+                        lo, hi = _d128_minmax(np.asarray(vals))
                     elif tag == "bytes":
                         import pyarrow.compute as pc
 
@@ -1055,7 +1100,11 @@ def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
                     else:
                         v = np.asarray(vals)
                         lo, hi = v.min(), v.max()
-                if lo is None:
+                if is_dec:
+                    # unscaled ints (i64 low words or d128 exact ints)
+                    lo_arr = _dec_scalar_arr(lo, out_t)
+                    hi_arr = _dec_scalar_arr(hi, out_t)
+                elif lo is None:
                     lo_arr = hi_arr = pa.nulls(1, out_t)
                 elif is_bytes:
                     lo_arr = pa.array([lo]).cast(out_t)
@@ -1697,6 +1746,7 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
     schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
     field = {f.name: f for f in schema.fields}[column]
     is_bytes = field.dataType.typeName() in ("string", "binary")
+    is_dec = isinstance(field.dataType, T.DecimalType)
     out_schema = T.StructType([T.StructField("value", field.dataType, True)])
     blocks = _blocks_proj(spark, blocks_path, manifest_path, column,
                           predicates, run_ids=run_ids)
@@ -1725,9 +1775,12 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                 if isinstance(mask, str):
                     payload, meta_b, tag, codec, n_rows, n_valid = _open_dense(
                         b.as_py())
-                    if tag == "d128" or tag in lists.LIST_TAGS:
+                    if tag in lists.LIST_TAGS:
                         raise TypeError(f"topk over tag {tag!r} is not defined")
-                    if codec == "dict" and n_valid:
+                    if tag == "d128":
+                        vals = np.asarray(blockmod.decode_values(
+                            payload, meta_b, n_valid, tag, codec))
+                    elif codec == "dict" and n_valid:
                         # sorted dictionary: the extreme k values are the
                         # dictionary's head/tail — but only entries that
                         # actually occur... every dict entry occurs by
@@ -1764,9 +1817,20 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                 else:
                     vals, _v, tag, codec, _n = blockmod.decode_block_rows(
                         b.as_py(), mask)
-                    if tag == "d128" or tag in lists.LIST_TAGS:
+                    if tag in lists.LIST_TAGS:
                         raise TypeError(f"topk over tag {tag!r} is not defined")
-                if is_bytes:
+                if tag == "d128":
+                    pairs = np.asarray(vals)
+                    if not len(pairs):
+                        continue
+                    order = np.lexsort((pairs[:, 0].astype(np.uint64),
+                                        pairs[:, 1]))
+                    sel = order[:k] if ascending else order[-k:]
+                    ints = [(int(pairs[j, 1]) << 64)
+                            + int(pairs[j, 0].astype(np.uint64))
+                            for j in sel]
+                    out = _dec_arr(ints, out_t)
+                elif is_bytes:
                     arr = strings.to_arrow(vals) if hasattr(vals, "offsets") \
                         else pa.array(vals)
                     if len(arr) > k:
@@ -1781,7 +1845,9 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                         part = (np.partition(v, k - 1)[:k] if ascending
                                 else np.partition(v, len(v) - k)[-k:])
                         v = part
-                    out = pa.array(v)
+                    # decimal p<=18: unscaled int64 order == value order
+                    # (same scale), so partition above is exact
+                    out = _dec_arr(v, out_t) if is_dec else pa.array(v)
                 if len(out) == 0:
                     continue
                 if not out.type.equals(out_t):
@@ -2203,3 +2269,175 @@ def grouped_quantiles(spark: SparkSession, blocks_path: str,
         })
 
     return partials.groupBy("value").applyInPandas(fold_group, fold_schema)
+
+
+def grouped_minmax(spark: SparkSession, blocks_path: str,
+                   manifest_path: str, group_column: str,
+                   value_column: str, predicate=None,
+                   run_ids: list[str] | None = None) -> DataFrame:
+    """GROUP BY ``group_column`` -> MIN/MAX(``value_column``), COUNT(*)
+    in the compressed domain, value-exact: partials are emitted TYPED
+    (int64 beyond 2^53, byte strings, decimals, timestamps never round
+    through float64) and fold under Catalyst's own F.min/F.max, so one
+    row per (block, group) crosses the shuffle.  Byte values reduce as
+    dictionary RANKS (sorted dict blocks: the code stream IS the rank;
+    other codecs rank once per block distinct via sort_indices), never
+    comparing strings row-by-row.  SQL semantics: NULL group keys form
+    their own row; NULL values never rank (an all-null group's min/max
+    is NULL).  decimal(p<=18) reduces unscaled; d128 and list tags
+    raise.  Returns (value, min_value, max_value, cnt)."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    fields = {f.name: f for f in schema.fields}
+    gfield, vfield = fields[group_column], fields[value_column]
+    g_is_bytes = gfield.dataType.typeName() in ("string", "binary")
+    v_is_bytes = vfield.dataType.typeName() in ("string", "binary")
+    v_dec = isinstance(vfield.dataType, T.DecimalType)
+    if v_dec and vfield.dataType.precision > 18:
+        raise NotImplementedError(
+            "grouped_minmax over decimal(p>18) d128 columns is not "
+            "supported; use column_minmax per group or precision <= 18")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, group_column,
+                          predicates, value_column=value_column, meta=meta,
+                          run_ids=run_ids)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_tg = arrow_out_type(gfield.dataType, tz)
+    out_tv = arrow_out_type(vfield.dataType, tz)
+    out_schema = T.StructType([
+        T.StructField("value", gfield.dataType, True),
+        T.StructField("mn", vfield.dataType, True),
+        T.StructField("mx", vfield.dataType, True),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+
+    def _vals_arr(reduced: np.ndarray, got: np.ndarray, base, rank_to_idx):
+        """Per-group reduced ranks/values -> typed arrow array (null
+        where the group had no valid value)."""
+        if base is not None:  # byte path: rank -> dictionary position
+            idx = [int(rank_to_idx[int(r)]) if g else None
+                   for r, g in zip(reduced, got)]
+            arr = base.take(pa.array(idx, pa.int64()))
+            return arr if arr.type.equals(out_tv) else arr.cast(out_tv)
+        if v_dec:
+            return _dec_arr([int(r) if g else None
+                             for r, g in zip(reduced, got)], out_tv)
+        arr = pa.array(reduced, mask=~got)
+        return arr if arr.type.equals(out_tv) else arr.cast(out_tv)
+
+    def gen(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            names = batch.schema.names
+            gblks = batch.column(names.index("__blk"))
+            vblks = batch.column(names.index("__blk2"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                gb, vb = gblks[i], vblks[i]
+                n_rows = grows[i].as_py()
+                if gb.is_valid:
+                    uniq, gfull = _group_codes(gb.as_py())
+                else:  # evolved group column: every row is the NULL group
+                    uniq, gfull = None, np.full(n_rows, -1, dtype=np.int64)
+                sel = (np.ones(n_rows, dtype=bool)
+                       if isinstance(mask, str) else mask)
+                nu = len(uniq) if uniq is not None else 0
+                g1 = gfull + 1  # slot 0 = NULL group
+                cnt = np.bincount(g1[sel], minlength=nu + 1)
+                keep = cnt > 0
+                if not keep.any():
+                    continue
+                # value ranks over valid & selected rows
+                base = rank_to_idx = None
+                if vb.is_valid:
+                    payload, validity, vmeta, vtag, vcodec, vn = \
+                        blockmod.open_block(vb.as_py())
+                    if vtag == "d128" or vtag in lists.LIST_TAGS:
+                        raise TypeError(
+                            f"grouped min/max over tag {vtag!r} is not "
+                            "defined")
+                    nval = (int(validity.sum()) if validity is not None
+                            else vn)
+                    if vtag == "bytes":
+                        if vcodec == "dict":
+                            uv, vcodes = dictionary.decode_parts(
+                                payload, vmeta, nval, vtag)
+                            base = strings.to_arrow(uv)  # sorted: code=rank
+                            rank_to_idx = np.arange(len(uv), dtype=np.int64)
+                            ranks = vcodes.astype(np.int64)
+                        else:
+                            vals = blockmod.decode_values(
+                                payload, vmeta, nval, vtag, vcodec)
+                            de = strings.to_arrow(vals).dictionary_encode()
+                            base = de.dictionary
+                            order = np.asarray(pc.sort_indices(base))
+                            rank_of = np.empty(len(base), np.int64)
+                            rank_of[order] = np.arange(len(base))
+                            rank_to_idx = order.astype(np.int64)
+                            ranks = rank_of[
+                                np.asarray(de.indices).astype(np.int64)]
+                    else:
+                        ranks = np.asarray(blockmod.decode_values(
+                            payload, vmeta, nval, vtag, vcodec))
+                    if validity is None:
+                        w = sel
+                        rv = ranks[w]
+                    else:
+                        w = validity & sel
+                        didx = np.cumsum(validity) - 1
+                        rv = ranks[didx[w]]
+                    gw = g1[w]
+                else:  # evolved value column: all values NULL
+                    gw = np.empty(0, dtype=np.int64)
+                    rv = np.empty(0, dtype=np.int64)
+                nvg = np.bincount(gw, minlength=nu + 1)
+                if rv.dtype.kind == "f":
+                    mins = np.full(nu + 1, np.inf)
+                    maxs = np.full(nu + 1, -np.inf)
+                else:
+                    rv = rv.astype(np.int64)
+                    ii = np.iinfo(np.int64)
+                    mins = np.full(nu + 1, ii.max, dtype=np.int64)
+                    maxs = np.full(nu + 1, ii.min, dtype=np.int64)
+                np.minimum.at(mins, gw, rv)
+                np.maximum.at(maxs, gw, rv)
+                # group key array for kept groups (NULL row first)
+                kept_idx = np.nonzero(keep[1:])[0]
+                if uniq is not None and len(kept_idx):
+                    varr = (strings.to_arrow(uniq) if g_is_bytes
+                            else pa.array(np.asarray(uniq)))
+                    if not varr.type.equals(out_tg):
+                        varr = varr.cast(out_tg)
+                    if len(kept_idx) < len(varr):
+                        varr = varr.take(pa.array(kept_idx))
+                else:
+                    varr = pa.nulls(0, out_tg)
+                if keep[0]:
+                    varr = pa.concat_arrays([pa.nulls(1, out_tg), varr])
+                got = nvg[keep] > 0
+                yield pa.RecordBatch.from_arrays(
+                    [varr,
+                     _vals_arr(mins[keep], got, base, rank_to_idx),
+                     _vals_arr(maxs[keep], got, base, rank_to_idx),
+                     pa.array(cnt[keep].astype(np.int64), pa.int64())],
+                    names=["value", "mn", "mx", "cnt"])
+
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+    return (partials.groupBy("value")
+            .agg(F.min("mn").alias("min_value"),
+                 F.max("mx").alias("max_value"),
+                 F.sum("cnt").alias("cnt")))

@@ -609,3 +609,77 @@ class BytesPrefixPredicate(Predicate):
         if self.null_allowed:
             keep = keep | F.coalesce(st.getField("has_null"), F.lit(True))
         return keep
+
+@dataclass
+class BytesContainsPredicate(Predicate):
+    """Byte-array predicate: value contains ``needle`` (SQL LIKE
+    '%needle%'), byte-level.  Substring has no order relation so zone
+    min/max prefixes can never prune — ``check_zone`` stays SOME — but
+    the dictionary path still evaluates the scan once per DISTINCT
+    value and maps over codes (the filter-over-dictionary strategy of
+    dictionary_page_int32_with_filters.rs:97-177, applied to the
+    byte-array dictionaries the reference leaves NotYetImplemented)."""
+
+    column: str
+    needle: bytes = b""
+    null_allowed: bool = False
+
+    def check(self, values) -> np.ndarray:
+        return self.check_bytes(values)
+
+    def check_bytes(self, col) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        from ..kernels import strings
+
+        if not self.needle:
+            return np.ones(len(col), dtype=bool)
+        got = pc.match_substring(strings.to_arrow(col), self.needle)
+        return np.asarray(got, dtype=bool)
+
+    def to_spark_condition(self):
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        cond = c.contains(self.needle.decode("utf-8"))
+        if self.null_allowed:
+            cond = cond | c.isNull()
+        else:
+            cond = cond & c.isNotNull()
+        return cond
+
+
+@dataclass
+class BytesSuffixPredicate(Predicate):
+    """Byte-array predicate: value ends with ``suffix`` (SQL LIKE
+    '%suffix') — the file-extension filter shape.  Like contains, no
+    order relation (suffixes don't sort with the values), so no zone
+    pruning; dictionary blocks evaluate once per distinct value."""
+
+    column: str
+    suffix: bytes = b""
+    null_allowed: bool = False
+
+    def check(self, values) -> np.ndarray:
+        return self.check_bytes(values)
+
+    def check_bytes(self, col) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        from ..kernels import strings
+
+        if not self.suffix:
+            return np.ones(len(col), dtype=bool)
+        got = pc.ends_with(strings.to_arrow(col), pattern=self.suffix)
+        return np.asarray(got, dtype=bool)
+
+    def to_spark_condition(self):
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        cond = c.endswith(self.suffix.decode("utf-8"))
+        if self.null_allowed:
+            cond = cond | c.isNull()
+        else:
+            cond = cond & c.isNotNull()
+        return cond

@@ -13,7 +13,8 @@ for Python, Spark 4.x):
 * schema inference from the checkpoint manifest (the footer analog);
 * one input partition per blocks file — Spark schedules them like any
   scan, no shuffle (each wide row is a self-contained block group);
-* ``pushFilters``: EqualTo/In/ranges/StringStartsWith/IsNotNull on
+* ``pushFilters``: EqualTo/In/ranges/StringStartsWith/StringContains/
+  StringEndsWith/IsNotNull on
   encoded columns translate to the engine's null-aware predicates and
   are enforced EXACTLY (zone-map skip + dictionary-level evaluation +
   mask cascade), so Spark drops them from its own post-filter;
@@ -41,8 +42,8 @@ import os
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
                                     Filter, GreaterThan, GreaterThanOrEqual,
                                     In, InputPartition, IsNotNull, IsNull,
-                                    LessThan, LessThanOrEqual,
-                                    StringStartsWith)
+                                    LessThan, LessThanOrEqual, StringContains,
+                                    StringEndsWith, StringStartsWith)
 from pyspark.sql.types import StructType
 
 META_KEY = "__table_meta__"
@@ -98,6 +99,10 @@ def _to_predicate(f: Filter):
         return None
     if isinstance(f, StringStartsWith) and isinstance(f.value, str):
         return ef.BytesPrefixPredicate(column=attr, prefix=f.value.encode())
+    if isinstance(f, StringContains) and isinstance(f.value, str):
+        return ef.BytesContainsPredicate(column=attr, needle=f.value.encode())
+    if isinstance(f, StringEndsWith) and isinstance(f.value, str):
+        return ef.BytesSuffixPredicate(column=attr, suffix=f.value.encode())
     if isinstance(f, In):
         vals = tuple(f.value)
         if all(isinstance(v, str) for v in vals):
