@@ -20,6 +20,7 @@ table-meta row and scalar counts are ever collected.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -157,12 +158,42 @@ def commit(
     return {"raw_bytes": int(totals["r"] or 0), "enc_bytes": int(totals["e"] or 0)}
 
 
+_INT_RANK = {"integer": 1, "long": 2}
+_FLT_RANK = {"float": 1, "double": 2}
+_DEC_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
+
+
+def _widen_type(a, b):
+    """Lossless merge of two primitive type names, or None when the
+    pair is incompatible: int -> bigint and float -> double widen (in
+    either append order), decimals widen in PRECISION at the SAME
+    scale.  Everything else — incl. any int<->float cross, decimal
+    scale changes, and all nested types — must match exactly: decode
+    casts narrower blocks to the merged type, and only these pairs
+    cast without changing a single value."""
+    if a == b:
+        return a
+    if not (isinstance(a, str) and isinstance(b, str)):
+        return None
+    if a in _INT_RANK and b in _INT_RANK:
+        return a if _INT_RANK[a] >= _INT_RANK[b] else b
+    if a in _FLT_RANK and b in _FLT_RANK:
+        return a if _FLT_RANK[a] >= _FLT_RANK[b] else b
+    da, db = _DEC_RE.match(a), _DEC_RE.match(b)
+    if da and db and da.group(2) == db.group(2):
+        return a if int(da.group(1)) >= int(db.group(1)) else b
+    return None
+
+
 def merge_metas(metas: list[dict]) -> dict:
     """Merge per-run table metas into one table view (schema evolution):
     columns = ordered union across runs (run order = sorted run ids for
-    determinism), schema fields merged by name — a type CONFLICT raises,
-    a column missing from a run simply null-fills at decode.  n_parts
-    must agree across runs (partition identity is sacred)."""
+    determinism), schema fields merged by name — numeric types WIDEN
+    losslessly (int -> bigint, float -> double, decimal precision up at
+    the same scale; decode casts older narrower blocks to the merged
+    type), any other type change raises, a column missing from a run
+    simply null-fills at decode.  n_parts must agree across runs
+    (partition identity is sacred)."""
     if not metas:
         raise FileNotFoundError("no table meta rows")
     n_parts = {int(m["n_parts"]) for m in metas}
@@ -180,9 +211,12 @@ def merge_metas(metas: list[dict]) -> dict:
                 columns.append(c)
                 fields[c] = f
             elif fields[c]["type"] != f["type"]:
-                raise ValueError(
-                    f"column {c!r} type conflict across runs: "
-                    f"{fields[c]['type']} vs {f['type']}")
+                wide = _widen_type(fields[c]["type"], f["type"])
+                if wide is None:
+                    raise ValueError(
+                        f"column {c!r} type conflict across runs: "
+                        f"{fields[c]['type']} vs {f['type']}")
+                fields[c] = dict(f if f["type"] == wide else fields[c])
     # merge the logical (pre-flatten) schemas the same way; a run without
     # one contributes its storage schema (they coincide for flat tables)
     lcolumns: list[str] = []
@@ -198,9 +232,12 @@ def merge_metas(metas: list[dict]) -> dict:
                 lcolumns.append(c)
                 lfields[c] = f
             elif lfields[c]["type"] != f["type"]:
-                raise ValueError(
-                    f"logical column {c!r} type conflict across runs: "
-                    f"{lfields[c]['type']} vs {f['type']}")
+                wide = _widen_type(lfields[c]["type"], f["type"])
+                if wide is None:
+                    raise ValueError(
+                        f"logical column {c!r} type conflict across runs: "
+                        f"{lfields[c]['type']} vs {f['type']}")
+                lfields[c] = dict(f if f["type"] == wide else lfields[c])
     return {
         "columns": columns,
         "key_cols": metas[0]["key_cols"],
