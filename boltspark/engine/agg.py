@@ -752,8 +752,22 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
     if dec_scale is not None:
         return _grouped_sum_decimal(blocks, predicates, field.dataType,
                                     out_t, is_bytes, dec_scale)
+    partials = _gsum_partials(blocks, predicates, field.dataType, out_t,
+                              is_bytes)
+    return _fold_gsum(partials)
+
+
+def _gsum_partials(blocks: DataFrame, predicates: list[Predicate],
+                   group_type, out_t, is_bytes: bool) -> DataFrame:
+    """Per-(block, group) grouped-sum partials -> (part_id, value, cnt,
+    nv, s_l, s_d, is_f).  part_id rides along so incremental consumers
+    (streaming/agg_stream.py) can re-validate partials against the
+    manifest's live pairs."""
+    from pyspark.sql import types as T
+
     out_schema = T.StructType([
-        T.StructField("value", field.dataType, True),
+        T.StructField(PART_ID, T.IntegerType(), False),
+        T.StructField("value", group_type, True),
         T.StructField("cnt", T.LongType(), False),
         T.StructField("nv", T.LongType(), False),
         T.StructField("s_l", T.LongType(), False),
@@ -767,6 +781,7 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
             gblks = batch.column(names.index("__blk"))
             vblks = batch.column(names.index("__blk2"))
             grows = batch.column(names.index("n_rows"))
+            pids = batch.column(names.index(PART_ID))
             blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
                         for p in predicates}
             st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
@@ -823,15 +838,23 @@ def grouped_sum(spark: SparkSession, blocks_path: str, manifest_path: str,
                 cnt, nv = cnt[keep], nv[keep]
                 s_l, s_d = s_l[keep], s_d[keep]
                 yield pa.RecordBatch.from_arrays(
-                    [varr,
+                    [pa.array(np.full(len(cnt), pids[i].as_py(), np.int32),
+                              pa.int32()),
+                     varr,
                      pa.array(cnt.astype(np.int64), pa.int64()),
                      pa.array(nv.astype(np.int64), pa.int64()),
                      pa.array(s_l, pa.int64()),
                      pa.array(s_d, pa.float64()),
                      pa.array(np.full(len(cnt), is_f), pa.bool_())],
-                    names=["value", "cnt", "nv", "s_l", "s_d", "is_f"])
+                    names=[PART_ID, "value", "cnt", "nv", "s_l", "s_d",
+                           "is_f"])
 
-    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+    return blocks.mapInArrow(trimmed(gen), out_schema)
+
+
+def _fold_gsum(partials: DataFrame) -> DataFrame:
+    """Fold grouped-sum partials into the (value, sum_value, cnt)
+    result with SQL null semantics (all-null group sums NULL)."""
     agg = partials.groupBy("value").agg(
         F.sum("cnt").alias("cnt"), F.sum("nv").alias("nv"),
         F.sum("s_l").alias("s_l"), F.sum("s_d").alias("s_d"),

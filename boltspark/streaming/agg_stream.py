@@ -254,3 +254,69 @@ def read_quantiles(spark, out_path: str, manifest_path: str,
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     live = partials.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
     return aggmod._fold_quantiles(live, column, plist)
+
+
+def grouped_sum_stream(
+    spark,
+    blocks_path: str,
+    manifest_path: str,
+    group_column: str,
+    value_column: str,
+    out_path: str,
+    checkpoint_path: str,
+    predicate=None,
+    trigger_seconds: int | None = None,
+):
+    """readStream(manifest) -> per-run grouped-sum partials (one
+    (part_id, group value, cnt, nv, s_l, s_d) row per (block, group))
+    -> parquet sink keyed by run.  The running GROUP BY ... SUM never
+    rescans old runs: ``read_grouped_sum`` folds n_runs x n_parts x
+    n_groups tiny rows.  Exactly-once per run by the same run-keyed
+    overwrite contract as sum_stream.  Decimal value columns are not
+    supported on this path (batch ``grouped_sum`` folds decimals in
+    exact unscaled partials; its per-group decimal strings don't ride
+    the streaming sink) — use ``sum_stream`` per group or the batch
+    operator.  Returns the StreamingQuery."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    from ..engine.decode import arrow_out_type
+
+    if _decimal_scale(spark, manifest_path, value_column) is not None:
+        raise NotImplementedError(
+            "grouped_sum_stream over decimal value columns is not "
+            "supported; use batch grouped_sum or sum_stream per group")
+    predicates = aggmod._normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    field = {f.name: f for f in schema.fields}[group_column]
+    is_bytes = field.dataType.typeName() in ("string", "binary")
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_t = arrow_out_type(field.dataType, tz)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        runs = sorted(r["run_id"] for r in
+                      batch_df.select("run_id").distinct().collect())
+        for run in runs:
+            blocks = aggmod._blocks_proj(
+                spark, blocks_path, manifest_path, group_column, predicates,
+                value_column=value_column, run_ids=[run])
+            partials = aggmod._gsum_partials(blocks, predicates,
+                                             field.dataType, out_t, is_bytes)
+            partials.write.mode("overwrite").parquet(
+                f"{out_path}/run_id={run}")
+
+    return _start(_manifest_stream(spark, manifest_path), handle,
+                  checkpoint_path, trigger_seconds)
+
+
+def read_grouped_sum(spark, out_path: str, manifest_path: str) -> DataFrame:
+    """Fold the sink's per-run grouped-sum partials into the current
+    (value, sum_value, cnt) result under the manifest's valid pairs
+    (superseded runs drop out) — identical to batch ``grouped_sum`` on
+    the same live data."""
+    partials = spark.read.parquet(out_path)
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    live = partials.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+    return aggmod._fold_gsum(live)

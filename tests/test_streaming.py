@@ -374,3 +374,57 @@ def test_sum_stream_decimal_exact(spark, tmp_path):
         assert got2["n_rows"] == batch["n_rows"] == li.count()
     finally:
         q.stop()
+
+
+def test_grouped_sum_stream_matches_batch(spark, tmp_path):
+    """Incremental grouped-sum partials fold to the SAME (value,
+    sum_value, cnt) rows as batch grouped_sum on the full table —
+    including the NULL-group row and float sums — and decimal value
+    columns are refused loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.streaming.agg_stream import (grouped_sum_stream,
+                                                read_grouped_sum)
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 != 0, F.col("lang")).alias("lang"),
+        "n_chars")
+    half = F.col("doc_id") % 2
+    encode_table(docs.filter(half == 0), f"{d}/b", f"{d}/m",
+                 key_cols=("doc_id",), n_parts=4, resume=False, run_id="e0")
+    q = grouped_sum_stream(spark, f"{d}/b", f"{d}/m", "lang", "n_chars",
+                           f"{d}/out", f"{d}/ckpt")
+    try:
+        q.processAllAvailable()
+        encode_table(docs.filter(half == 1), f"{d}/b", f"{d}/m",
+                     key_cols=("doc_id",), n_parts=4, resume=False,
+                     run_id="e1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["value"]: (r["sum_value"], r["cnt"]) for r in
+           read_grouped_sum(spark, f"{d}/out", f"{d}/m").collect()}
+    exp = {r["value"]: (float(r["s"]) if r["s"] is not None else None,
+                        r["cnt"]) for r in
+           docs.groupBy(F.col("lang").alias("value"))
+           .agg(F.sum("n_chars").alias("s"),
+                F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(got) == set(exp)
+    for k, (es, ec) in exp.items():
+        gs, gc = got[k]
+        assert gc == ec, k
+        assert gs == es or abs(gs - es) < 1e-9, k
+
+    with pytest.raises(NotImplementedError, match="decimal"):
+        docs_dec = docs.withColumn(
+            "decv", F.col("n_chars").cast("decimal(12,2)"))
+        d2 = f"{d}/dec"
+        encode_table(docs_dec, f"{d2}/b", f"{d2}/m", key_cols=("doc_id",),
+                     n_parts=2, resume=False, run_id="e0")
+        grouped_sum_stream(spark, f"{d2}/b", f"{d2}/m", "lang", "decv",
+                           f"{d2}/out", f"{d2}/ckpt")
