@@ -1275,9 +1275,13 @@ def _q_grouped_sum_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reduces with bincount — neither flag string is ever
     materialized, and only per-block distinct COMBINATIONS cross the
     one final shuffle.  A quantity predicate rides the decoder's
-    zone/mask cascade first (round-4 VERDICT next #2)."""
+    zone/mask cascade first (round-4 VERDICT next #2).  Round-5: joined
+    with grouped_aggs — SUM/AVG/COUNT of BOTH l_quantity and
+    l_extendedprice per group in ONE additional pass (all five leaves
+    aligned in one parquet row) — so the row is Q1's full measure set:
+    sum_qty, avg_qty, sum_price, avg_price, counts."""
     from boltspark.engine import encode_table
-    from boltspark.engine.agg import grouped_sum_multi
+    from boltspark.engine.agg import grouped_aggs, grouped_sum_multi
     from boltspark.engine.filters import RangePredicate
 
     _ship(spark)
@@ -1290,12 +1294,22 @@ def _q_grouped_sum_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                  target_partition_bytes=4 << 20, resume=False)
     pred = RangePredicate(column="l_quantity", lower=5.0, upper=45.0,
                           null_allowed=False)
-    return grouped_sum_multi(spark, f"{d}/blocks", f"{d}/manifest",
-                             ["l_returnflag", "l_linestatus"],
-                             "l_extendedprice", predicate=pred).select(
+    gsm = grouped_sum_multi(spark, f"{d}/blocks", f"{d}/manifest",
+                            ["l_returnflag", "l_linestatus"],
+                            "l_extendedprice", predicate=pred).select(
         "l_returnflag", "l_linestatus",
-        F.round("sum_value", 2).alias("sum_value"),
-        "cnt").orderBy("l_returnflag", "l_linestatus")
+        F.round("sum_value", 2).alias("sum_value"), "cnt")
+    ga = grouped_aggs(spark, f"{d}/blocks", f"{d}/manifest",
+                      ["l_returnflag", "l_linestatus"],
+                      ["l_quantity", "l_extendedprice"],
+                      predicate=pred).select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("avg_l_quantity", 6).alias("avg_qty"),
+        F.round("avg_l_extendedprice", 6).alias("avg_price"),
+        F.col("n_l_quantity").alias("n_qty"))
+    return (gsm.join(ga, ["l_returnflag", "l_linestatus"], "inner")
+            .orderBy("l_returnflag", "l_linestatus"))
 
 
 def _q_avg_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,7 +1628,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_sum_multi": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_value, "
-            "count(*) AS cnt FROM lineitem "
+            "count(*) AS cnt, "
+            "ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty, "
+            "ROUND(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty, "
+            "ROUND(CAST(avg(l_extendedprice) AS DOUBLE), 6) AS avg_price, "
+            "count(l_quantity) AS n_qty FROM lineitem "
             "WHERE l_quantity >= 5 AND l_quantity <= 45 "
             "GROUP BY l_returnflag, l_linestatus "
             "ORDER BY l_returnflag, l_linestatus"

@@ -207,12 +207,14 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
                  value_column: str | None = None,
                  run_ids: list[str] | None = None,
                  meta: dict | None = None,
-                 extra_group_columns: list[str] | None = None) -> DataFrame:
+                 extra_group_columns: list[str] | None = None,
+                 extra_value_columns: list[str] | None = None) -> DataFrame:
     if meta is None:
         meta = manifestmod.table_meta(spark, manifest_path)
     known = set(meta["columns"])
     extra = [value_column] if value_column is not None else []
     extra += list(extra_group_columns or [])
+    extra += list(extra_value_columns or [])
     for c in [column] + extra + [p.column for p in predicates]:
         if c not in known:
             raise KeyError(f"unknown column {c}; encoded: {meta['columns']}")
@@ -226,6 +228,10 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
         # layout aligns them in the same parquet row as __blk/__blk2
         proj.append(F.col("cols").getField(c).getField("block")
                     .alias(f"__gblk_{j}"))
+    for j, c in enumerate(extra_value_columns or [], start=1):
+        # additional aggregated columns (grouped_aggs): same alignment
+        proj.append(F.col("cols").getField(c).getField("block")
+                    .alias(f"__vblk_{j}"))
     for p in predicates:
         proj.append(F.col("cols").getField(p.column).getField("block")
                     .alias(f"__blk_{p.column}"))
@@ -2464,3 +2470,190 @@ def grouped_minmax(spark: SparkSession, blocks_path: str,
             .agg(F.min("mn").alias("min_value"),
                  F.max("mx").alias("max_value"),
                  F.sum("cnt").alias("cnt")))
+
+
+def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
+                 group_columns, value_columns, predicate=None,
+                 run_ids: list[str] | None = None) -> DataFrame:
+    """GROUP BY (g1..gN) -> SUM / AVG / COUNT of EACH of (v1..vM) plus
+    COUNT(*), all in ONE pass over the blocks parquet — the full TPC-H
+    Q1 rollup shape.  The wide layout aligns every group leaf and every
+    value leaf inside one parquet row, so each task joint-codes the
+    group streams once (mixed-radix composite, memory scales with the
+    combinations PRESENT in the block) and reduces all M value columns
+    against the same composite codes with bincount; one partial row per
+    (block, combination) crosses the shuffle regardless of row count.
+
+    SQL semantics per dimension/value: NULL group keys form their own
+    row; NULL values count toward cnt but not toward sum/avg/n_<v>
+    (an all-null (group, value) pair sums/averages NULL).  Decimal
+    value columns are not supported here (use grouped_sum per column:
+    exact unscaled partials).  Returns one column per group dimension,
+    then per value column v: sum_<v> (double), avg_<v> (double),
+    n_<v> (valid-value count), and finally cnt."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    gcols = [str(c) for c in group_columns]
+    vcols = [str(c) for c in value_columns]
+    if not gcols or not vcols:
+        raise ValueError("group_columns and value_columns must be non-empty")
+    if len(set(gcols)) != len(gcols) or len(set(vcols)) != len(vcols):
+        raise ValueError("duplicate columns in group/value lists")
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    fields = {f.name: f for f in schema.fields}
+    for v in vcols:
+        if isinstance(fields[v].dataType, T.DecimalType):
+            raise NotImplementedError(
+                f"grouped_aggs over decimal column {v!r} is not supported; "
+                "use grouped_sum (exact decimal partials) per column")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, gcols[0],
+                          predicates, meta=meta, run_ids=run_ids,
+                          extra_group_columns=gcols[1:],
+                          extra_value_columns=vcols)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_ts = [arrow_out_type(fields[c].dataType, tz) for c in gcols]
+    is_bytes = [fields[c].dataType.typeName() in ("string", "binary")
+                for c in gcols]
+    vfields = []
+    for j, v in enumerate(vcols):
+        vfields += [T.StructField(f"__nv_{j}", T.LongType(), False),
+                    T.StructField(f"__sl_{j}", T.LongType(), False),
+                    T.StructField(f"__sd_{j}", T.DoubleType(), False),
+                    T.StructField(f"__if_{j}", T.BooleanType(), False)]
+    out_schema = T.StructType(
+        [T.StructField(c, fields[c].dataType, True) for c in gcols]
+        + [T.StructField("__cnt", T.LongType(), False)] + vfields)
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            gblk_cols = ([batch.column(names.index("__blk"))]
+                         + [batch.column(names.index(f"__gblk_{j}"))
+                            for j in range(1, len(gcols))])
+            vblk_cols = [batch.column(names.index(f"__vblk_{j}"))
+                         for j in range(1, len(vcols) + 1)]
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                n_rows = grows[i].as_py()
+                uniqs, g1s, dims = [], [], []
+                for gc in gblk_cols:
+                    gb = gc[i]
+                    if gb.is_valid:
+                        u, gfull = _group_codes(gb.as_py())
+                    else:
+                        u, gfull = None, np.full(n_rows, -1, dtype=np.int64)
+                    uniqs.append(u)
+                    g1s.append(gfull + 1)
+                    dims.append((len(u) if u is not None else 0) + 1)
+                sel = (np.ones(n_rows, dtype=bool)
+                       if isinstance(mask, str) else mask)
+                comp = g1s[0].astype(np.int64).copy()
+                for dd, g1 in zip(dims[1:], g1s[1:]):
+                    comp *= dd
+                    comp += g1
+                sel_idx = np.nonzero(sel)[0]
+                if not len(sel_idx):
+                    continue
+                ukeys, inv = np.unique(comp[sel_idx], return_inverse=True)
+                cnt = np.bincount(inv, minlength=len(ukeys))
+                per_v = []
+                for vc in vblk_cols:
+                    vb = vc[i]
+                    if vb.is_valid:
+                        vfull, vmask = _dense_full(vb.as_py())
+                    else:  # evolved value column: all NULL here
+                        vfull = np.zeros(n_rows, dtype=np.int64)
+                        vmask = np.zeros(n_rows, dtype=bool)
+                    wv_idx = np.nonzero(vmask & sel)[0]
+                    pos = np.searchsorted(ukeys, comp[wv_idx])
+                    nv = np.bincount(pos, minlength=len(ukeys))
+                    if vfull.dtype.kind == "f":
+                        s_d = np.bincount(pos, weights=vfull[wv_idx],
+                                          minlength=len(ukeys))
+                        s_l = np.zeros(len(ukeys), dtype=np.int64)
+                        is_f = True
+                    else:
+                        s_l = np.zeros(len(ukeys), dtype=np.int64)
+                        np.add.at(s_l, pos, vfull[wv_idx].astype(np.int64))
+                        s_d = np.zeros(len(ukeys), dtype=np.float64)
+                        is_f = False
+                    per_v.append((nv, s_l, s_d, is_f))
+                # decompose composite keys -> per-dimension group arrays
+                rem = ukeys.copy()
+                idxs = []
+                for dd in reversed(dims[1:]):
+                    idxs.append(rem % dd)
+                    rem //= dd
+                idxs.append(rem)
+                idxs.reverse()
+                arrs = []
+                for j, (u, idx_j) in enumerate(zip(uniqs, idxs)):
+                    if u is not None and len(u):
+                        ua = (strings.to_arrow(u) if is_bytes[j]
+                              else pa.array(np.asarray(u)))
+                        if not ua.type.equals(out_ts[j]):
+                            ua = ua.cast(out_ts[j])
+                        base = pa.concat_arrays([pa.nulls(1, out_ts[j]), ua])
+                    else:
+                        base = pa.nulls(1, out_ts[j])
+                    arrs.append(base.take(pa.array(idx_j.astype(np.int64))))
+                vout, vnames = [], []
+                for j, (nv, s_l, s_d, is_f) in enumerate(per_v):
+                    vout += [pa.array(nv.astype(np.int64), pa.int64()),
+                             pa.array(s_l, pa.int64()),
+                             pa.array(s_d, pa.float64()),
+                             pa.array(np.full(len(ukeys), is_f), pa.bool_())]
+                    vnames += [f"__nv_{j}", f"__sl_{j}", f"__sd_{j}",
+                               f"__if_{j}"]
+                yield pa.RecordBatch.from_arrays(
+                    arrs + [pa.array(cnt.astype(np.int64), pa.int64())]
+                    + vout,
+                    names=list(gcols) + ["__cnt"] + vnames)
+
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+    folds = [F.sum("__cnt").alias("__cnt")]
+    for j in range(len(vcols)):
+        folds += [F.sum(f"__nv_{j}").alias(f"__nv_{j}"),
+                  F.sum(f"__sl_{j}").alias(f"__sl_{j}"),
+                  F.sum(f"__sd_{j}").alias(f"__sd_{j}"),
+                  F.max(f"__if_{j}").alias(f"__if_{j}")]
+    agg = partials.groupBy(*gcols).agg(*folds)
+    outs = list(gcols)
+    for j, v in enumerate(vcols):
+        s = (F.when(F.col(f"__nv_{j}") == 0, F.lit(None).cast("double"))
+             .when(F.col(f"__if_{j}"), F.col(f"__sd_{j}") + F.col(f"__sl_{j}"))
+             .otherwise(F.col(f"__sl_{j}").cast("double")))
+        outs.append(s.alias(f"sum_{v}"))
+        outs.append((s / F.col(f"__nv_{j}")).alias(f"avg_{v}"))
+        outs.append(F.col(f"__nv_{j}").alias(f"n_{v}"))
+    outs.append(F.col("__cnt").alias("cnt"))
+    return agg.select(*outs)
+
+
+def grouped_avg(spark: SparkSession, blocks_path: str, manifest_path: str,
+                group_column: str, value_column: str, predicate=None,
+                run_ids: list[str] | None = None) -> DataFrame:
+    """GROUP BY ``group_column`` -> AVG(``value_column``) with SQL null
+    semantics (NULL values excluded; all-null group averages NULL).
+    Thin shape over ``grouped_aggs``: (value, avg_value, n_values,
+    cnt)."""
+    out = grouped_aggs(spark, blocks_path, manifest_path, [group_column],
+                       [value_column], predicate=predicate, run_ids=run_ids)
+    return out.select(
+        F.col(group_column).alias("value"),
+        F.col(f"avg_{value_column}").alias("avg_value"),
+        F.col(f"n_{value_column}").alias("n_values"),
+        "cnt")
