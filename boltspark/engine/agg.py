@@ -2474,7 +2474,8 @@ def grouped_minmax(spark: SparkSession, blocks_path: str,
 
 def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
                  group_columns, value_columns, predicate=None,
-                 run_ids: list[str] | None = None) -> DataFrame:
+                 run_ids: list[str] | None = None,
+                 minmax: bool = False) -> DataFrame:
     """GROUP BY (g1..gN) -> SUM / AVG / COUNT of EACH of (v1..vM) plus
     COUNT(*), all in ONE pass over the blocks parquet — the full TPC-H
     Q1 rollup shape.  The wide layout aligns every group leaf and every
@@ -2490,7 +2491,10 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
     value columns are not supported here (use grouped_sum per column:
     exact unscaled partials).  Returns one column per group dimension,
     then per value column v: sum_<v> (double), avg_<v> (double),
-    n_<v> (valid-value count), and finally cnt."""
+    n_<v> (valid-value count), and finally cnt.  ``minmax=True`` adds
+    min_<v>/max_<v>, TYPED by the value column (partials carry the
+    column's own type and fold under Catalyst F.min/F.max, so int64
+    beyond 2^53 never rounds through the double sum lanes)."""
     import json as jsonmod
 
     from pyspark.sql import types as T
@@ -2526,6 +2530,11 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
                     T.StructField(f"__sl_{j}", T.LongType(), False),
                     T.StructField(f"__sd_{j}", T.DoubleType(), False),
                     T.StructField(f"__if_{j}", T.BooleanType(), False)]
+        if minmax:
+            vfields += [T.StructField(f"__mn_{j}", fields[v].dataType, True),
+                        T.StructField(f"__mx_{j}", fields[v].dataType, True)]
+    v_out_ts = [arrow_out_type(fields[v].dataType, tz) for v in vcols] \
+        if minmax else None
     out_schema = T.StructType(
         [T.StructField(c, fields[c].dataType, True) for c in gcols]
         + [T.StructField("__cnt", T.LongType(), False)] + vfields)
@@ -2570,7 +2579,7 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
                 ukeys, inv = np.unique(comp[sel_idx], return_inverse=True)
                 cnt = np.bincount(inv, minlength=len(ukeys))
                 per_v = []
-                for vc in vblk_cols:
+                for j, vc in enumerate(vblk_cols):
                     vb = vc[i]
                     if vb.is_valid:
                         vfull, vmask = _dense_full(vb.as_py())
@@ -2580,17 +2589,37 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
                     wv_idx = np.nonzero(vmask & sel)[0]
                     pos = np.searchsorted(ukeys, comp[wv_idx])
                     nv = np.bincount(pos, minlength=len(ukeys))
+                    vv = vfull[wv_idx]
                     if vfull.dtype.kind == "f":
-                        s_d = np.bincount(pos, weights=vfull[wv_idx],
+                        s_d = np.bincount(pos, weights=vv,
                                           minlength=len(ukeys))
                         s_l = np.zeros(len(ukeys), dtype=np.int64)
                         is_f = True
                     else:
                         s_l = np.zeros(len(ukeys), dtype=np.int64)
-                        np.add.at(s_l, pos, vfull[wv_idx].astype(np.int64))
+                        np.add.at(s_l, pos, vv.astype(np.int64))
                         s_d = np.zeros(len(ukeys), dtype=np.float64)
                         is_f = False
-                    per_v.append((nv, s_l, s_d, is_f))
+                    mn_arr = mx_arr = None
+                    if minmax:
+                        if is_f:
+                            mins = np.full(len(ukeys), np.inf)
+                            maxs = np.full(len(ukeys), -np.inf)
+                            red = vv
+                        else:
+                            ii = np.iinfo(np.int64)
+                            mins = np.full(len(ukeys), ii.max, np.int64)
+                            maxs = np.full(len(ukeys), ii.min, np.int64)
+                            red = vv.astype(np.int64)
+                        np.minimum.at(mins, pos, red)
+                        np.maximum.at(maxs, pos, red)
+                        got_v = nv > 0
+                        mn_arr = pa.array(mins, mask=~got_v)
+                        mx_arr = pa.array(maxs, mask=~got_v)
+                        if not mn_arr.type.equals(v_out_ts[j]):
+                            mn_arr = mn_arr.cast(v_out_ts[j])
+                            mx_arr = mx_arr.cast(v_out_ts[j])
+                    per_v.append((nv, s_l, s_d, is_f, mn_arr, mx_arr))
                 # decompose composite keys -> per-dimension group arrays
                 rem = ukeys.copy()
                 idxs = []
@@ -2611,13 +2640,17 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
                         base = pa.nulls(1, out_ts[j])
                     arrs.append(base.take(pa.array(idx_j.astype(np.int64))))
                 vout, vnames = [], []
-                for j, (nv, s_l, s_d, is_f) in enumerate(per_v):
+                for j, (nv, s_l, s_d, is_f, mn_arr, mx_arr) in \
+                        enumerate(per_v):
                     vout += [pa.array(nv.astype(np.int64), pa.int64()),
                              pa.array(s_l, pa.int64()),
                              pa.array(s_d, pa.float64()),
                              pa.array(np.full(len(ukeys), is_f), pa.bool_())]
                     vnames += [f"__nv_{j}", f"__sl_{j}", f"__sd_{j}",
                                f"__if_{j}"]
+                    if minmax:
+                        vout += [mn_arr, mx_arr]
+                        vnames += [f"__mn_{j}", f"__mx_{j}"]
                 yield pa.RecordBatch.from_arrays(
                     arrs + [pa.array(cnt.astype(np.int64), pa.int64())]
                     + vout,
@@ -2630,6 +2663,9 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
                   F.sum(f"__sl_{j}").alias(f"__sl_{j}"),
                   F.sum(f"__sd_{j}").alias(f"__sd_{j}"),
                   F.max(f"__if_{j}").alias(f"__if_{j}")]
+        if minmax:
+            folds += [F.min(f"__mn_{j}").alias(f"__mn_{j}"),
+                      F.max(f"__mx_{j}").alias(f"__mx_{j}")]
     agg = partials.groupBy(*gcols).agg(*folds)
     outs = list(gcols)
     for j, v in enumerate(vcols):
@@ -2639,6 +2675,9 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
         outs.append(s.alias(f"sum_{v}"))
         outs.append((s / F.col(f"__nv_{j}")).alias(f"avg_{v}"))
         outs.append(F.col(f"__nv_{j}").alias(f"n_{v}"))
+        if minmax:
+            outs += [F.col(f"__mn_{j}").alias(f"min_{v}"),
+                     F.col(f"__mx_{j}").alias(f"max_{v}")]
     outs.append(F.col("__cnt").alias("cnt"))
     return agg.select(*outs)
 

@@ -94,9 +94,27 @@ class Predicate:
         raise TypeError(f"{type(self).__name__} does not apply to byte arrays")
 
 
+def _storage_bound(v):
+    """Temporal bound -> the column's storage integer (timestamps ride
+    as epoch MICROSECONDS, dates as epoch DAYS — schema.storage_cast).
+    Naive datetimes are treated as UTC.  Non-temporal bounds pass
+    through."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):  # before date: datetime IS a date
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, dt.date):
+        return (v - dt.date(1970, 1, 1)).days
+    return v
+
+
 @dataclass
 class RangePredicate(Predicate):
-    """lower <(=) value <(=) upper; None bound = unbounded.
+    """lower <(=) value <(=) upper; None bound = unbounded.  Bounds may
+    be datetime/date objects for timestamp/date columns — they
+    normalize to the storage epoch integers at construction.
 
     integer_range_filter.rs clamps i128 bounds per physical type and
     short-circuits always-false ranges; numpy comparison semantics give
@@ -109,6 +127,14 @@ class RangePredicate(Predicate):
     lower_inclusive: bool = True
     upper_inclusive: bool = True
     null_allowed: bool = False
+
+    def __post_init__(self):
+        # keep the user's values for to_spark_condition (Spark compares
+        # timestamp columns against datetime literals, not epoch ints)
+        self._spark_lower = self.lower
+        self._spark_upper = self.upper
+        self.lower = _storage_bound(self.lower)
+        self.upper = _storage_bound(self.upper)
 
     def check(self, values: np.ndarray) -> np.ndarray:
         keep = np.ones(len(values), dtype=bool)
@@ -139,11 +165,13 @@ class RangePredicate(Predicate):
         from pyspark.sql import functions as F
 
         c = F.col(self.column)
+        lo = getattr(self, "_spark_lower", self.lower)
+        hi = getattr(self, "_spark_upper", self.upper)
         cond = F.lit(True)
-        if self.lower is not None:
-            cond = cond & ((c >= self.lower) if self.lower_inclusive else (c > self.lower))
-        if self.upper is not None:
-            cond = cond & ((c <= self.upper) if self.upper_inclusive else (c < self.upper))
+        if lo is not None:
+            cond = cond & ((c >= lo) if self.lower_inclusive else (c > lo))
+        if hi is not None:
+            cond = cond & ((c <= hi) if self.upper_inclusive else (c < hi))
         if self.null_allowed:
             cond = cond | c.isNull()
         else:

@@ -89,12 +89,14 @@ def _to_predicate(f: Filter):
     if attr is None:
         return None
     if isinstance(f, EqualTo):
+        import datetime as _dt
+
         v = f.value
         if isinstance(v, str):
             return ef.BytesEqPredicate(column=attr, value=v.encode())
         if isinstance(v, bool):
             return ef.BooleanPredicate(column=attr, value=v)
-        if isinstance(v, (int, float)):
+        if isinstance(v, (int, float, _dt.date, _dt.datetime)):
             return ef.RangePredicate(column=attr, lower=v, upper=v)
         return None
     if isinstance(f, StringStartsWith) and isinstance(f.value, str):
@@ -111,13 +113,16 @@ def _to_predicate(f: Filter):
                for v in vals):
             return ef.InPredicate(column=attr, values=vals)
         return None
-    if isinstance(f, GreaterThan) and isinstance(f.value, (int, float)):
+    import datetime as _dt
+
+    _rangeable = (int, float, _dt.date, _dt.datetime)  # date covers datetime
+    if isinstance(f, GreaterThan) and isinstance(f.value, _rangeable):
         return ef.RangePredicate(column=attr, lower=f.value, lower_inclusive=False)
-    if isinstance(f, GreaterThanOrEqual) and isinstance(f.value, (int, float)):
+    if isinstance(f, GreaterThanOrEqual) and isinstance(f.value, _rangeable):
         return ef.RangePredicate(column=attr, lower=f.value)
-    if isinstance(f, LessThan) and isinstance(f.value, (int, float)):
+    if isinstance(f, LessThan) and isinstance(f.value, _rangeable):
         return ef.RangePredicate(column=attr, upper=f.value, upper_inclusive=False)
-    if isinstance(f, LessThanOrEqual) and isinstance(f.value, (int, float)):
+    if isinstance(f, LessThanOrEqual) and isinstance(f.value, _rangeable):
         return ef.RangePredicate(column=attr, upper=f.value)
     if isinstance(f, IsNotNull):
         # type-agnostic IS NOT NULL: accept every non-null value

@@ -130,3 +130,18 @@ def test_grouped_aggs_plan_two_exchanges(spark, ga_table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_ex <= 2, plan
+
+
+def test_grouped_aggs_minmax(spark, ga_table):
+    sdf, out, man = ga_table
+    got = {(r["flag"], r["status"]):
+           (r["min_qty"], r["max_qty"], r["min_price"], r["max_price"])
+           for r in grouped_aggs(spark, out, man, ["flag", "status"],
+                                 ["qty", "price"], minmax=True).collect()}
+    exp = {(r["flag"], r["status"]):
+           (r["mnq"], r["mxq"], r["mnp"], r["mxp"]) for r in
+           sdf.groupBy("flag", "status").agg(
+               F.min("qty").alias("mnq"), F.max("qty").alias("mxq"),
+               F.min("price").alias("mnp"),
+               F.max("price").alias("mxp")).collect()}
+    assert got == exp
