@@ -245,11 +245,14 @@ def main() -> None:
     }
 
     # --- driver-testdata flagship -----------------------------------------
+    # best-of-2, same as the decode queries: the r5 run measured 22.5 s
+    # cold vs 8-10 s warm for this query — the cold first run is worker
+    # spin-up for a fresh encode+decode pipeline, not the engine
     import __spark_entry__ as entrymod
 
-    t0 = time.time()
-    rows = entrymod._q_roundtrip_documents(spark, sf_dir).count()
-    queries["roundtrip_documents"] = round(time.time() - t0, 3)
+    queries["roundtrip_documents"], rows = best_of(
+        lambda: entrymod._q_roundtrip_documents(spark, sf_dir).count(),
+        repeats=2)
     extras["documents_rows"] = rows
 
     # --- compressed-domain aggregates over the already-encoded corpus ------
