@@ -1008,19 +1008,31 @@ def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY ... LIMIT k in the compressed domain: each block emits
     only its own top-k (sorted-dictionary tail for dict blocks,
     np.partition otherwise), so k rows per block ride the final fold
-    instead of the column."""
+    instead of the column.  Round-5: tag 'flat' = global top-25; tags
+    'grp:*' = grouped_topk, per-group ORDER BY LIMIT 5 ("top files per
+    language" shape) — per-block per-group slices, window row_number
+    over n_blocks x n_groups x k partials only.  Ties at the k
+    boundary are value-identical, so the emitted VALUE multiset is
+    deterministic even though row_number's choice isn't."""
     from boltspark.engine import encode_table
-    from boltspark.engine.agg import column_topk
+    from boltspark.engine.agg import column_topk, grouped_topk
 
     _ship(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice")
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
     d = tempfile.mkdtemp(prefix="boltspark_topk_")
     encode_table(li, f"{d}/blocks", f"{d}/manifest",
                  key_cols=("l_orderkey", "l_linenumber"),
                  target_partition_bytes=4 << 20, resume=False)
-    return column_topk(spark, f"{d}/blocks", f"{d}/manifest",
-                       "l_extendedprice", 25, ascending=False)
+    flat = column_topk(spark, f"{d}/blocks", f"{d}/manifest",
+                       "l_extendedprice", 25, ascending=False).select(
+        F.lit("flat").alias("tag"), F.round("value", 2).alias("value"))
+    grp = grouped_topk(spark, f"{d}/blocks", f"{d}/manifest",
+                       "l_returnflag", "l_extendedprice", k=5,
+                       ascending=False).select(
+        F.concat(F.lit("grp:"), F.col("value")).alias("tag"),
+        F.round("item", 2).alias("value"))
+    return flat.unionAll(grp).orderBy("tag", "value")
 
 
 def _q_grouped_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1669,8 +1681,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity >= 10 AND l_quantity <= 30"
         ),
         "topk_pushdown": (
-            "SELECT l_extendedprice AS value FROM lineitem "
-            "ORDER BY l_extendedprice DESC LIMIT 25"
+            "SELECT * FROM ("
+            "SELECT 'flat' AS tag, ROUND(l_extendedprice, 2) AS value "
+            "FROM lineitem ORDER BY l_extendedprice DESC LIMIT 25) "
+            "UNION ALL "
+            "SELECT 'grp:' || l_returnflag, ROUND(v, 2) FROM ("
+            "SELECT l_returnflag, l_extendedprice AS v, "
+            "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice DESC) AS rn FROM lineitem) "
+            "WHERE rn <= 5 ORDER BY tag, value"
         ),
         "grouped_sum_pushdown": (
             "SELECT l_returnflag AS value, "

@@ -2696,3 +2696,156 @@ def grouped_avg(spark: SparkSession, blocks_path: str, manifest_path: str,
         F.col(f"avg_{value_column}").alias("avg_value"),
         F.col(f"n_{value_column}").alias("n_values"),
         "cnt")
+
+
+def grouped_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
+                 group_column: str, value_column: str, k: int,
+                 ascending: bool = False, predicate=None,
+                 run_ids: list[str] | None = None) -> DataFrame:
+    """Per-group ORDER BY ``value_column`` LIMIT ``k`` in the compressed
+    domain — the "top k files per language" shape.  Each block
+    contributes only ITS OWN per-group top-k (group-sorted run slices
+    over the block's value ranks: byte values rank through the sorted
+    dictionary, the strings themselves never sort row-by-row), so at
+    most n_groups x k rows per block reach the final fold — a window
+    row_number over the tiny partials, never over the column.  SQL
+    semantics: NULL group keys form their own group; NULL values never
+    rank.  decimal(p<=18) ranks unscaled and emits exact decimals;
+    d128 and list tags raise.  Returns (value, item, rnk) with rnk
+    1..k per group."""
+    import json as jsonmod
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    predicates = _normalize_predicates(predicate)
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    fields = {f.name: f for f in schema.fields}
+    gfield, vfield = fields[group_column], fields[value_column]
+    g_is_bytes = gfield.dataType.typeName() in ("string", "binary")
+    v_dec = isinstance(vfield.dataType, T.DecimalType)
+    if v_dec and vfield.dataType.precision > 18:
+        raise NotImplementedError(
+            "grouped_topk over decimal(p>18) d128 columns is not "
+            "supported; use column_topk per group or precision <= 18")
+    blocks = _blocks_proj(spark, blocks_path, manifest_path, group_column,
+                          predicates, value_column=value_column, meta=meta,
+                          run_ids=run_ids)
+    from .decode import arrow_out_type
+
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    out_tg = arrow_out_type(gfield.dataType, tz)
+    out_tv = arrow_out_type(vfield.dataType, tz)
+    out_schema = T.StructType([
+        T.StructField("value", gfield.dataType, True),
+        T.StructField("item", vfield.dataType, False),
+    ])
+
+    def gen(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            names = batch.schema.names
+            gblks = batch.column(names.index("__blk"))
+            vblks = batch.column(names.index("__blk2"))
+            grows = batch.column(names.index("n_rows"))
+            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
+                        for p in predicates}
+            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
+                       for p in predicates}
+            for i in range(batch.num_rows):
+                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
+                if isinstance(mask, str) and mask == "none":
+                    continue
+                gb, vb = gblks[i], vblks[i]
+                if not vb.is_valid:
+                    continue  # evolved value column: all NULL, never ranks
+                n_rows = grows[i].as_py()
+                if gb.is_valid:
+                    uniq, gfull = _group_codes(gb.as_py())
+                else:
+                    uniq, gfull = None, np.full(n_rows, -1, dtype=np.int64)
+                sel = (np.ones(n_rows, dtype=bool)
+                       if isinstance(mask, str) else mask)
+                payload, validity, vmeta, vtag, vcodec, vn = \
+                    blockmod.open_block(vb.as_py())
+                if vtag == "d128" or vtag in lists.LIST_TAGS:
+                    raise TypeError(
+                        f"grouped topk over tag {vtag!r} is not defined")
+                nval = (int(validity.sum()) if validity is not None else vn)
+                base = rank_to_idx = None
+                if vtag == "bytes":
+                    if vcodec == "dict":
+                        uv, vcodes = dictionary.decode_parts(
+                            payload, vmeta, nval, vtag)
+                        base = strings.to_arrow(uv)
+                        rank_to_idx = np.arange(len(uv), dtype=np.int64)
+                        ranks = vcodes.astype(np.int64)
+                    else:
+                        vals = blockmod.decode_values(
+                            payload, vmeta, nval, vtag, vcodec)
+                        de = strings.to_arrow(vals).dictionary_encode()
+                        base = de.dictionary
+                        order0 = np.asarray(pc.sort_indices(base))
+                        rank_of = np.empty(len(base), np.int64)
+                        rank_of[order0] = np.arange(len(base))
+                        rank_to_idx = order0.astype(np.int64)
+                        ranks = rank_of[
+                            np.asarray(de.indices).astype(np.int64)]
+                else:
+                    ranks = np.asarray(blockmod.decode_values(
+                        payload, vmeta, nval, vtag, vcodec))
+                if validity is None:
+                    w = sel
+                    rv = ranks[w]
+                else:
+                    w = validity & sel
+                    didx = np.cumsum(validity) - 1
+                    rv = ranks[didx[w]]
+                gw = (gfull + 1)[w]  # slot 0 = NULL group
+                if not len(gw):
+                    continue
+                order = np.lexsort((rv, gw))
+                gs, rs = gw[order], rv[order]
+                bnd = np.nonzero(np.diff(gs))[0] + 1
+                starts = np.concatenate(([0], bnd))
+                ends = np.concatenate((bnd, [len(gs)]))
+                g_out, r_out = [], []
+                for s, e in zip(starts, ends):
+                    sl = (slice(s, min(s + k, e)) if ascending
+                          else slice(max(e - k, s), e))
+                    g_out.append(np.full(sl.stop - sl.start, gs[s]))
+                    r_out.append(rs[sl])
+                g_sel = np.concatenate(g_out)
+                r_sel = np.concatenate(r_out)
+                # group key array: g_sel holds code+1 values
+                if uniq is not None:
+                    ua = (strings.to_arrow(uniq) if g_is_bytes
+                          else pa.array(np.asarray(uniq)))
+                    if not ua.type.equals(out_tg):
+                        ua = ua.cast(out_tg)
+                    gbase = pa.concat_arrays([pa.nulls(1, out_tg), ua])
+                else:
+                    gbase = pa.nulls(1, out_tg)
+                garr = gbase.take(pa.array(g_sel.astype(np.int64)))
+                if base is not None:
+                    iarr = base.take(pa.array(rank_to_idx[r_sel]))
+                    if not iarr.type.equals(out_tv):
+                        iarr = iarr.cast(out_tv)
+                elif v_dec:
+                    iarr = _dec_arr(r_sel, out_tv)
+                else:
+                    iarr = pa.array(r_sel)
+                    if not iarr.type.equals(out_tv):
+                        iarr = iarr.cast(out_tv)
+                yield pa.RecordBatch.from_arrays([garr, iarr],
+                                                 names=["value", "item"])
+
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+    ordc = F.col("item").asc() if ascending else F.col("item").desc()
+    w = Window.partitionBy("value").orderBy(ordc)
+    return (partials.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))

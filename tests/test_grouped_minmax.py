@@ -124,3 +124,52 @@ def test_grouped_minmax_plan_two_exchanges(spark, gmm_table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_ex = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_ex <= 2, plan
+
+
+def test_grouped_topk_matches_catalyst(spark, gmm_table):
+    """Per-group ORDER BY LIMIT k vs a Catalyst window — value SETS per
+    (group, rank window) must match; ties make exact rank order
+    ambiguous, so compare the sorted value multiset per group."""
+    from pyspark.sql import Window
+
+    from boltspark.engine.agg import grouped_topk
+
+    sdf, out, man = gmm_table
+    for v, asc in (("val", False), ("big", True), ("name", False),
+                   ("dec", False)):
+        got = {}
+        for r in grouped_topk(spark, out, man, "flag", v, k=4,
+                              ascending=asc).collect():
+            got.setdefault(r["value"], []).append(r["item"])
+        w = Window.partitionBy("flag").orderBy(
+            F.col(v).asc() if asc else F.col(v).desc())
+        exp = {}
+        for r in (sdf.filter(F.col(v).isNotNull())
+                  .withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= 4).collect()):
+            exp.setdefault(r["flag"], []).append(r[v])
+        assert set(got) == set(exp), v
+        for g in exp:
+            assert sorted(got[g], key=str) == sorted(exp[g], key=str), (v, g)
+
+
+def test_grouped_topk_filtered_and_all_null_group(spark, gmm_table):
+    from boltspark.engine.agg import grouped_topk
+
+    sdf, out, man = gmm_table
+    pred = RangePredicate(column="k", lower=2000, upper=9500,
+                          null_allowed=False)
+    got = {}
+    for r in grouped_topk(spark, out, man, "flag", "val", k=3,
+                          predicate=pred).collect():
+        got.setdefault(r["value"], []).append(r["item"])
+    filt = sdf.filter((F.col("k") >= 2000) & (F.col("k") <= 9500))
+    exp = {}
+    for r in filt.filter(F.col("val").isNotNull()).collect():
+        exp.setdefault(r["flag"], []).append(r["val"])
+    exp = {g: sorted(vs, reverse=True)[:3] for g, vs in exp.items()}
+    assert set(got) == set(exp)
+    for g in exp:
+        assert sorted(got[g]) == sorted(exp[g]), g
+    # 'Z' group: val is always NULL there -> no rows for Z
+    assert "Z" not in got or exp.get("Z")
