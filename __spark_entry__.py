@@ -707,10 +707,12 @@ def _q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                   for c in ("text", "path", "tsl")])).alias("m"))
               .select("m.*").distinct().collect()):
         used.setdefault(r["column"], set()).add(r["codec"])
-    assert ("fsst" in used.get("text", set())
+    if not ("fsst" in used.get("text", set())
             and "prefix" in used.get("path", set())
-            and "delta" in used.get("tsl", set())), \
-        f"codec pins not honored: {used}"
+            and "delta" in used.get("tsl", set())):
+        # explicit raise, not assert: python -O must not turn a silent
+        # selector fallback into a vacuous pass
+        raise RuntimeError(f"codec pins not honored: {used}")
     return decode_table(spark, f"{d}/blocks", f"{d}/manifest").select(
         "doc_id", "text", "path", "tsl")
 
@@ -1445,7 +1447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     roundtrips (1-12), decode/predicates (13-20), LLM pipeline (21-29),
     compressed-domain aggregation (30-43), sources/stats/infra (44-49).
     Round-5 consolidations merged same-machinery entries (each merged
-    query's docstring names its parents); nothing lost coverage."""
+    query's docstring names its parents); nothing lost coverage —
+    token_count's machinery rides inside quality_scores (its n_tokens
+    column is textstats.token_count), duplicate_groups inside
+    exact_dedup."""
     return {
         # --- engine round-trips -------------------------------------
         "roundtrip_documents": _q_roundtrip_documents,

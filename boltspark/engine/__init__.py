@@ -3,7 +3,10 @@ checkpoint manifest + resume, and null-aware block-level predicates."""
 
 from .encode import encode_table
 from .decode import decode_table
-from .filters import BooleanPredicate, ConstPredicate, RangePredicate
+from .filters import (BooleanPredicate, BytesContainsPredicate,
+                      BytesEqPredicate, BytesPrefixPredicate,
+                      BytesSuffixPredicate, ConstPredicate, InPredicate,
+                      RangePredicate)
 
 __all__ = [
     "encode_table",
@@ -11,4 +14,9 @@ __all__ = [
     "RangePredicate",
     "BooleanPredicate",
     "ConstPredicate",
+    "BytesEqPredicate",
+    "BytesPrefixPredicate",
+    "BytesContainsPredicate",
+    "BytesSuffixPredicate",
+    "InPredicate",
 ]

@@ -1988,19 +1988,12 @@ def grouped_sum_multi(spark: SparkSession, blocks_path: str,
                       run_ids: list[str] | None = None) -> DataFrame:
     """GROUP BY (c1, ..., cN) -> SUM(``value_column``), COUNT(*) in the
     compressed domain — the (lang, repo) / (flag, status) rollup shape.
-    The wide layout aligns all N group leaves plus the value leaf in
-    ONE parquet row, so each task joint-codes the aligned code streams
-    into a composite group id (per-block pair dictionary via np.unique
-    — memory scales with the distinct COMBINATIONS present in the
-    block, not the dimension product) and reduces with bincount; only
-    per-block distinct combinations cross the final shuffle.
-
-    SQL GROUP BY semantics per dimension: NULLs form their own group
-    key; NULL values count rows but add nothing (all-null group sums
-    NULL).  Returns one column per group dimension (named after it)
-    plus (sum_value double, cnt).  Decimal value columns are not
-    supported here — use single-column ``grouped_sum`` (exact decimal
-    partials) or ``column_sum`` per group."""
+    N == 1 delegates to ``grouped_sum`` (which also handles decimal
+    values exactly); N >= 2 is ``grouped_aggs`` with one value column
+    (single composite-coded pass), renamed to the stable
+    (g1..gN, sum_value, cnt) shape.  Decimal value columns are not
+    supported for N >= 2 — use single-column ``grouped_sum`` (exact
+    decimal partials) or ``column_sum`` per group."""
     import json as jsonmod
 
     from pyspark.sql import types as T
@@ -2015,132 +2008,17 @@ def grouped_sum_multi(spark: SparkSession, blocks_path: str,
                             value_column, predicate=predicate,
                             run_ids=run_ids)
                 .withColumnRenamed("value", gcols[0]))
-    predicates = _normalize_predicates(predicate)
     meta = manifestmod.table_meta(spark, manifest_path)
     schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
-    fields = {f.name: f for f in schema.fields}
-    if isinstance(fields[value_column].dataType, T.DecimalType):
+    if isinstance({f.name: f for f in schema.fields}[value_column].dataType,
+                  T.DecimalType):
         raise NotImplementedError(
             "grouped_sum_multi over decimal values is not supported; "
             "use grouped_sum (exact decimal) per group column")
-    blocks = _blocks_proj(spark, blocks_path, manifest_path, gcols[0],
-                          predicates, value_column=value_column, meta=meta,
-                          run_ids=run_ids, extra_group_columns=gcols[1:])
-    from .decode import arrow_out_type
-
-    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    out_ts = [arrow_out_type(fields[c].dataType, tz) for c in gcols]
-    is_bytes = [fields[c].dataType.typeName() in ("string", "binary")
-                for c in gcols]
-    out_schema = T.StructType(
-        [T.StructField(c, fields[c].dataType, True) for c in gcols]
-        + [T.StructField("__cnt", T.LongType(), False),
-           T.StructField("__nv", T.LongType(), False),
-           T.StructField("__s_l", T.LongType(), False),
-           T.StructField("__s_d", T.DoubleType(), False),
-           T.StructField("__is_f", T.BooleanType(), False)])
-
-    def gen(batches):
-        for batch in batches:
-            names = batch.schema.names
-            gblk_cols = ([batch.column(names.index("__blk"))]
-                         + [batch.column(names.index(f"__gblk_{j}"))
-                            for j in range(1, len(gcols))])
-            vblks = batch.column(names.index("__blk2"))
-            grows = batch.column(names.index("n_rows"))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
-            for i in range(batch.num_rows):
-                mask = _resolve_mask(blk_cols, st_cols, i, predicates)
-                if isinstance(mask, str) and mask == "none":
-                    continue
-                n_rows = grows[i].as_py()
-                uniqs, g1s, dims = [], [], []
-                for gc in gblk_cols:
-                    gb = gc[i]
-                    if gb.is_valid:
-                        u, gfull = _group_codes(gb.as_py())
-                    else:
-                        # evolved dimension: every row is its NULL group
-                        u, gfull = None, np.full(n_rows, -1, dtype=np.int64)
-                    uniqs.append(u)
-                    g1s.append(gfull + 1)  # slot 0 = NULL key
-                    dims.append((len(u) if u is not None else 0) + 1)
-                vb = vblks[i]
-                if vb.is_valid:
-                    vfull, vmask = _dense_full(vb.as_py())
-                else:
-                    vfull = np.zeros(n_rows, dtype=np.int64)
-                    vmask = np.zeros(n_rows, dtype=bool)
-                sel = (np.ones(n_rows, dtype=bool)
-                       if isinstance(mask, str) else mask)
-                # composite code: mixed-radix over the per-block
-                # dictionary sizes (each dim <= block rows + 1, so the
-                # radix product stays far below 2^63 for any sane N)
-                comp = g1s[0].astype(np.int64).copy()
-                for d, g1 in zip(dims[1:], g1s[1:]):
-                    comp *= d
-                    comp += g1
-                sel_idx = np.nonzero(sel)[0]
-                if not len(sel_idx):
-                    continue
-                ukeys, inv = np.unique(comp[sel_idx], return_inverse=True)
-                cnt = np.bincount(inv, minlength=len(ukeys))
-                wv_idx = np.nonzero(vmask & sel)[0]
-                pos = np.searchsorted(ukeys, comp[wv_idx])
-                nv = np.bincount(pos, minlength=len(ukeys))
-                if vfull.dtype.kind == "f":
-                    is_f = True
-                    s_d = np.bincount(pos, weights=vfull[wv_idx],
-                                      minlength=len(ukeys))
-                    s_l = np.zeros(len(ukeys), dtype=np.int64)
-                else:
-                    is_f = False
-                    s_l = np.zeros(len(ukeys), dtype=np.int64)
-                    np.add.at(s_l, pos, vfull[wv_idx].astype(np.int64))
-                    s_d = np.zeros(len(ukeys), dtype=np.float64)
-                # decompose composite keys -> per-dimension value arrays
-                rem = ukeys.copy()
-                idxs = []
-                for d in reversed(dims[1:]):
-                    idxs.append(rem % d)
-                    rem //= d
-                idxs.append(rem)
-                idxs.reverse()
-                arrs = []
-                for j, (u, idx_j) in enumerate(zip(uniqs, idxs)):
-                    if u is not None and len(u):
-                        ua = (strings.to_arrow(u) if is_bytes[j]
-                              else pa.array(np.asarray(u)))
-                        if not ua.type.equals(out_ts[j]):
-                            ua = ua.cast(out_ts[j])
-                        base = pa.concat_arrays(
-                            [pa.nulls(1, out_ts[j]), ua])
-                    else:
-                        base = pa.nulls(1, out_ts[j])
-                    arrs.append(base.take(pa.array(idx_j.astype(np.int64))))
-                yield pa.RecordBatch.from_arrays(
-                    arrs + [pa.array(cnt.astype(np.int64), pa.int64()),
-                            pa.array(nv.astype(np.int64), pa.int64()),
-                            pa.array(s_l, pa.int64()),
-                            pa.array(s_d, pa.float64()),
-                            pa.array(np.full(len(cnt), is_f), pa.bool_())],
-                    names=list(gcols) + ["__cnt", "__nv", "__s_l",
-                                         "__s_d", "__is_f"])
-
-    partials = blocks.mapInArrow(trimmed(gen), out_schema)
-    agg = partials.groupBy(*gcols).agg(
-        F.sum("__cnt").alias("__cnt"), F.sum("__nv").alias("__nv"),
-        F.sum("__s_l").alias("__s_l"), F.sum("__s_d").alias("__s_d"),
-        F.max("__is_f").alias("__is_f"))
-    return agg.select(
-        *gcols,
-        F.when(F.col("__nv") == 0, F.lit(None).cast("double"))
-        .when(F.col("__is_f"), F.col("__s_d") + F.col("__s_l"))
-        .otherwise(F.col("__s_l").cast("double")).alias("sum_value"),
-        F.col("__cnt").alias("cnt"))
+    out = grouped_aggs(spark, blocks_path, manifest_path, gcols,
+                       [value_column], predicate=predicate, run_ids=run_ids)
+    return out.select(
+        *gcols, F.col(f"sum_{value_column}").alias("sum_value"), "cnt")
 
 
 def grouped_quantiles(spark: SparkSession, blocks_path: str,
@@ -2300,6 +2178,34 @@ def grouped_quantiles(spark: SparkSession, blocks_path: str,
     return partials.groupBy("value").applyInPandas(fold_group, fold_schema)
 
 
+def _value_ranks(payload, vmeta, nval: int, vtag: str, vcodec: str):
+    """Dense value stream of one block -> (ranks, base, rank_to_idx)
+    for order-based grouped reductions (grouped_minmax, grouped_topk).
+    Byte values rank through the dictionary — sorted dict blocks hand
+    the code stream over AS the rank; other codecs rank each block
+    distinct once via sort_indices — so strings never compare
+    row-by-row.  ``base``/``rank_to_idx`` map a rank back to its value
+    (``base.take(rank_to_idx[rank])``); numeric values rank as
+    themselves (base=None)."""
+    import pyarrow.compute as pc
+
+    if vtag == "bytes":
+        if vcodec == "dict":
+            uv, vcodes = dictionary.decode_parts(payload, vmeta, nval, vtag)
+            return (vcodes.astype(np.int64), strings.to_arrow(uv),
+                    np.arange(len(uv), dtype=np.int64))
+        vals = blockmod.decode_values(payload, vmeta, nval, vtag, vcodec)
+        de = strings.to_arrow(vals).dictionary_encode()
+        base = de.dictionary
+        order0 = np.asarray(pc.sort_indices(base))
+        rank_of = np.empty(len(base), np.int64)
+        rank_of[order0] = np.arange(len(base))
+        return (rank_of[np.asarray(de.indices).astype(np.int64)],
+                base, order0.astype(np.int64))
+    return (np.asarray(blockmod.decode_values(payload, vmeta, nval, vtag,
+                                              vcodec)), None, None)
+
+
 def grouped_minmax(spark: SparkSession, blocks_path: str,
                    manifest_path: str, group_column: str,
                    value_column: str, predicate=None,
@@ -2401,27 +2307,8 @@ def grouped_minmax(spark: SparkSession, blocks_path: str,
                             "defined")
                     nval = (int(validity.sum()) if validity is not None
                             else vn)
-                    if vtag == "bytes":
-                        if vcodec == "dict":
-                            uv, vcodes = dictionary.decode_parts(
-                                payload, vmeta, nval, vtag)
-                            base = strings.to_arrow(uv)  # sorted: code=rank
-                            rank_to_idx = np.arange(len(uv), dtype=np.int64)
-                            ranks = vcodes.astype(np.int64)
-                        else:
-                            vals = blockmod.decode_values(
-                                payload, vmeta, nval, vtag, vcodec)
-                            de = strings.to_arrow(vals).dictionary_encode()
-                            base = de.dictionary
-                            order = np.asarray(pc.sort_indices(base))
-                            rank_of = np.empty(len(base), np.int64)
-                            rank_of[order] = np.arange(len(base))
-                            rank_to_idx = order.astype(np.int64)
-                            ranks = rank_of[
-                                np.asarray(de.indices).astype(np.int64)]
-                    else:
-                        ranks = np.asarray(blockmod.decode_values(
-                            payload, vmeta, nval, vtag, vcodec))
+                    ranks, base, rank_to_idx = _value_ranks(
+                        payload, vmeta, nval, vtag, vcodec)
                     if validity is None:
                         w = sel
                         rv = ranks[w]
@@ -2569,6 +2456,15 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
                     dims.append((len(u) if u is not None else 0) + 1)
                 sel = (np.ones(n_rows, dtype=bool)
                        if isinstance(mask, str) else mask)
+                radix = 1
+                for dd in dims:  # python ints: no wraparound in the check
+                    radix *= dd
+                if radix >= 1 << 63:
+                    raise ValueError(
+                        "composite group code would overflow int64: "
+                        f"per-block dictionary sizes {dims} multiply to "
+                        f"{radix}; group by fewer/lower-cardinality "
+                        "columns or use smaller blocks")
                 comp = g1s[0].astype(np.int64).copy()
                 for dd, g1 in zip(dims[1:], g1s[1:]):
                     comp *= dd
@@ -2776,28 +2672,8 @@ def grouped_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
                     raise TypeError(
                         f"grouped topk over tag {vtag!r} is not defined")
                 nval = (int(validity.sum()) if validity is not None else vn)
-                base = rank_to_idx = None
-                if vtag == "bytes":
-                    if vcodec == "dict":
-                        uv, vcodes = dictionary.decode_parts(
-                            payload, vmeta, nval, vtag)
-                        base = strings.to_arrow(uv)
-                        rank_to_idx = np.arange(len(uv), dtype=np.int64)
-                        ranks = vcodes.astype(np.int64)
-                    else:
-                        vals = blockmod.decode_values(
-                            payload, vmeta, nval, vtag, vcodec)
-                        de = strings.to_arrow(vals).dictionary_encode()
-                        base = de.dictionary
-                        order0 = np.asarray(pc.sort_indices(base))
-                        rank_of = np.empty(len(base), np.int64)
-                        rank_of[order0] = np.arange(len(base))
-                        rank_to_idx = order0.astype(np.int64)
-                        ranks = rank_of[
-                            np.asarray(de.indices).astype(np.int64)]
-                else:
-                    ranks = np.asarray(blockmod.decode_values(
-                        payload, vmeta, nval, vtag, vcodec))
+                ranks, base, rank_to_idx = _value_ranks(
+                    payload, vmeta, nval, vtag, vcodec)
                 if validity is None:
                     w = sel
                     rv = ranks[w]

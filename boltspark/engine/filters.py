@@ -94,20 +94,41 @@ class Predicate:
         raise TypeError(f"{type(self).__name__} does not apply to byte arrays")
 
 
+def _utc(v):
+    """Naive datetime -> UTC-aware (the predicate's documented naive-
+    datetime convention, applied identically on the storage side and
+    the Spark-literal side so engine/Catalyst parity holds on non-UTC
+    hosts)."""
+    import datetime as dt
+
+    return v.replace(tzinfo=dt.timezone.utc) if v.tzinfo is None else v
+
+
 def _storage_bound(v):
     """Temporal bound -> the column's storage integer (timestamps ride
     as epoch MICROSECONDS, dates as epoch DAYS — schema.storage_cast).
     Naive datetimes are treated as UTC.  Non-temporal bounds pass
-    through."""
+    through.  Integer timedelta division, NOT timestamp()*1e6: the
+    float path is off by 1 us for ~1% of microsecond-precision
+    stamps."""
     import datetime as dt
 
     if isinstance(v, dt.datetime):  # before date: datetime IS a date
-        if v.tzinfo is None:
-            v = v.replace(tzinfo=dt.timezone.utc)
-        return int(v.timestamp() * 1_000_000)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return (_utc(v) - epoch) // dt.timedelta(microseconds=1)
     if isinstance(v, dt.date):
         return (v - dt.date(1970, 1, 1)).days
     return v
+
+
+def _spark_bound(v):
+    """The bound as handed to Spark in to_spark_condition: naive
+    datetimes get the same UTC interpretation _storage_bound applies
+    (Spark would otherwise read a naive literal in the SESSION
+    timezone and parity would silently break off-UTC)."""
+    import datetime as dt
+
+    return _utc(v) if isinstance(v, dt.datetime) else v
 
 
 @dataclass
@@ -165,8 +186,8 @@ class RangePredicate(Predicate):
         from pyspark.sql import functions as F
 
         c = F.col(self.column)
-        lo = getattr(self, "_spark_lower", self.lower)
-        hi = getattr(self, "_spark_upper", self.upper)
+        lo = _spark_bound(getattr(self, "_spark_lower", self.lower))
+        hi = _spark_bound(getattr(self, "_spark_upper", self.upper))
         cond = F.lit(True)
         if lo is not None:
             cond = cond & ((c >= lo) if self.lower_inclusive else (c > lo))
@@ -228,7 +249,17 @@ class Decimal128RangePredicate(Predicate):
     supports_d128 = True  # decode's guard admits this predicate class
 
     def check(self, values: np.ndarray) -> np.ndarray:
-        v = np.ascontiguousarray(values, dtype=np.int64).reshape(-1, 2)
+        v = np.ascontiguousarray(values, dtype=np.int64)
+        if v.ndim == 1:
+            # precision-widened tables mix storages: runs written at
+            # p<=18 store 1-D unscaled int64 — sign-extend to word
+            # pairs so ONE predicate class filters the whole column
+            pairs = np.empty((len(v), 2), dtype=np.int64)
+            pairs[:, 0] = v
+            pairs[:, 1] = v >> 63
+            v = pairs
+        else:
+            v = v.reshape(-1, 2)
         lo_u = v[:, 0].view(np.uint64)
         hi = v[:, 1]
         keep = np.ones(len(v), dtype=bool)
@@ -669,7 +700,11 @@ class BytesContainsPredicate(Predicate):
         from pyspark.sql import functions as F
 
         c = F.col(self.column)
-        cond = c.contains(self.needle.decode("utf-8"))
+        try:
+            needle = self.needle.decode("utf-8")
+        except UnicodeDecodeError:  # binary column: bytes literal
+            needle = F.lit(self.needle)
+        cond = c.contains(needle)
         if self.null_allowed:
             cond = cond | c.isNull()
         else:
@@ -705,7 +740,11 @@ class BytesSuffixPredicate(Predicate):
         from pyspark.sql import functions as F
 
         c = F.col(self.column)
-        cond = c.endswith(self.suffix.decode("utf-8"))
+        try:
+            suffix = self.suffix.decode("utf-8")
+        except UnicodeDecodeError:  # binary column: bytes literal
+            suffix = F.lit(self.suffix)
+        cond = c.endswith(suffix)
         if self.null_allowed:
             cond = cond | c.isNull()
         else:

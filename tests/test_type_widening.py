@@ -128,3 +128,32 @@ def test_widen_across_d128_boundary(spark, tmp_path):
     exp = (df1.select("k", F.col("v").cast("decimal(22,2)"))
            .unionAll(df2))
     assert sorted(out.collect()) == sorted(exp.collect())
+
+
+def test_widened_decimal_predicate_spans_storages(spark, tmp_path):
+    """Decimal128RangePredicate must filter BOTH storage shapes of a
+    precision-widened column: 1-D unscaled int64 blocks from p<=18
+    runs sign-extend to word pairs, d128 runs compare natively."""
+    from boltspark.engine.filters import Decimal128RangePredicate
+
+    d = str(tmp_path)
+    df1 = spark.range(60).select(
+        F.col("id").alias("k"),
+        ((F.col("id") - 30).cast("decimal(12,2)")).alias("v"))
+    encode_table(df1, f"{d}/b", f"{d}/m", key_cols=("k",), n_parts=2,
+                 resume=False, run_id="run1")
+    df2 = spark.range(60, 90).select(
+        F.col("id").alias("k"),
+        (F.col("id") + 10**17).cast("decimal(22,2)").alias("v"))
+    encode_table(df2, f"{d}/b", f"{d}/m", key_cols=("k",), n_parts=2,
+                 resume=False, run_id="run2")
+    # unscaled bounds at scale 2: keep v in [-5.00, 10^16]
+    pred = Decimal128RangePredicate(column="v", lower=-500,
+                                    upper=10**18)
+    got = decode_table(spark, f"{d}/b", f"{d}/m", columns=["k", "v"],
+                       predicate=pred)
+    exp = (df1.select("k", F.col("v").cast("decimal(22,2)"))
+           .unionAll(df2)
+           .filter((F.col("v") >= -5.0) & (F.col("v") <= 10**16)))
+    assert sorted(got.collect()) == sorted(exp.collect())
+    assert got.count() == df1.filter(F.col("v") >= -5.0).count()
