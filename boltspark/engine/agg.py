@@ -169,24 +169,26 @@ def _counts_of(values, tag: str, n_null: int):
     return u, cnt.astype(np.int64), n_null
 
 
-def _resolve_mask(blk_cols, st_cols, i: int, predicates):
-    """The decoder's conjunctive zone/mask cascade for one block group ->
-    'none' | 'all' | full-length bool mask (decode._decode_mask reused,
-    so dictionary-level predicate evaluation and the ternary null rule
-    apply identically here)."""
-    from .decode import _decode_mask
+def _pred_cols(predicates) -> list[str]:
+    """Ordered dedup of every leaf column the predicates touch
+    (composite OR/AND predicates span several columns)."""
+    from .filters import pred_columns
 
+    return pred_columns(predicates)
+
+
+def _resolve_mask(blk_cols, st_cols, i: int, predicates):
+    """The decoder's zone/mask cascade for one block group ->
+    'none' | 'all' | full-length bool mask (decode.eval_group_predicate
+    reused, so dictionary-level predicate evaluation, the ternary null
+    rule, and composite OR/NOT semantics apply identically here)."""
+    from .decode import eval_group_predicate
+
+    blk_of = lambda c, j: blk_cols[c][j]  # noqa: E731
+    st_of = lambda c, j: st_cols[c][j].as_py()  # noqa: E731
     mask = None
     for pred in predicates:
-        s = blk_cols[pred.column][i]
-        if not s.is_valid:
-            # column absent from this group's run (schema evolution):
-            # the whole column is null here
-            if pred.null_allowed:
-                continue
-            return "none"
-        verdict, pmask = _decode_mask(s.as_py(), st_cols[pred.column][i].as_py(),
-                                      pred)
+        verdict, pmask = eval_group_predicate(pred, blk_of, st_of, i)
         if verdict == "none":
             return "none"
         if pmask is not None:
@@ -215,7 +217,7 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
     extra = [value_column] if value_column is not None else []
     extra += list(extra_group_columns or [])
     extra += list(extra_value_columns or [])
-    for c in [column] + extra + [p.column for p in predicates]:
+    for c in [column] + extra + _pred_cols(predicates):
         if c not in known:
             raise KeyError(f"unknown column {c}; encoded: {meta['columns']}")
     proj = [F.col(PART_ID), F.col("run_id"), F.col("n_rows"),
@@ -232,11 +234,11 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
         # additional aggregated columns (grouped_aggs): same alignment
         proj.append(F.col("cols").getField(c).getField("block")
                     .alias(f"__vblk_{j}"))
-    for p in predicates:
-        proj.append(F.col("cols").getField(p.column).getField("block")
-                    .alias(f"__blk_{p.column}"))
-        proj.append(F.col("cols").getField(p.column).getField("stats")
-                    .alias(f"__st_{p.column}"))
+    for pc_ in _pred_cols(predicates):
+        proj.append(F.col("cols").getField(pc_).getField("block")
+                    .alias(f"__blk_{pc_}"))
+        proj.append(F.col("cols").getField(pc_).getField("stats")
+                    .alias(f"__st_{pc_}"))
     blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
               .select(*proj))
     if run_ids is not None:
@@ -244,7 +246,7 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
         # groups are read — parquet run_id stats prune the rest
         blocks = blocks.filter(F.col("run_id").isin(list(run_ids)))
     # JVM zone prefilter: provably-dead groups never cross into Python
-    keeps = [k for k in (p.jvm_zone_keep(F.col(f"__st_{p.column}"))
+    keeps = [k for k in (p.jvm_zone_keep_cols(lambda c: F.col(f"__st_{c}"))
                          for p in predicates) if k is not None]
     for k in keeps:
         blocks = blocks.filter(k)
@@ -298,10 +300,10 @@ def _sum_partials(blocks: DataFrame, predicates: list[Predicate]) -> DataFrame:
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
             pids = batch.column(names.index(PART_ID))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -378,7 +380,7 @@ def column_sums(spark: SparkSession, blocks_path: str, manifest_path: str,
     predicates = _normalize_predicates(predicate)
     tmeta = manifestmod.table_meta(spark, manifest_path)
     known = set(tmeta["columns"])
-    for c in list(columns) + [p.column for p in predicates]:
+    for c in list(columns) + _pred_cols(predicates):
         if c not in known:
             raise KeyError(f"unknown column {c}; encoded: {tmeta['columns']}")
     schema = T.StructType.fromJson(jsonmod.loads(tmeta["schema_json"]))
@@ -391,14 +393,14 @@ def column_sums(spark: SparkSession, blocks_path: str, manifest_path: str,
     for c in columns:
         proj.append(F.col("cols").getField(c).getField("block")
                     .alias(f"__blkc_{c}"))
-    for p in predicates:
-        proj.append(F.col("cols").getField(p.column).getField("block")
-                    .alias(f"__blk_{p.column}"))
-        proj.append(F.col("cols").getField(p.column).getField("stats")
-                    .alias(f"__st_{p.column}"))
+    for pc_ in _pred_cols(predicates):
+        proj.append(F.col("cols").getField(pc_).getField("block")
+                    .alias(f"__blk_{pc_}"))
+        proj.append(F.col("cols").getField(pc_).getField("stats")
+                    .alias(f"__st_{pc_}"))
     blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
               .select(*proj))
-    keeps = [k for k in (p.jvm_zone_keep(F.col(f"__st_{p.column}"))
+    keeps = [k for k in (p.jvm_zone_keep_cols(lambda c: F.col(f"__st_{c}"))
                          for p in predicates) if k is not None]
     for k in keeps:
         blocks = blocks.filter(k)
@@ -425,10 +427,10 @@ def column_sums(spark: SparkSession, blocks_path: str, manifest_path: str,
             grows = batch.column(names.index("n_rows"))
             cblks = {c: batch.column(names.index(f"__blkc_{c}"))
                      for c in col_list}
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -533,10 +535,10 @@ def _sum_dec_partials(blocks: DataFrame,
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
             pids = batch.column(names.index(PART_ID))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -630,10 +632,10 @@ def _vc_partials(spark: SparkSession, blocks: DataFrame,
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
             pids = batch.column(names.index(PART_ID))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -788,10 +790,10 @@ def _gsum_partials(blocks: DataFrame, predicates: list[Predicate],
             vblks = batch.column(names.index("__blk2"))
             grows = batch.column(names.index("n_rows"))
             pids = batch.column(names.index(PART_ID))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -918,10 +920,10 @@ def _grouped_sum_decimal(blocks: DataFrame, predicates: list[Predicate],
             gblks = batch.column(names.index("__blk"))
             vblks = batch.column(names.index("__blk2"))
             grows = batch.column(names.index("n_rows"))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -1089,10 +1091,10 @@ def column_minmax(spark: SparkSession, blocks_path: str, manifest_path: str,
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -1187,10 +1189,10 @@ def column_distinct(spark: SparkSession, blocks_path: str,
         for batch in batches:
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -1268,10 +1270,10 @@ def _hll_partials(blocks: DataFrame, predicates: list[Predicate],
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
             pids = batch.column(names.index(PART_ID))
-            blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
-                        for q in predicates}
-            st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
-                       for q in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -1486,10 +1488,10 @@ def grouped_distinct_approx(spark: SparkSession, blocks_path: str,
             gblks = batch.column(names.index("__blk"))
             vblks = batch.column(names.index("__blk2"))
             grows = batch.column(names.index("n_rows"))
-            blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
-                        for q in predicates}
-            st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
-                       for q in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -1640,10 +1642,10 @@ def _quantile_partials(blocks: DataFrame, predicates: list[Predicate],
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
             pids = batch.column(names.index(PART_ID))
-            blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
-                        for q in predicates}
-            st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
-                       for q in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -1790,10 +1792,10 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
         for batch in batches:
             names = batch.schema.names
             blks = batch.column(names.index("__blk"))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -1888,6 +1890,89 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
     return partials.orderBy(order_col).limit(k)
 
 
+def topk_rows(spark: SparkSession, blocks_path: str, manifest_path: str,
+              column: str, k: int, ascending: bool = False,
+              columns: list[str] | None = None,
+              tiebreak: tuple[str, ...] = (),
+              predicate=None,
+              run_ids: list[str] | None = None) -> DataFrame:
+    """Whole-row ``SELECT <columns> ORDER BY column [DESC] LIMIT k``
+    without decoding the table: phase 1 = ``column_topk`` finds the
+    k-th ranked VALUE (k values per block through the shuffle, a tiny
+    job); phase 2 decodes only rows at-or-beyond that threshold — a
+    RangePredicate the zone maps answer, so blocks whose range cannot
+    reach the boundary are never opened — and Catalyst sorts the <= a
+    handful of survivors.  Boundary ties are all decoded and resolved
+    by the final orderBy+limit; pass ``tiebreak`` columns to make the
+    result deterministic under ties.
+
+    NULLS LAST semantics: when fewer than k non-null values exist, the
+    threshold predicate flips null_allowed so null rows fill the tail
+    exactly as SQL would.  Decimal columns rank in the unscaled-int
+    domain (p<=18 via RangePredicate zone pruning, p>18 via
+    Decimal128RangePredicate — d128 blocks carry no zone bounds, so
+    they decode-and-check).  Byte/list order columns are not supported
+    (no byte-range predicate class): decode + Catalyst orderBy covers
+    those shapes."""
+    import json as jsonmod
+
+    from pyspark.sql import types as T
+
+    from .decode import decode_table
+    from .filters import (ConstPredicate, Decimal128RangePredicate,
+                          RangePredicate)
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    field = {f.name: f for f in schema.fields}.get(column)
+    if field is None:
+        raise KeyError(f"unknown column {column}")
+    dt = field.dataType
+    if dt.typeName() in ("string", "binary", "array", "map", "struct"):
+        raise NotImplementedError(
+            f"topk_rows orders by numeric/temporal/decimal columns; "
+            f"{column} is {dt.simpleString()} — decode + orderBy instead")
+    vals = [r["value"] for r in column_topk(
+        spark, blocks_path, manifest_path, column, k, ascending=ascending,
+        predicate=predicate, run_ids=run_ids).collect()]
+    preds = list(_normalize_predicates(predicate))
+    if not vals:
+        # order column is all-null (or empty) under the predicate: only
+        # null rows can fill the LIMIT
+        preds.append(ConstPredicate(column=column, accept=False,
+                                    null_allowed=True))
+    else:
+        bound = vals[-1]  # the k-th ranked value (globally ordered)
+        fill_nulls = len(vals) < k  # nulls make the cut only then
+        if isinstance(dt, T.DecimalType):
+            unscaled = int(bound.scaleb(dt.scale))
+            cls = (Decimal128RangePredicate if dt.precision > 18
+                   else RangePredicate)
+        else:
+            unscaled, cls = bound, RangePredicate
+        preds.append(cls(column=column, upper=unscaled,
+                         null_allowed=fill_nulls) if ascending
+                     else cls(column=column, lower=unscaled,
+                              null_allowed=fill_nulls))
+    dec_cols = None
+    if columns is not None:
+        dec_cols = list(columns)
+        for c in (column, *tiebreak):
+            if c not in dec_cols:
+                dec_cols.append(c)
+    out = decode_table(spark, blocks_path, manifest_path, columns=dec_cols,
+                       predicate=preds, run_ids=run_ids)
+    order = [F.col(column).asc_nulls_last() if ascending
+             else F.col(column).desc_nulls_last()]
+    order += [F.col(c).asc() for c in tiebreak]
+    out = out.orderBy(*order).limit(int(k))
+    if columns is not None:
+        out = out.select(*columns)
+    return out
+
+
 def column_avg(spark: SparkSession, blocks_path: str, manifest_path: str,
                column: str, predicate=None,
                run_ids: list[str] | None = None) -> DataFrame:
@@ -1933,10 +2018,10 @@ def column_count(spark: SparkSession, blocks_path: str, manifest_path: str,
             blks = batch.column(names.index("__blk"))
             grows = batch.column(names.index("n_rows"))
             pids = batch.column(names.index(PART_ID))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -2075,10 +2160,10 @@ def grouped_quantiles(spark: SparkSession, blocks_path: str,
             gblks = batch.column(names.index("__blk"))
             vblks = batch.column(names.index("__blk2"))
             grows = batch.column(names.index("n_rows"))
-            blk_cols = {q.column: batch.column(names.index(f"__blk_{q.column}"))
-                        for q in predicates}
-            st_cols = {q.column: batch.column(names.index(f"__st_{q.column}"))
-                       for q in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -2274,10 +2359,10 @@ def grouped_minmax(spark: SparkSession, blocks_path: str,
             gblks = batch.column(names.index("__blk"))
             vblks = batch.column(names.index("__blk2"))
             grows = batch.column(names.index("n_rows"))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -2435,10 +2520,10 @@ def grouped_aggs(spark: SparkSession, blocks_path: str, manifest_path: str,
             vblk_cols = [batch.column(names.index(f"__vblk_{j}"))
                          for j in range(1, len(vcols) + 1)]
             grows = batch.column(names.index("n_rows"))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":
@@ -2648,10 +2733,10 @@ def grouped_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
             gblks = batch.column(names.index("__blk"))
             vblks = batch.column(names.index("__blk2"))
             grows = batch.column(names.index("n_rows"))
-            blk_cols = {p.column: batch.column(names.index(f"__blk_{p.column}"))
-                        for p in predicates}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
+                        for c in _pred_cols(predicates)}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in _pred_cols(predicates)}
             for i in range(batch.num_rows):
                 mask = _resolve_mask(blk_cols, st_cols, i, predicates)
                 if isinstance(mask, str) and mask == "none":

@@ -36,7 +36,7 @@ from ..kernels import block as blockmod
 from ..kernels import bitpack, dictionary, lists, strings
 from . import manifest as manifestmod
 from .memutil import trimmed
-from .filters import ALL, NONE, Predicate
+from .filters import ALL, NONE, Predicate, pred_columns
 from .schema import PART_ID
 
 _FIXED_STRUCT = {
@@ -202,6 +202,54 @@ def _decode_mask(blk, stats: dict, predicate: Predicate):
     return "some", mask
 
 
+def eval_group_predicate(pred, blk_of, st_of, i):
+    """One predicate over one block group -> (verdict, mask).
+
+    ``blk_of(col, i)`` returns the column's block scalar (None or an
+    invalid scalar = column absent from this group's run — schema
+    evolution) and ``st_of(col, i)`` its zone-stats dict.  Leaves go
+    through ``_decode_mask`` (zone short-circuits, dictionary fast
+    path); composite predicates (OrPredicate/AndPredicate) recurse per
+    child so every leaf KEEPS those short-circuits — an OR still skips
+    a whole group unopened when each child's zone says 'none', and
+    accepts it outright the moment one child says 'all'."""
+    kids = getattr(pred, "children", None)
+    if kids is not None:
+        if pred.combine == "or":
+            union = None
+            for ch in kids:
+                v, m = eval_group_predicate(ch, blk_of, st_of, i)
+                if v == "all":
+                    return "all", None
+                if v == "none":
+                    continue
+                union = m if union is None else (union | m)
+            if union is None:
+                return "none", None
+            if union.all():
+                return "all", None
+            return "some", union
+        inter = None
+        for ch in kids:
+            v, m = eval_group_predicate(ch, blk_of, st_of, i)
+            if v == "none":
+                return "none", None
+            if v == "all":
+                continue
+            inter = m if inter is None else (inter & m)
+            if not inter.any():
+                return "none", None
+        if inter is None:
+            return "all", None
+        return "some", inter
+    s = blk_of(pred.column, i)
+    if s is None or not s.is_valid:
+        # column absent from this group's run (schema evolution): the
+        # whole column is null here
+        return ("all", None) if pred.null_allowed else ("none", None)
+    return _decode_mask(s.as_py(), st_of(pred.column, i), pred)
+
+
 def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
                   predicates: list[Predicate], include_part_id: bool,
                   row_window: tuple[int, int, dict] | None = None):
@@ -218,19 +266,15 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
     def decode_row(blk_cols, st_cols, i: int, part_id: int, n_rows: int,
                    base_mask: np.ndarray | None = None):
         # conjunctive cascade (row_group_reader.rs:204-258): each
-        # predicate column narrows the surviving mask in turn; an
-        # all-false mask short-circuits the remaining columns
+        # predicate narrows the surviving mask in turn; an all-false
+        # mask short-circuits the rest.  Composite predicates (OR
+        # across columns, NOT) evaluate through the same group-level
+        # hook, so their leaves keep the zone/dictionary fast paths.
         mask = base_mask
+        blk_of = lambda c, j: blk_cols[c][j]  # noqa: E731
+        st_of = lambda c, j: st_cols[c][j].as_py()  # noqa: E731
         for pred in predicates:
-            blk_scalar = blk_cols[pred.column][i]
-            if not blk_scalar.is_valid:
-                # column absent from this group's run (schema evolution):
-                # the whole column is null here
-                if pred.null_allowed:
-                    continue  # every row survives this predicate
-                return None
-            verdict, pmask = _decode_mask(
-                blk_scalar.as_py(), st_cols[pred.column][i].as_py(), pred)
+            verdict, pmask = eval_group_predicate(pred, blk_of, st_of, i)
             if verdict == "none":
                 return None
             if pmask is not None:
@@ -279,8 +323,8 @@ def _make_decoder(read_cols: list[str], out_cols: list[str], out_types: dict,
             nrows_arr = batch.column(names.index("n_rows"))
             blk_cols = {c: batch.column(names.index(f"__blk_{c}"))
                         for c in read_cols}
-            st_cols = {p.column: batch.column(names.index(f"__st_{p.column}"))
-                       for p in predicates}
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in pred_columns(predicates)}
             if row_window is not None:
                 run_arr = batch.column(names.index("run_id"))
                 seq_arr = batch.column(names.index("seq"))
@@ -380,17 +424,23 @@ def decode_table(
     predicates = ([] if predicate is None
                   else predicate if isinstance(predicate, list) else [predicate])
     read_cols = list(out_cols)
+
+    def _resolve_leaf_pred(p):
+        if p.column in all_cols:
+            return p
+        # dotted struct-leaf path ('meta.width') -> flat leaf name
+        leaf = nest.resolve_leaf(p.column, logical)
+        if leaf is None or leaf not in all_cols:
+            raise KeyError(f"predicate column {p.column} not encoded")
+        return dataclasses.replace(p, column=leaf)
+
     resolved = []
     for pred in predicates:
-        if pred.column not in all_cols:
-            # dotted struct-leaf path ('meta.width') -> flat leaf name
-            leaf = nest.resolve_leaf(pred.column, logical)
-            if leaf is None or leaf not in all_cols:
-                raise KeyError(f"predicate column {pred.column} not encoded")
-            pred = dataclasses.replace(pred, column=leaf)
+        pred = pred.map_leaves(_resolve_leaf_pred)
         resolved.append(pred)
-        if pred.column not in read_cols:
-            read_cols.append(pred.column)
+        for c in pred.columns:
+            if c not in read_cols:
+                read_cols.append(c)
     predicates = resolved
 
     schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
@@ -477,9 +527,9 @@ def decode_table(
         proj.append(F.col("seq"))
     for c in read_cols:
         proj.append(F.col("cols").getField(c).getField("block").alias(f"__blk_{c}"))
-    for p in predicates:
+    for c in pred_columns(predicates):
         proj.append(
-            F.col("cols").getField(p.column).getField("stats").alias(f"__st_{p.column}"))
+            F.col("cols").getField(c).getField("stats").alias(f"__st_{c}"))
     # mergeSchema: appended runs may have added columns (schema
     # evolution); groups from older runs carry null struct leaves that
     # decode null-fills below
@@ -505,7 +555,7 @@ def decode_table(
     # everything that remains — this is an additional cut, never the
     # only one).  Null stats (evolved columns, list columns)
     # conservatively pass.
-    keeps = [k for k in (p.jvm_zone_keep(F.col(f"__st_{p.column}"))
+    keeps = [k for k in (p.jvm_zone_keep_cols(lambda c: F.col(f"__st_{c}"))
                          for p in predicates) if k is not None]
     if keeps:
         cond = keeps[0]

@@ -25,6 +25,7 @@ builds explicit ranges for the same purpose).
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import numpy as np
@@ -92,6 +93,32 @@ class Predicate:
 
     def check_bytes(self, uniques) -> np.ndarray:
         raise TypeError(f"{type(self).__name__} does not apply to byte arrays")
+
+    @property
+    def columns(self) -> list[str]:
+        """Every leaf column this predicate reads (composites: several)."""
+        return [self.column]
+
+    def map_leaves(self, fn):
+        """Rebuild with ``fn`` applied to every column-bearing leaf —
+        used to resolve dotted struct paths to flat leaf names."""
+        return fn(self)
+
+    def jvm_zone_keep_cols(self, st_for):
+        """``jvm_zone_keep`` generalized to composites: ``st_for(col)``
+        yields the typed stats struct Column for any leaf column."""
+        return self.jvm_zone_keep(st_for(self.column))
+
+
+def pred_columns(predicates) -> list[str]:
+    """Ordered dedup of every leaf column a predicate list touches
+    (composite predicates span several columns)."""
+    out: list[str] = []
+    for p in predicates:
+        for c in p.columns:
+            if c not in out:
+                out.append(c)
+    return out
 
 
 def _utc(v):
@@ -749,4 +776,162 @@ class BytesSuffixPredicate(Predicate):
             cond = cond | c.isNull()
         else:
             cond = cond & c.isNotNull()
+        return cond
+
+
+class _CompositePredicate(Predicate):
+    """Shared plumbing for OR/AND nodes.  The engine detects composites
+    by the ``children`` attribute and evaluates them recursively
+    (decode.eval_group_predicate), so every leaf keeps its zone-map /
+    bloom / dictionary short-circuits; the single-column Predicate API
+    (check/mask/check_zone) is deliberately unimplemented here."""
+
+    children: list
+
+    @property
+    def columns(self) -> list[str]:
+        out: list[str] = []
+        for ch in self.children:
+            for c in ch.columns:
+                if c not in out:
+                    out.append(c)
+        return out
+
+    def map_leaves(self, fn):
+        return dataclasses.replace(
+            self, children=[ch.map_leaves(fn) for ch in self.children])
+
+
+@dataclass
+class OrPredicate(_CompositePredicate):
+    """SQL disjunction — keep a row iff ANY child keeps it.  Children
+    may sit on DIFFERENT columns (``WHERE a < 5 OR b = 'x'``), the one
+    shape the conjunctive predicate-list cascade cannot express.  SQL
+    ternary semantics come free: each child's mask is exactly its
+    rows-that-evaluate-TRUE set (nulls enter only via that child's own
+    null_allowed), and OR keeps a row iff some disjunct is TRUE.
+
+    Scale shape: a group is skipped unopened only when EVERY child's
+    zone says 'none' (the JVM prefilter is the same union, so a group
+    provably dead on all disjuncts never crosses into Python)."""
+
+    children: list
+
+    combine = "or"
+
+    def __post_init__(self):
+        if not self.children:
+            raise ValueError("OrPredicate needs at least one child")
+
+    def jvm_zone_keep_cols(self, st_for):
+        keeps = []
+        for ch in self.children:
+            k = ch.jvm_zone_keep_cols(st_for)
+            if k is None:
+                return None  # one child can never prune -> the union can't
+            keeps.append(k)
+        out = keeps[0]
+        for k in keeps[1:]:
+            out = out | k
+        return out
+
+    def to_spark_condition(self):
+        out = self.children[0].to_spark_condition()
+        for ch in self.children[1:]:
+            out = out | ch.to_spark_condition()
+        return out
+
+
+@dataclass
+class AndPredicate(_CompositePredicate):
+    """SQL conjunction as a predicate VALUE.  Top-level AND is spelled
+    as a plain predicate list; this class exists so conjunctions can
+    nest inside OrPredicate: ``(a < 5 AND b = 'x') OR c > 9``."""
+
+    children: list
+
+    combine = "and"
+
+    def __post_init__(self):
+        if not self.children:
+            raise ValueError("AndPredicate needs at least one child")
+
+    def jvm_zone_keep_cols(self, st_for):
+        keeps = [k for k in (ch.jvm_zone_keep_cols(st_for)
+                             for ch in self.children) if k is not None]
+        if not keeps:
+            return None
+        out = keeps[0]
+        for k in keeps[1:]:
+            out = out & k
+        return out
+
+    def to_spark_condition(self):
+        out = self.children[0].to_spark_condition()
+        for ch in self.children[1:]:
+            out = out & ch.to_spark_condition()
+        return out
+
+
+@dataclass
+class NotPredicate(Predicate):
+    """SQL NOT over a single-column leaf predicate — the engine's
+    ``!=``, NOT LIKE, NOT IN.  Ternary rule: NOT(NULL) is NULL, so null
+    rows are dropped unless this predicate's own ``null_allowed``.
+
+    Zone verdicts invert EXACTLY: the child's value-domain verdict is
+    computed with nulls set aside (a null_allowed=False copy), then
+    nulls re-enter under this predicate's null_allowed — so NOT still
+    skips blocks unopened (``NOT x = 'a'`` skips a block whose zone
+    proves every value is 'a', and accepts whole blocks whose zone or
+    bloom proves 'a' absent).  Composite children are rejected — apply
+    De Morgan and push NOT to the leaves."""
+
+    child: Predicate
+    null_allowed: bool = False
+
+    def __post_init__(self):
+        if getattr(self.child, "children", None) is not None:
+            raise TypeError("NotPredicate wraps a single-column leaf "
+                            "predicate; push NOT to the leaves "
+                            "(De Morgan) instead")
+        if isinstance(self.child, NotPredicate):
+            raise TypeError("NOT NOT p: use p.child directly")
+        self.column = self.child.column
+        self.supports_d128 = getattr(self.child, "supports_d128", False)
+        # the child's VALUE verdicts with nulls set aside — its own
+        # null_allowed must not leak into the inversion
+        self._vchild = (self.child if not self.child.null_allowed
+                        else dataclasses.replace(self.child,
+                                                 null_allowed=False))
+
+    @property
+    def columns(self) -> list[str]:
+        return [self.column]
+
+    def map_leaves(self, fn):
+        return dataclasses.replace(self, child=fn(self.child))
+
+    def check(self, values) -> np.ndarray:
+        return ~self._vchild.check(values)
+
+    def check_bytes(self, col) -> np.ndarray:
+        return ~self._vchild.check_bytes(col)
+
+    def check_zone(self, stats: dict) -> str:
+        v = self._vchild.check_zone(stats)
+        has_null = bool(stats.get("has_null", False))
+        if v == ALL:   # every valid value passes the child -> none pass NOT
+            return SOME if (has_null and self.null_allowed) else NONE
+        if v == NONE:  # no valid value passes the child -> all valid pass
+            return ALL if (not has_null or self.null_allowed) else SOME
+        return SOME
+
+    def to_spark_condition(self):
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+        cond = (~self._vchild.to_spark_condition()) & c.isNotNull()
+        if self.null_allowed:
+            cond = cond | c.isNull()
         return cond

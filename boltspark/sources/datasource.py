@@ -42,7 +42,8 @@ import os
 from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
                                     Filter, GreaterThan, GreaterThanOrEqual,
                                     In, InputPartition, IsNotNull, IsNull,
-                                    LessThan, LessThanOrEqual, StringContains,
+                                    LessThan, LessThanOrEqual, Not,
+                                    StringContains,
                                     StringEndsWith, StringStartsWith)
 from pyspark.sql.types import StructType
 
@@ -83,6 +84,17 @@ def _to_predicate(f: Filter):
     and become dotted paths the reader resolves to flat leaf names."""
     from ..engine import filters as ef
 
+    if isinstance(f, Not):
+        inner = _to_predicate(f.child)
+        if inner is None or getattr(inner, "children", None) is not None \
+                or isinstance(inner, ef.NotPredicate):
+            return None
+        if isinstance(inner, ef.ConstPredicate):
+            # NOT IS [NOT] NULL: flip the const directly
+            return ef.ConstPredicate(column=inner.column,
+                                     accept=not inner.accept,
+                                     null_allowed=not inner.null_allowed)
+        return ef.NotPredicate(child=inner)
     attr = getattr(f, "attribute", None)
     if isinstance(attr, tuple):
         attr = ".".join(attr)
@@ -164,13 +176,22 @@ class BoltReader(DataSourceReader):
 
         from ..engine import nest
 
+        def _resolve(p):
+            if p.column in self.all_flat:
+                return p
+            leaf = nest.resolve_leaf(p.column, self.logical)
+            if leaf is None or leaf not in self.all_flat:
+                raise KeyError(p.column)
+            return dataclasses.replace(p, column=leaf)
+
         for f in filters:
             pred = _to_predicate(f)
-            if pred is not None and pred.column not in self.all_flat:
-                leaf = nest.resolve_leaf(pred.column, self.logical)
-                pred = (dataclasses.replace(pred, column=leaf)
-                        if leaf is not None and leaf in self.all_flat else None)
-            if pred is not None and pred.column in self.all_flat:
+            if pred is not None:
+                try:
+                    pred = pred.map_leaves(_resolve)
+                except KeyError:
+                    pred = None
+            if pred is not None:
                 self.predicates.append(pred)
             else:
                 yield f  # unsupported: Spark evaluates it post-scan
@@ -338,13 +359,16 @@ class BoltReader(DataSourceReader):
 
         read_cols = list(self.out_leaves)
         for p in self.predicates:
-            if p.column not in read_cols:
-                read_cols.append(p.column)
+            for c in p.columns:
+                if c not in read_cols:
+                    read_cols.append(c)
         pf = pq.ParquetFile(partition.value)
         # schema evolution: this file's run may predate some columns
         file_cols = {f.name for f in pf.schema_arrow.field("cols").type}
         present = [c for c in read_cols if c in file_cols]
         for p in self.predicates:
+            if getattr(p, "children", None) is not None:
+                continue  # composites: judged per block group below
             if p.column not in file_cols and not p.null_allowed:
                 return  # whole-file skip: the column is all-null here
         cols = ["part_id", "run_id", "n_rows"] + [f"cols.{c}" for c in present]
@@ -358,24 +382,26 @@ class BoltReader(DataSourceReader):
                 structs = {c: cols_arr.field(c) for c in present}
             else:  # selection flattened the struct leaves to top level
                 structs = {c: batch.column(names.index(c)) for c in present}
+
+            # mirror engine decode_row's rules exactly (absent column =
+            # all-null; composites recurse per child)
+            def _blk_of(c, j, structs=structs):
+                leaf = structs.get(c)
+                if leaf is None or not leaf[j].is_valid:
+                    return None
+                return leaf[j]["block"]
+
+            def _st_of(c, j, structs=structs):
+                return structs[c][j]["stats"].as_py() or {}
+
             for i in range(batch.num_rows):
                 if (part_arr[i].as_py(), run_arr[i].as_py()) not in self.valid_pairs:
                     continue  # orphan blocks from a crashed run
                 mask = None
                 dead = False
                 for pred in self.predicates:
-                    leaf = structs.get(pred.column)
-                    if leaf is None or not leaf[i].is_valid:
-                        # column absent from this group's run (schema
-                        # evolution / compacted mixed runs): all-null here
-                        # — mirror engine decode_row's rule exactly
-                        if pred.null_allowed:
-                            continue
-                        dead = True
-                        break
-                    st = leaf[i]
-                    verdict, pmask = dec._decode_mask(
-                        st["block"].as_py(), st["stats"].as_py() or {}, pred)
+                    verdict, pmask = dec.eval_group_predicate(
+                        pred, _blk_of, _st_of, i)
                     if verdict == "none":
                         dead = True
                         break
