@@ -167,6 +167,45 @@ def _q_decode_dict_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    suffix=b"3"), "source")))
 
 
+def _q_decode_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite predicates (round 5): tag 'or' = CROSS-COLUMN
+    disjunction n_chars <= 150 OR lang = 'en' — the one filter shape
+    the conjunctive cascade cannot express; each disjunct keeps its own
+    zone-map/dictionary short-circuits and the JVM prefilter drops
+    groups dead on BOTH disjuncts (engine/filters.py::OrPredicate).
+    tag 'neq' = lang <> 'en' (NotPredicate over the dictionary-coded
+    equality — zone verdicts invert exactly, so a block whose zone
+    proves every value is 'en' is skipped unopened).  tag 'nrange' =
+    NOT (n_chars BETWEEN 100 AND 500)."""
+    from boltspark.engine import decode_table, encode_table
+    from boltspark.engine.filters import (BytesEqPredicate, NotPredicate,
+                                          OrPredicate, RangePredicate)
+
+    _ship(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="boltspark_ornot_")
+    encode_table(docs, f"{d}/blocks", f"{d}/manifest", key_cols=("doc_id",),
+                 target_partition_bytes=4 << 20, resume=False)
+
+    def leg(tag: str, pred) -> DataFrame:
+        out = decode_table(spark, f"{d}/blocks", f"{d}/manifest",
+                           columns=["doc_id", "lang", "n_chars"],
+                           predicate=pred)
+        return out.select(F.lit(tag).alias("tag"),
+                          F.col("doc_id").cast("long").alias("doc_id"),
+                          F.col("lang").alias("lang"),
+                          F.col("n_chars").cast("long").alias("n_chars"))
+
+    return (
+        leg("or", OrPredicate([
+            RangePredicate(column="n_chars", upper=150),
+            BytesEqPredicate(column="lang", value=b"en")]))
+        .unionAll(leg("neq", NotPredicate(
+            BytesEqPredicate(column="lang", value=b"en"))))
+        .unionAll(leg("nrange", NotPredicate(
+            RangePredicate(column="n_chars", lower=100, upper=500)))))
+
+
 def _q_dsv2_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark-native DSv2 read surface in ONE entry (round-5
     consolidation of dsv2_filtered_read + dsv2_map_read):
@@ -1017,7 +1056,7 @@ def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary are value-identical, so the emitted VALUE multiset is
     deterministic even though row_number's choice isn't."""
     from boltspark.engine import encode_table
-    from boltspark.engine.agg import column_topk, grouped_topk
+    from boltspark.engine.agg import column_topk, grouped_topk, topk_rows
 
     _ship(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -1034,7 +1073,17 @@ def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ascending=False).select(
         F.concat(F.lit("grp:"), F.col("value")).alias("tag"),
         F.round("item", 2).alias("value"))
-    return flat.unionAll(grp).orderBy("tag", "value")
+    # round-5 tag 'rows:*': whole-ROW top-k (topk_rows) — phase 1 finds
+    # the k-th value compressed-domain, phase 2 decodes only rows the
+    # zone maps admit at that threshold, deterministic via tiebreak
+    rows = topk_rows(spark, f"{d}/blocks", f"{d}/manifest",
+                     "l_extendedprice", k=10,
+                     tiebreak=("l_orderkey", "l_linenumber")).select(
+        F.concat(F.lit("rows:"), F.col("l_orderkey").cast("string"),
+                 F.lit(":"), F.col("l_linenumber").cast("string"))
+        .alias("tag"),
+        F.round("l_extendedprice", 2).alias("value"))
+    return flat.unionAll(grp).unionAll(rows).orderBy("tag", "value")
 
 
 def _q_grouped_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1470,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_range_filter": _q_decode_range_filter,
         "decode_null_allowed": _q_decode_null_allowed,
         "decode_dict_eq": _q_decode_dict_eq,
+        "decode_or_not": _q_decode_or_not,
         "point_query_partition": _q_point_query_partition,
         "point_query_rows": _q_point_query_rows,
         "row_range_global": _q_row_range_global,
@@ -1694,7 +1744,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_extendedprice AS v, "
             "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
             "ORDER BY l_extendedprice DESC) AS rn FROM lineitem) "
-            "WHERE rn <= 5 ORDER BY tag, value"
+            "WHERE rn <= 5 "
+            "UNION ALL "
+            "SELECT 'rows:' || l_orderkey || ':' || l_linenumber, "
+            "ROUND(l_extendedprice, 2) FROM ("
+            "SELECT * FROM lineitem ORDER BY l_extendedprice DESC, "
+            "l_orderkey, l_linenumber LIMIT 10) "
+            "ORDER BY tag, value"
         ),
         "grouped_sum_pushdown": (
             "SELECT l_returnflag AS value, "
@@ -1827,6 +1883,18 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'end3', doc_id, source FROM documents "
             "WHERE source LIKE '%3' AND source IS NOT NULL"
+        ),
+        "decode_or_not": (
+            "SELECT 'or' AS tag, doc_id, lang, n_chars FROM documents "
+            "WHERE (n_chars <= 150 AND n_chars IS NOT NULL) "
+            "OR (lang = 'en' AND lang IS NOT NULL) "
+            "UNION ALL "
+            "SELECT 'neq', doc_id, lang, n_chars FROM documents "
+            "WHERE lang <> 'en' AND lang IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'nrange', doc_id, lang, n_chars FROM documents "
+            "WHERE NOT (n_chars BETWEEN 100 AND 500) "
+            "AND n_chars IS NOT NULL"
         ),
         "dsv2_read": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
