@@ -183,3 +183,117 @@ def column_minmax(
             F.max(F.coalesce(F.col("has_null"), F.lit(True))).alias("has_null"),
         )
     )
+
+
+def _zone_verdict(pred, st_of, i: int) -> str:
+    """'all' | 'none' | 'some' from zone-map stats ALONE (no payload
+    read) — the zone half of decode.eval_group_predicate, recursing
+    into composite OR/AND children.  Absent column (null stats struct:
+    schema evolution) follows the decoder's all-null rule."""
+    kids = getattr(pred, "children", None)
+    if kids is not None:
+        if pred.combine == "or":
+            out = "none"
+            for ch in kids:
+                v = _zone_verdict(ch, st_of, i)
+                if v == "all":
+                    return "all"
+                if v == "some":
+                    out = "some"
+            return out
+        out = "all"
+        for ch in kids:
+            v = _zone_verdict(ch, st_of, i)
+            if v == "none":
+                return "none"
+            if v == "some":
+                out = "some"
+        return out
+    st = st_of(pred.column, i)
+    if st is None:
+        return "all" if pred.null_allowed else "none"
+    return pred.check_zone(st)
+
+
+def explain_scan(spark: SparkSession, blocks_path: str, manifest_path: str,
+                 predicate=None, run_ids: list[str] | None = None
+                 ) -> DataFrame:
+    """Metadata-only prune report: how many block groups (and rows) a
+    decode with this predicate would SKIP unopened ('none' zones),
+    ACCEPT whole ('all' zones — decoded without evaluating the
+    predicate), or OPEN (payload decode + mask).  The scan projects
+    ONLY the predicate columns' stats leaves + n_rows — its ReadSchema
+    carries no ``block`` binary, so the report costs a metadata scan
+    even at 100 TB.  Run it BEFORE an expensive decode to predict the
+    scanned fraction (and whether sort_cols clustering / bloom filters
+    are earning their keep).
+
+    Zone-level accounting only: an 'open' group may still short-circuit
+    after its first predicate column's mask, so 'open' is the decoder's
+    upper bound, not its exact cost.  Returns one row per verdict:
+    (verdict, n_groups, n_rows)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from .filters import pred_columns
+    from .memutil import trimmed
+
+    predicates = ([] if predicate is None
+                  else predicate if isinstance(predicate, list)
+                  else [predicate])
+    cols = pred_columns(predicates)
+    proj = [F.col(PART_ID), F.col("run_id"), F.col("n_rows")]
+    for c in cols:
+        proj.append(F.col("cols").getField(c).getField("stats")
+                    .alias(f"__st_{c}"))
+    blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
+              .select(*proj))
+    if run_ids is not None:
+        blocks = blocks.filter(F.col("run_id").isin(list(run_ids)))
+    valid = manifestmod.valid_pairs_df(spark, manifest_path)
+    blocks = blocks.join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
+
+    out_schema = T.StructType([
+        T.StructField("verdict", T.StringType(), False),
+        T.StructField("n_groups", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+
+    def gen(batches):
+        for batch in batches:
+            names = batch.schema.names
+            nrows = batch.column(names.index("n_rows"))
+            st_cols = {c: batch.column(names.index(f"__st_{c}"))
+                       for c in cols}
+
+            def st_of(c, j):
+                s = st_cols[c][j]
+                return s.as_py() if s.is_valid else None
+
+            counts = {"skip": [0, 0], "accept": [0, 0], "open": [0, 0]}
+            for i in range(batch.num_rows):
+                verdict = "accept"
+                for pred in predicates:
+                    v = _zone_verdict(pred, st_of, i)
+                    if v == "none":
+                        verdict = "skip"
+                        break
+                    if v == "some":
+                        verdict = "open"
+                c = counts[verdict]
+                c[0] += 1
+                c[1] += int(nrows[i].as_py())
+            rows = [(k, v[0], v[1]) for k, v in counts.items() if v[0]]
+            if rows:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([r[0] for r in rows]),
+                     pa.array([r[1] for r in rows], pa.int64()),
+                     pa.array([r[2] for r in rows], pa.int64())],
+                    names=["verdict", "n_groups", "n_rows"])
+
+    # 3 partial rows per task at most cross the fold
+    partials = blocks.mapInArrow(trimmed(gen), out_schema)
+    return (partials.groupBy("verdict")
+            .agg(F.sum("n_groups").alias("n_groups"),
+                 F.sum("n_rows").alias("n_rows"))
+            .orderBy("verdict"))
