@@ -159,12 +159,19 @@ def _q_decode_dict_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("doc_id").cast("long").alias("doc_id"),
                           F.col(col).alias("val"))
 
+    from boltspark.engine.filters import BytesRangePredicate
+
     return (
         leg("eq", BytesEqPredicate(column="lang", value=b"en"), "lang")
         .unionAll(leg("has1", BytesContainsPredicate(column="source",
                                                      needle=b"1"), "source"))
         .unionAll(leg("end3", BytesSuffixPredicate(column="source",
-                                                   suffix=b"3"), "source")))
+                                                   suffix=b"3"), "source"))
+        # round-5 tag 'rng': lexicographic byte range (src12 <= s < src17)
+        # — BytesRangePredicate, prefix zone bounds prune
+        .unionAll(leg("rng", BytesRangePredicate(
+            column="source", lower=b"src12", upper=b"src17",
+            upper_inclusive=False), "source")))
 
 
 def _q_decode_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1882,7 +1889,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source LIKE '%1%' AND source IS NOT NULL "
             "UNION ALL "
             "SELECT 'end3', doc_id, source FROM documents "
-            "WHERE source LIKE '%3' AND source IS NOT NULL"
+            "WHERE source LIKE '%3' AND source IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'rng', doc_id, source FROM documents "
+            "WHERE source >= 'src12' AND source < 'src17' "
+            "AND source IS NOT NULL"
         ),
         "decode_or_not": (
             "SELECT 'or' AS tag, doc_id, lang, n_chars FROM documents "

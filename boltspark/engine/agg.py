@@ -1911,16 +1911,16 @@ def topk_rows(spark: SparkSession, blocks_path: str, manifest_path: str,
     exactly as SQL would.  Decimal columns rank in the unscaled-int
     domain (p<=18 via RangePredicate zone pruning, p>18 via
     Decimal128RangePredicate — d128 blocks carry no zone bounds, so
-    they decode-and-check).  Byte/list order columns are not supported
-    (no byte-range predicate class): decode + Catalyst orderBy covers
-    those shapes."""
+    they decode-and-check); string/binary columns rank
+    lexicographically via BytesRangePredicate (24-byte prefix zones
+    prune).  List/map/struct order columns are not supported."""
     import json as jsonmod
 
     from pyspark.sql import types as T
 
     from .decode import decode_table
-    from .filters import (ConstPredicate, Decimal128RangePredicate,
-                          RangePredicate)
+    from .filters import (BytesRangePredicate, ConstPredicate,
+                          Decimal128RangePredicate, RangePredicate)
 
     if k <= 0:
         raise ValueError("k must be positive")
@@ -1930,10 +1930,10 @@ def topk_rows(spark: SparkSession, blocks_path: str, manifest_path: str,
     if field is None:
         raise KeyError(f"unknown column {column}")
     dt = field.dataType
-    if dt.typeName() in ("string", "binary", "array", "map", "struct"):
+    if dt.typeName() in ("array", "map", "struct"):
         raise NotImplementedError(
-            f"topk_rows orders by numeric/temporal/decimal columns; "
-            f"{column} is {dt.simpleString()} — decode + orderBy instead")
+            f"topk_rows cannot order by {dt.simpleString()} — decode + "
+            "orderBy instead")
     vals = [r["value"] for r in column_topk(
         spark, blocks_path, manifest_path, column, k, ascending=ascending,
         predicate=predicate, run_ids=run_ids).collect()]
@@ -1950,6 +1950,10 @@ def topk_rows(spark: SparkSession, blocks_path: str, manifest_path: str,
             unscaled = int(bound.scaleb(dt.scale))
             cls = (Decimal128RangePredicate if dt.precision > 18
                    else RangePredicate)
+        elif dt.typeName() in ("string", "binary"):
+            # lexicographic threshold: byte zone prefixes prune blocks
+            unscaled = bound.encode() if isinstance(bound, str) else bound
+            cls = BytesRangePredicate
         else:
             unscaled, cls = bound, RangePredicate
         preds.append(cls(column=column, upper=unscaled,

@@ -935,3 +935,135 @@ class NotPredicate(Predicate):
         if self.null_allowed:
             cond = cond | c.isNull()
         return cond
+
+
+@dataclass
+class BytesRangePredicate(Predicate):
+    """Lexicographic byte-array range: lower <(=) value <(=) upper —
+    the SQL ``path >= 'a/' AND path < 'b/'`` prefix-partition range
+    scan.  str bounds are encoded UTF-8 at construction.
+
+    Zone semantics over the stored 24-byte min/max prefixes (prefix <=
+    full value; ``*_exact`` = the prefix IS the bound):
+
+    * provably BELOW the range (all values < lower): lower's own
+      prefix sorts above vmax_pfx (then lower > any value sharing that
+      prefix), or the max is exact and < lower;
+    * provably ABOVE the range (all values > upper): vmin_pfx > upper
+      (v >= vmin_pfx regardless of exactness);
+    * whole block INSIDE only when both stored bounds prove it
+      (vmin_pfx >= lower; max side needs exactness or a prefix
+      strictly below upper).
+
+    Dictionary blocks evaluate once per distinct; the dense path is a
+    vectorized Arrow binary compare.  DSv2 pushes string
+    GreaterThan[OrEqual]/LessThan[OrEqual] here."""
+
+    column: str
+    lower: bytes | None = None
+    upper: bytes | None = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = True
+    null_allowed: bool = False
+
+    def __post_init__(self):
+        if isinstance(self.lower, str):
+            self.lower = self.lower.encode()
+        if isinstance(self.upper, str):
+            self.upper = self.upper.encode()
+        if self.lower is None and self.upper is None:
+            raise ValueError("BytesRangePredicate needs a bound")
+
+    def check(self, values) -> np.ndarray:
+        return self.check_bytes(values)
+
+    def check_bytes(self, col) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..kernels import strings
+
+        arr = strings.to_arrow(col)
+        keep = np.ones(len(arr), dtype=bool)
+        if self.lower is not None:
+            op = pc.greater_equal if self.lower_inclusive else pc.greater
+            keep &= np.asarray(op(arr, pa.scalar(self.lower, arr.type)),
+                               dtype=bool)
+        if self.upper is not None:
+            op = pc.less_equal if self.upper_inclusive else pc.less
+            keep &= np.asarray(op(arr, pa.scalar(self.upper, arr.type)),
+                               dtype=bool)
+        return keep
+
+    def check_zone(self, stats: dict) -> str:
+        z = _bytes_zone_bounds(stats)
+        if z is None:
+            return SOME
+        vmin_pfx, vmax_pfx, vmin_exact, vmax_exact, has_null = z
+        nulls_keep = has_null and self.null_allowed
+        below = above = False
+        if self.lower is not None:
+            # all values < lower?  v <= max; max starts with vmax_pfx
+            lo = self.lower
+            below = lo[: len(vmax_pfx)] > vmax_pfx or (
+                vmax_exact and (vmax_pfx < lo if self.lower_inclusive
+                                else vmax_pfx <= lo))
+        if self.upper is not None:
+            # all values > upper?  v >= min >= vmin_pfx
+            up = self.upper
+            above = (vmin_pfx > up if self.upper_inclusive
+                     else vmin_pfx >= up)
+        if (below or above) and not nulls_keep:
+            return NONE
+        if below or above:
+            return SOME
+        # min >= vmin_pfx always (a prefix sorts <= its full value), so
+        # vmin_pfx > lower proves min > lower, and >= proves >= —
+        # exactness not needed on the lower side
+        lower_ok = self.lower is None or vmin_pfx > self.lower or (
+            self.lower_inclusive and vmin_pfx >= self.lower)
+        upper_ok = self.upper is None or (
+            self.upper[: len(vmax_pfx)] > vmax_pfx) or (
+            vmax_exact and (vmax_pfx <= self.upper if self.upper_inclusive
+                            else vmax_pfx < self.upper))
+        if lower_ok and upper_ok and (not has_null or self.null_allowed):
+            return ALL
+        return SOME
+
+    def to_spark_condition(self):
+        from pyspark.sql import functions as F
+
+        c = F.col(self.column)
+
+        def lit(v):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:  # binary column: bytes literal
+                return F.lit(v)
+
+        cond = F.lit(True)
+        if self.lower is not None:
+            lo = lit(self.lower)
+            cond = cond & ((c >= lo) if self.lower_inclusive else (c > lo))
+        if self.upper is not None:
+            up = lit(self.upper)
+            cond = cond & ((c <= up) if self.upper_inclusive else (c < up))
+        if self.null_allowed:
+            cond = cond | c.isNull()
+        else:
+            cond = cond & c.isNotNull()
+        return cond
+
+    def jvm_zone_keep(self, st):
+        from pyspark.sql import functions as F
+
+        keep = F.lit(True)
+        if self.lower is not None:
+            # drop groups provably below the range: lower above the max
+            keep = keep & _jvm_bytes_not_above(F.lit(self.lower), st)
+        if self.upper is not None:
+            # drop groups provably above the range: upper below the min
+            keep = keep & _jvm_bytes_not_below_eq(F.lit(self.upper), st)
+        if self.null_allowed:
+            keep = keep | F.coalesce(st.getField("has_null"), F.lit(True))
+        return keep

@@ -127,6 +127,20 @@ def _to_predicate(f: Filter):
         return None
     import datetime as _dt
 
+    if isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan,
+                      LessThanOrEqual)) and isinstance(f.value, str):
+        # lexicographic string range -> byte-range predicate (zone
+        # prefixes prune; the prefix-partition range-scan shape)
+        v = f.value.encode()
+        if isinstance(f, GreaterThan):
+            return ef.BytesRangePredicate(column=attr, lower=v,
+                                          lower_inclusive=False)
+        if isinstance(f, GreaterThanOrEqual):
+            return ef.BytesRangePredicate(column=attr, lower=v)
+        if isinstance(f, LessThan):
+            return ef.BytesRangePredicate(column=attr, upper=v,
+                                          upper_inclusive=False)
+        return ef.BytesRangePredicate(column=attr, upper=v)
     _rangeable = (int, float, _dt.date, _dt.datetime)  # date covers datetime
     if isinstance(f, GreaterThan) and isinstance(f.value, _rangeable):
         return ef.RangePredicate(column=attr, lower=f.value, lower_inclusive=False)

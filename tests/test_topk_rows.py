@@ -97,10 +97,13 @@ def test_topk_rows_decimal(spark, topk_table):
     assert isinstance(got.collect()[0]["price"], Decimal)
 
 
-def test_topk_rows_rejects_byte_order_column(spark, topk_table):
-    _, out, man = topk_table
-    with pytest.raises(NotImplementedError):
-        topk_rows(spark, out, man, "lang", k=3)
+def test_topk_rows_string_order_column(spark, topk_table):
+    """Byte columns rank lexicographically (BytesRangePredicate
+    threshold); list/map/struct order columns still refuse."""
+    df, out, man = topk_table
+    got = topk_rows(spark, out, man, "lang", k=9, tiebreak=("k",))
+    exp = df.orderBy(F.col("lang").desc_nulls_last(), F.col("k")).limit(9)
+    assert _rows(got) == _rows(exp.select(got.columns))
 
 
 def test_topk_rows_decodes_only_threshold_rows(spark, topk_table):
