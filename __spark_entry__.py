@@ -1063,7 +1063,8 @@ def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary are value-identical, so the emitted VALUE multiset is
     deterministic even though row_number's choice isn't."""
     from boltspark.engine import encode_table
-    from boltspark.engine.agg import column_topk, grouped_topk, topk_rows
+    from boltspark.engine.agg import (column_topk, grouped_topk,
+                                      grouped_topk_rows, topk_rows)
 
     _ship(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -1090,7 +1091,18 @@ def _q_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(":"), F.col("l_linenumber").cast("string"))
         .alias("tag"),
         F.round("l_extendedprice", 2).alias("value"))
-    return flat.unionAll(grp).unionAll(rows).orderBy("tag", "value")
+    # round-5 tag 'grows:*': whole-ROW per-group top-k
+    # (grouped_topk_rows) — per-group thresholds decoded through an
+    # OR-of-AND composite, window rank over the sliver
+    grows = grouped_topk_rows(
+        spark, f"{d}/blocks", f"{d}/manifest", "l_returnflag",
+        "l_extendedprice", k=3,
+        tiebreak=("l_orderkey", "l_linenumber")).select(
+        F.concat(F.lit("grows:"), F.col("l_returnflag"), F.lit(":"),
+                 F.col("rnk").cast("string")).alias("tag"),
+        F.round("l_extendedprice", 2).alias("value"))
+    return (flat.unionAll(grp).unionAll(rows).unionAll(grows)
+            .orderBy("tag", "value"))
 
 
 def _q_grouped_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1757,6 +1769,13 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(l_extendedprice, 2) FROM ("
             "SELECT * FROM lineitem ORDER BY l_extendedprice DESC, "
             "l_orderkey, l_linenumber LIMIT 10) "
+            "UNION ALL "
+            "SELECT 'grows:' || l_returnflag || ':' || rn, "
+            "ROUND(p, 2) FROM ("
+            "SELECT l_returnflag, l_extendedprice AS p, "
+            "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) "
+            "AS rn FROM lineitem) WHERE rn <= 3 "
             "ORDER BY tag, value"
         ),
         "grouped_sum_pushdown": (

@@ -1890,6 +1890,47 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
     return partials.orderBy(order_col).limit(k)
 
 
+def _threshold_pred(column: str, dt, bound, ascending: bool,
+                    fill_nulls: bool):
+    """The at-or-beyond-the-k-th-value decode predicate, typed by the
+    order column: decimals rank unscaled (p<=18 via RangePredicate zone
+    pruning, p>18 via Decimal128RangePredicate), string/binary rank
+    lexicographically (24-byte prefix zones prune), everything else is
+    a plain range."""
+    from pyspark.sql import types as T
+
+    from .filters import (BytesRangePredicate, Decimal128RangePredicate,
+                          RangePredicate)
+
+    if isinstance(dt, T.DecimalType):
+        b = int(bound.scaleb(dt.scale))
+        cls = Decimal128RangePredicate if dt.precision > 18 else RangePredicate
+    elif dt.typeName() in ("string", "binary"):
+        b = bound.encode() if isinstance(bound, str) else bound
+        cls = BytesRangePredicate
+    else:
+        b, cls = bound, RangePredicate
+    return (cls(column=column, upper=b, null_allowed=fill_nulls) if ascending
+            else cls(column=column, lower=b, null_allowed=fill_nulls))
+
+
+def _group_eq_pred(column: str, g, gdt):
+    """Equality leg for one group key, typed by the group column; a
+    NULL group key keeps exactly the null rows."""
+    from .filters import (BooleanPredicate, BytesEqPredicate, ConstPredicate,
+                          RangePredicate)
+
+    if g is None:
+        return ConstPredicate(column=column, accept=False, null_allowed=True)
+    tn = gdt.typeName()
+    if tn in ("string", "binary"):
+        return BytesEqPredicate(column=column,
+                                value=g.encode() if isinstance(g, str) else g)
+    if tn == "boolean":
+        return BooleanPredicate(column=column, value=bool(g))
+    return RangePredicate(column=column, lower=g, upper=g)
+
+
 def topk_rows(spark: SparkSession, blocks_path: str, manifest_path: str,
               column: str, k: int, ascending: bool = False,
               columns: list[str] | None = None,
@@ -1919,8 +1960,7 @@ def topk_rows(spark: SparkSession, blocks_path: str, manifest_path: str,
     from pyspark.sql import types as T
 
     from .decode import decode_table
-    from .filters import (BytesRangePredicate, ConstPredicate,
-                          Decimal128RangePredicate, RangePredicate)
+    from .filters import ConstPredicate
 
     if k <= 0:
         raise ValueError("k must be positive")
@@ -1946,20 +1986,8 @@ def topk_rows(spark: SparkSession, blocks_path: str, manifest_path: str,
     else:
         bound = vals[-1]  # the k-th ranked value (globally ordered)
         fill_nulls = len(vals) < k  # nulls make the cut only then
-        if isinstance(dt, T.DecimalType):
-            unscaled = int(bound.scaleb(dt.scale))
-            cls = (Decimal128RangePredicate if dt.precision > 18
-                   else RangePredicate)
-        elif dt.typeName() in ("string", "binary"):
-            # lexicographic threshold: byte zone prefixes prune blocks
-            unscaled = bound.encode() if isinstance(bound, str) else bound
-            cls = BytesRangePredicate
-        else:
-            unscaled, cls = bound, RangePredicate
-        preds.append(cls(column=column, upper=unscaled,
-                         null_allowed=fill_nulls) if ascending
-                     else cls(column=column, lower=unscaled,
-                              null_allowed=fill_nulls))
+        preds.append(_threshold_pred(column, dt, bound, ascending,
+                                     fill_nulls))
     dec_cols = None
     if columns is not None:
         dec_cols = list(columns)
@@ -2814,3 +2842,95 @@ def grouped_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
     w = Window.partitionBy("value").orderBy(ordc)
     return (partials.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
+
+
+def grouped_topk_rows(spark: SparkSession, blocks_path: str,
+                      manifest_path: str, group_column: str,
+                      value_column: str, k: int, ascending: bool = False,
+                      columns: list[str] | None = None,
+                      tiebreak: tuple[str, ...] = (),
+                      predicate=None, run_ids: list[str] | None = None,
+                      max_groups: int = 64) -> DataFrame:
+    """Whole-row per-group ORDER BY ``value_column`` LIMIT ``k`` — "the
+    top 5 files per language" as full rows, not just values.
+
+    Phase 1 finds each group's k-th ranked value in the compressed
+    domain (``grouped_topk``: n_groups x k tiny rows) plus the group
+    list (``value_counts``).  Phase 2 decodes only rows at-or-beyond
+    their OWN group's threshold: an OrPredicate over per-group
+    AndPredicate(group = g, value >=/<= bound_g) legs — the composite
+    layer lets zone maps and the dictionary path prune BOTH dimensions,
+    so blocks clustered by group or by value skip unopened.  A window
+    row_number over the surviving sliver finishes it; ``rnk`` (1..k per
+    group) rides the output.
+
+    SQL semantics: NULL group keys form their own group; NULLS LAST —
+    a group with fewer than k ranked values keeps all its rows so null
+    values fill the tail.  Groups absent from the ranked partials
+    (all-null values) keep everything.  ``max_groups`` guards the
+    per-block disjunction (linear in n_groups): beyond it, decode + a
+    Catalyst window is the right plan — raise the cap deliberately if
+    the group column is known-narrow."""
+    import json as jsonmod
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from .decode import decode_table
+    from .filters import AndPredicate, ConstPredicate, OrPredicate
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    meta = manifestmod.table_meta(spark, manifest_path)
+    schema = T.StructType.fromJson(jsonmod.loads(meta["schema_json"]))
+    fields = {f.name: f for f in schema.fields}
+    if group_column not in fields or value_column not in fields:
+        raise KeyError(f"unknown column among ({group_column}, "
+                       f"{value_column}); encoded: {list(fields)}")
+    gdt, vdt = fields[group_column].dataType, fields[value_column].dataType
+    groups = [r["value"] for r in value_counts(
+        spark, blocks_path, manifest_path, group_column,
+        predicate=predicate, run_ids=run_ids).collect()]
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"{len(groups)} groups exceed max_groups={max_groups}: the "
+            "per-block disjunction scales with n_groups — decode + a "
+            "window instead, or raise max_groups deliberately")
+    ranked = grouped_topk(spark, blocks_path, manifest_path, group_column,
+                          value_column, k, ascending=ascending,
+                          predicate=predicate, run_ids=run_ids).collect()
+    per_group: dict = {}
+    for r in ranked:
+        per_group.setdefault(r["value"], []).append((r["rnk"], r["item"]))
+    legs = []
+    for g in groups:
+        gleg = _group_eq_pred(group_column, g, gdt)
+        vals = sorted(per_group.get(g, []))
+        if len(vals) < k:
+            # fewer than k ranked values: every row of the group stays
+            # (null values fill the tail, SQL NULLS LAST)
+            legs.append(gleg)
+        else:
+            thr = _threshold_pred(value_column, vdt, vals[-1][1],
+                                  ascending, False)
+            legs.append(AndPredicate([gleg, thr]))
+    preds = list(_normalize_predicates(predicate))
+    preds.append(OrPredicate(legs) if legs else
+                 ConstPredicate(column=group_column, accept=False))
+    dec_cols = None
+    if columns is not None:
+        dec_cols = list(columns)
+        for c in (group_column, value_column, *tiebreak):
+            if c not in dec_cols:
+                dec_cols.append(c)
+    out = decode_table(spark, blocks_path, manifest_path, columns=dec_cols,
+                       predicate=preds, run_ids=run_ids)
+    order = [F.col(value_column).asc_nulls_last() if ascending
+             else F.col(value_column).desc_nulls_last()]
+    order += [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(group_column).orderBy(*order)
+    out = (out.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= int(k)))
+    if columns is not None:
+        out = out.select(*columns, "rnk")
+    return out

@@ -121,3 +121,81 @@ def test_topk_rows_decodes_only_threshold_rows(spark, topk_table):
     total = df.count()
     assert survivors < total / 10  # the decode is a sliver of the table
     assert got.count() == 12
+
+
+def _win_exp(df, group, value, k, tiebreak, ascending=False):
+    from pyspark.sql import Window
+
+    order = [F.col(value).asc_nulls_last() if ascending
+             else F.col(value).desc_nulls_last()]
+    order += [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(group).orderBy(*order)
+    return (df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def test_grouped_topk_rows_matches_window(spark, topk_table):
+    from boltspark.engine.agg import grouped_topk_rows
+
+    df, out, man = topk_table
+    got = grouped_topk_rows(spark, out, man, "lang", "stars", k=4,
+                            tiebreak=("k",))
+    exp = _win_exp(df, "lang", "stars", 4, ("k",))
+    assert sorted(map(tuple, got.select(*exp.columns).collect())) == \
+        sorted(map(tuple, exp.collect()))
+    # nulls fill the tail when a group has < k non-null values: force it
+    # by asking for more rows than any lang group has non-null stars
+    got_asc = grouped_topk_rows(spark, out, man, "lang", "stars", k=3,
+                                ascending=True, tiebreak=("k",))
+    exp_asc = _win_exp(df, "lang", "stars", 3, ("k",), ascending=True)
+    assert sorted(map(tuple, got_asc.select(*exp_asc.columns).collect())) == \
+        sorted(map(tuple, exp_asc.collect()))
+
+
+def test_grouped_topk_rows_null_group_and_null_fill(spark, tmp_path_factory):
+    from boltspark.engine.agg import grouped_topk_rows
+
+    df = (spark.range(600)
+          .select(F.col("id").alias("k"),
+                  F.when(F.col("id") % 3 != 0,
+                         (F.col("id") % 2).cast("string")).alias("g"),
+                  F.when(F.col("id") % 7 != 0, F.col("id") * 11 % 97)
+                  .alias("v")))
+    base = tmp_path_factory.mktemp("gtkrows")
+    out, man = str(base / "b"), str(base / "m")
+    from boltspark.engine import encode_table
+
+    encode_table(df, out, man, key_cols=("k",), n_parts=2, resume=False)
+    # k larger than any group's non-null v count -> null rows fill
+    k = 250
+    got = grouped_topk_rows(spark, out, man, "g", "v", k=k, tiebreak=("k",))
+    exp = _win_exp(df, "g", "v", k, ("k",))
+    assert sorted(map(tuple, got.select(*exp.columns).collect())) == \
+        sorted(map(tuple, exp.collect()))
+    rows = got.collect()
+    assert any(r["g"] is None for r in rows)  # NULL group is a group
+    assert any(r["v"] is None for r in rows)  # nulls filled the tail
+
+
+def test_grouped_topk_rows_group_cap(spark, topk_table):
+    from boltspark.engine.agg import grouped_topk_rows
+
+    _, out, man = topk_table
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_topk_rows(spark, out, man, "lang", "stars", k=2,
+                          max_groups=2)
+
+
+def test_grouped_topk_rows_projection_predicate(spark, topk_table):
+    from boltspark.engine.agg import grouped_topk_rows
+
+    df, out, man = topk_table
+    pred = BytesEqPredicate(column="lang", value=b"1")
+    got = grouped_topk_rows(spark, out, man, "lang", "stars", k=5,
+                            columns=["k", "lang"], tiebreak=("k",),
+                            predicate=pred)
+    exp = _win_exp(df.filter(F.col("lang") == "1"), "lang", "stars",
+                   5, ("k",)).select("k", "lang", "rnk")
+    assert got.columns == ["k", "lang", "rnk"]
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
