@@ -34,6 +34,7 @@ from .partitioner import (
     estimate_bytes_fast,
     num_partitions,
     with_partition_id,
+    zorder_column,
 )
 from .schema import (PART_ID, blocks_arrow_schema, blocks_spark_schema,
                      storage_cast, tag_for_arrow_type)
@@ -442,6 +443,7 @@ def encode_table(
     codec_override: dict[str, str] | None = None,
     outer_level: int | None = None,
     sort_cols: tuple[str, ...] | None = None,
+    zorder_cols: tuple[str, ...] | None = None,
 ) -> EncodeResult:
     """Encode ``columns`` of ``df`` into a blocks dataset + manifest.
 
@@ -459,6 +461,13 @@ def encode_table(
     hot filter column, so range/point predicates prune most blocks
     JVM-side before any payload byte moves (Z-order-lite; see
     partitioner.with_partition_id).
+
+    ``zorder_cols`` clusters MULTI-dimensionally instead: rows sort by
+    an interleaved-bit Z-value over the named numeric columns
+    (partitioner.zorder_column), so blocks get narrow zone ranges on
+    ALL of them and a range predicate on ANY zorder column prunes —
+    plain sort_cols only serves its leading column.  Mutually
+    exclusive with sort_cols; numeric columns only.
     """
     t_start = time.time()
     spark = df.sparkSession
@@ -514,6 +523,18 @@ def encode_table(
         storage_schema_json = flat_schema.json()
         logical_schema_json = logical_schema.json()
 
+    if zorder_cols:
+        if sort_cols:
+            raise ValueError("sort_cols and zorder_cols are mutually "
+                             "exclusive — pick one clustering")
+        from pyspark.sql import types as T2
+
+        for c in zorder_cols:
+            t = df_sel.schema[c].dataType
+            if not isinstance(t, T2.NumericType):
+                raise TypeError(f"zorder_cols are numeric-only; {c} is "
+                                f"{t.simpleString()} (use sort_cols)")
+        sort_cols = (zorder_column(df_sel, tuple(zorder_cols)),)
     keyed = with_partition_id(df_sel, key_cols, n_parts, sort_cols)
     if n_done:
         from pyspark.sql import functions as F

@@ -129,7 +129,54 @@ def with_partition_id(df: DataFrame, key_cols: tuple[str, ...], n_parts: int,
     )
     # sort by partition id FIRST so each partition is one contiguous
     # segment of its task's Arrow stream, then by sort/key columns
+    # (entries may be Column expressions — the Z-order path passes one)
     order = list(sort_cols) if sort_cols else list(key_cols)
+    order = [F.col(c) if isinstance(c, str) else c for c in order]
     return keyed.repartition(n_parts, F.col(PART_COL)).sortWithinPartitions(
         PART_COL, *order
     )
+
+
+def zorder_column(df: DataFrame, cols: tuple[str, ...], bits: int = 8):
+    """Interleaved-bit Z-value over numeric columns — the multi-
+    dimensional clustering lever.  Each column maps to a 2^bits bucket
+    id by min/max scaling (ONE tiny agg job for all bounds), and the
+    bucket bits interleave (column c's bit j lands at position
+    j*n_cols + c's slot), so sorting by the result clusters EVERY
+    dimension at once: blocks get narrow zone ranges on ALL the zorder
+    columns and a range predicate on ANY of them prunes — where plain
+    ``sort_cols`` clustering prunes only its leading column.
+
+    Pure JVM expression (shift/and/sum over the scaled buckets): no
+    Python, no extra shuffle, evaluated only for the within-partition
+    sort.  Uniform binning: heavy value skew compresses the effective
+    bucket count on that dimension (quantile-edge binning is the
+    upgrade path); NULLs bucket to 0 and cluster together.  Resume-
+    safe: the bounds are a pure function of the input data."""
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits={bits} x {len(cols)} columns exceeds int64")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__mx_{c}")]
+    bounds = df.agg(*aggs).first()
+    n = len(cols)
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            continue  # constant / all-null dimension carries no bits
+        scaled = (F.col(c).cast("double") - float(mn)) \
+            / (float(mx) - float(mn)) * top
+        bucket = F.coalesce(
+            F.least(F.lit(top).cast("long"),
+                    F.greatest(F.lit(0).cast("long"),
+                               F.floor(scaled).cast("long"))),
+            F.lit(0).cast("long"))
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + (n - 1 - ci))
+    return z
