@@ -136,3 +136,52 @@ def gc_orphans(
             os.remove(local)
     return {"orphan_files": len(per_file), "orphan_groups": int(n_groups),
             "bytes": int(total)}
+
+
+def recluster_table(
+    spark: SparkSession,
+    blocks_path: str,
+    manifest_path: str,
+    out_blocks_path: str,
+    out_manifest_path: str,
+    sort_cols: tuple[str, ...] | None = None,
+    zorder_cols: tuple[str, ...] | None = None,
+    run_id: str | None = None,
+    **encode_kwargs,
+):
+    """OPTIMIZE ... ZORDER BY analog: decode the valid table and
+    re-encode it CLUSTERED (``sort_cols`` or ``zorder_cols``) into a
+    fresh blocks+manifest pair at ``out_*``.
+
+    Why it exists: streaming appends write one run per epoch in arrival
+    order, so over time blocks carry wide zone ranges and the read-side
+    pruning decays — ``compact_blocks`` shrinks the file count but
+    keeps the old row order (payloads move as opaque bytes).
+    Reclustering pays one decode+encode to restore it; measure the
+    before/after with ``stats.explain_scan`` (skip fraction).  The
+    codec selector re-runs per partition, so codecs also adapt to the
+    new order (sorted runs -> rle/delta/prefix start winning).
+
+    key_cols/n_parts are carried from the source manifest: partition
+    ids are a pure function of the data, so point-query pruning and
+    per-partition lineage still hold in the new table.  The output is
+    a NEW dataset path; swapping it in is the caller's atomic rename
+    (same contract as compact_blocks).  Returns encode.EncodeResult."""
+    from .decode import decode_table
+    from .encode import encode_table
+
+    if not sort_cols and not zorder_cols:
+        raise ValueError("recluster_table needs sort_cols or zorder_cols "
+                         "— for a plain small-file rewrite use "
+                         "compact_blocks (no re-encode)")
+    meta = manifestmod.table_meta(spark, manifest_path)
+    missing = [k for k in meta["key_cols"] if k not in meta["columns"]]
+    if missing:
+        raise ValueError(f"key columns {missing} were not encoded — "
+                         "cannot recompute partition ids from the decode")
+    df = decode_table(spark, blocks_path, manifest_path)
+    return encode_table(
+        df, out_blocks_path, out_manifest_path,
+        key_cols=tuple(meta["key_cols"]), n_parts=int(meta["n_parts"]),
+        sort_cols=sort_cols, zorder_cols=zorder_cols,
+        run_id=run_id, resume=False, **encode_kwargs)

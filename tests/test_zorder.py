@@ -94,3 +94,38 @@ def test_zorder_constant_and_null_dims(spark, tmp_path_factory):
     got = decode_table(spark, out, man)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, df.collect()))
+
+
+def test_recluster_restores_pruning(spark, tmp_path_factory):
+    """OPTIMIZE-style recluster: three arrival-order appends leave wide
+    zone ranges; recluster_table(zorder_cols=) restores multi-dim
+    pruning and the data is bit-identical."""
+    from boltspark.engine.compact import recluster_table
+
+    base = tmp_path_factory.mktemp("reclust")
+    out, man = str(base / "b"), str(base / "m")
+    for i in range(3):  # arrival order: x/y interleave badly per run
+        df = (spark.range(i * 8000, (i + 1) * 8000)
+              .select(F.col("id").alias("k"),
+                      ((F.col("id") * 37) % 200).alias("x"),
+                      ((F.col("id") * 7919) % 200).alias("y")))
+        encode_table(df, out, man, key_cols=("k",), n_parts=2,
+                     block_bytes=8 << 10, resume=False)
+    full = (spark.range(24000)
+            .select(F.col("id").alias("k"),
+                    ((F.col("id") * 37) % 200).alias("x"),
+                    ((F.col("id") * 7919) % 200).alias("y")))
+    before_x, _ = _skip_fraction(spark, out, man, "x")
+    ro, rm = str(base / "rb"), str(base / "rm")
+    res = recluster_table(spark, out, man, ro, rm, zorder_cols=("x", "y"),
+                          block_bytes=8 << 10)
+    after_x, n = _skip_fraction(spark, ro, rm, "x")
+    after_y, _ = _skip_fraction(spark, ro, rm, "y")
+    assert before_x < 0.1 and after_x > 0.4 and after_y > 0.4, \
+        (before_x, after_x, after_y)
+    got = decode_table(spark, ro, rm)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # guards
+    with pytest.raises(ValueError, match="sort_cols or zorder_cols"):
+        recluster_table(spark, out, man, str(base / "x"), str(base / "xm"))
