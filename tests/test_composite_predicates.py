@@ -192,3 +192,31 @@ def test_or_with_evolved_column(spark, tmp_path_factory):
         .select("k")
     assert sorted(r[0] for r in got.collect()) == \
         sorted(r[0] for r in exp.collect())
+
+
+def test_not_over_d128_range(spark, tmp_path_factory):
+    """NotPredicate propagates supports_d128 from its child, so
+    NOT(decimal38 range) filters d128 word-pair blocks instead of
+    tripping the decode guard; ternary null rule holds."""
+    from decimal import Decimal
+
+    from boltspark.engine.filters import Decimal128RangePredicate
+
+    df = (spark.range(2000)
+          .select(F.col("id").alias("k"),
+                  F.when(F.col("id") % 9 != 0,
+                         F.concat(F.col("id").cast("string"),
+                                  F.lit("0" * 21)).cast("decimal(38,0)"))
+                  .alias("d")))  # exact id * 10^21, needs >64 bits
+    base = tmp_path_factory.mktemp("notd128")
+    out, man = str(base / "b"), str(base / "m")
+    encode_table(df, out, man, key_cols=("k",), n_parts=2, resume=False)
+    lo, hi = 500 * 10**21, 1500 * 10**21  # unscaled (scale 0) bounds
+    pred = NotPredicate(Decimal128RangePredicate(column="d", lower=lo,
+                                                 upper=hi))
+    got = decode_table(spark, out, man, predicate=pred, columns=["k"])
+    exp = df.filter(~F.col("d").between(
+        Decimal(500 * 10**21), Decimal(1500 * 10**21))
+        & F.col("d").isNotNull()).select("k")
+    assert sorted(r[0] for r in got.collect()) == \
+        sorted(r[0] for r in exp.collect())
