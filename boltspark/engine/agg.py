@@ -1890,6 +1890,23 @@ def column_topk(spark: SparkSession, blocks_path: str, manifest_path: str,
     return partials.orderBy(order_col).limit(k)
 
 
+def _session_aware(spark: SparkSession, v):
+    """PySpark ``.collect()`` converts TimestampType through
+    ``datetime.fromtimestamp`` — a NAIVE datetime in the DRIVER OS
+    timezone (TimestampType.fromInternal; the session timeZone only
+    affects SQL parsing/rendering).  The predicate layer interprets
+    naive datetimes as UTC (filters._storage_bound), so on a non-UTC
+    driver a collected threshold would shift by the OS offset —
+    ``astimezone()`` on a naive value attaches the OS zone, making the
+    epoch conversion exact everywhere.  Dates and non-temporals pass
+    through."""
+    import datetime as dtm
+
+    if isinstance(v, dtm.datetime) and v.tzinfo is None:
+        return v.astimezone()
+    return v
+
+
 def _threshold_pred(column: str, dt, bound, ascending: bool,
                     fill_nulls: bool):
     """The at-or-beyond-the-k-th-value decode predicate, typed by the
@@ -1984,7 +2001,8 @@ def topk_rows(spark: SparkSession, blocks_path: str, manifest_path: str,
         preds.append(ConstPredicate(column=column, accept=False,
                                     null_allowed=True))
     else:
-        bound = vals[-1]  # the k-th ranked value (globally ordered)
+        # the k-th ranked value (globally ordered); session-tz aware
+        bound = _session_aware(spark, vals[-1])
         fill_nulls = len(vals) < k  # nulls make the cut only then
         preds.append(_threshold_pred(column, dt, bound, ascending,
                                      fill_nulls))
@@ -2904,14 +2922,21 @@ def grouped_topk_rows(spark: SparkSession, blocks_path: str,
         per_group.setdefault(r["value"], []).append((r["rnk"], r["item"]))
     legs = []
     for g in groups:
-        gleg = _group_eq_pred(group_column, g, gdt)
+        if isinstance(g, float) and g != g:
+            # NaN never equals itself: no equality predicate can name
+            # this group, and silently dropping it breaks SQL grouping
+            raise NotImplementedError(
+                "NaN group keys are not supported by grouped_topk_rows "
+                "— filter them out or use decode_table + a window")
+        gleg = _group_eq_pred(group_column, _session_aware(spark, g), gdt)
         vals = sorted(per_group.get(g, []))
         if len(vals) < k:
             # fewer than k ranked values: every row of the group stays
             # (null values fill the tail, SQL NULLS LAST)
             legs.append(gleg)
         else:
-            thr = _threshold_pred(value_column, vdt, vals[-1][1],
+            thr = _threshold_pred(value_column, vdt,
+                                  _session_aware(spark, vals[-1][1]),
                                   ascending, False)
             legs.append(AndPredicate([gleg, thr]))
     preds = list(_normalize_predicates(predicate))
@@ -2925,6 +2950,9 @@ def grouped_topk_rows(spark: SparkSession, blocks_path: str,
                 dec_cols.append(c)
     out = decode_table(spark, blocks_path, manifest_path, columns=dec_cols,
                        predicate=preds, run_ids=run_ids)
+    if "rnk" in out.columns:
+        raise ValueError("the output rank column 'rnk' collides with a "
+                         "decoded data column — pass columns= without it")
     order = [F.col(value_column).asc_nulls_last() if ascending
              else F.col(value_column).desc_nulls_last()]
     order += [F.col(c).asc() for c in tiebreak]

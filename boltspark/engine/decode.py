@@ -432,7 +432,9 @@ def decode_table(
         leaf = nest.resolve_leaf(p.column, logical)
         if leaf is None or leaf not in all_cols:
             raise KeyError(f"predicate column {p.column} not encoded")
-        return dataclasses.replace(p, column=leaf)
+        from .filters import replace_predicate
+
+        return replace_predicate(p, column=leaf)
 
     resolved = []
     for pred in predicates:

@@ -779,14 +779,27 @@ class BytesSuffixPredicate(Predicate):
         return cond
 
 
+def replace_predicate(pred, **kw):
+    """``dataclasses.replace`` that PRESERVES construction-time hints
+    (RangePredicate keeps the user's original temporal bounds in
+    ``_spark_lower``/``_spark_upper`` for to_spark_condition; a plain
+    replace re-runs __post_init__ on the already-converted epoch ints
+    and would clobber them).  Use this for every predicate rebuild —
+    leaf-column resolution, NOT's null_allowed strip."""
+    new = dataclasses.replace(pred, **kw)
+    for a in ("_spark_lower", "_spark_upper"):
+        if hasattr(pred, a):
+            setattr(new, a, getattr(pred, a))
+    return new
+
+
 class _CompositePredicate(Predicate):
-    """Shared plumbing for OR/AND nodes.  The engine detects composites
-    by the ``children`` attribute and evaluates them recursively
+    """Shared plumbing for OR/AND nodes (subclasses declare the
+    ``children`` dataclass field; its presence is how the engine
+    detects composites).  Evaluation is recursive
     (decode.eval_group_predicate), so every leaf keeps its zone-map /
     bloom / dictionary short-circuits; the single-column Predicate API
     (check/mask/check_zone) is deliberately unimplemented here."""
-
-    children: list
 
     @property
     def columns(self) -> list[str]:
@@ -901,13 +914,10 @@ class NotPredicate(Predicate):
         self.supports_d128 = getattr(self.child, "supports_d128", False)
         # the child's VALUE verdicts with nulls set aside — its own
         # null_allowed must not leak into the inversion
+        # (replace_predicate keeps _spark_* temporal-literal hints)
         self._vchild = (self.child if not self.child.null_allowed
-                        else dataclasses.replace(self.child,
-                                                 null_allowed=False))
-
-    @property
-    def columns(self) -> list[str]:
-        return [self.column]
+                        else replace_predicate(self.child,
+                                               null_allowed=False))
 
     def map_leaves(self, fn):
         return dataclasses.replace(self, child=fn(self.child))

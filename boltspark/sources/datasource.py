@@ -196,7 +196,9 @@ class BoltReader(DataSourceReader):
             leaf = nest.resolve_leaf(p.column, self.logical)
             if leaf is None or leaf not in self.all_flat:
                 raise KeyError(p.column)
-            return dataclasses.replace(p, column=leaf)
+            from ..engine.filters import replace_predicate
+
+            return replace_predicate(p, column=leaf)
 
         for f in filters:
             pred = _to_predicate(f)

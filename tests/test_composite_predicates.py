@@ -220,3 +220,18 @@ def test_not_over_d128_range(spark, tmp_path_factory):
         & F.col("d").isNotNull()).select("k")
     assert sorted(r[0] for r in got.collect()) == \
         sorted(r[0] for r in exp.collect())
+
+
+def test_not_preserves_temporal_spark_literals():
+    """Review fix: NotPredicate's null_allowed-stripped child copy must
+    keep the user's original datetime bounds for to_spark_condition
+    (a plain dataclasses.replace re-runs __post_init__ on the already-
+    converted epoch ints and clobbers them)."""
+    import datetime as dt
+
+    child = RangePredicate(column="ts", lower=dt.datetime(2024, 1, 1),
+                           null_allowed=True)
+    n = NotPredicate(child)
+    assert isinstance(n._vchild._spark_lower, dt.datetime)
+    # and the storage-side bound stays the epoch integer
+    assert isinstance(n._vchild.lower, int)

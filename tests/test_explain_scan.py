@@ -95,3 +95,23 @@ def test_explain_reads_no_block_bytes(spark, zoned_table):
     rs = [ln.split("ReadSchema:", 1)[1] for ln in plan.splitlines()
           if "ReadSchema" in ln and "cols" in ln.split("ReadSchema:", 1)[-1]]
     assert rs and all("block" not in frag for frag in rs), plan
+
+
+def test_explain_resolves_struct_leaf_predicates(spark, tmp_path_factory):
+    """Review fix: explain_scan must accept dotted struct-leaf
+    predicate columns exactly as decode_table does."""
+    df = (spark.range(2000)
+          .select(F.col("id").alias("k"),
+                  F.struct((F.col("id") % 50).alias("w"),
+                           (F.col("id") % 9).alias("h")).alias("meta")))
+    base = tmp_path_factory.mktemp("explnest")
+    out, man = str(base / "b"), str(base / "m")
+    encode_table(df, out, man, key_cols=("k",), n_parts=2, resume=False)
+    pred = RangePredicate(column="meta.w", lower=10, upper=20)
+    rep = {r["verdict"]: r["n_rows"]
+           for r in explain_scan(spark, out, man, predicate=pred).collect()}
+    assert sum(rep.values()) == 2000
+    decoded = decode_table(spark, out, man, predicate=pred).count()
+    assert rep.get("accept", 0) <= decoded <= \
+        rep.get("accept", 0) + rep.get("open", 0)
+    assert decoded == df.filter(F.col("meta.w").between(10, 20)).count() > 0

@@ -199,3 +199,87 @@ def test_grouped_topk_rows_projection_predicate(spark, topk_table):
     assert got.columns == ["k", "lang", "rnk"]
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, exp.collect()))
+
+
+def test_collected_timestamps_localize_to_os_zone():
+    """Review fix: PySpark collect() returns timestamps as naive
+    OS-local datetimes (TimestampType.fromInternal); _session_aware
+    must attach the OS zone so the UTC storage-epoch conversion is
+    exact on non-UTC drivers."""
+    import datetime as dt
+    import os
+    import time as time_mod
+
+    from boltspark.engine.agg import _session_aware
+    from boltspark.engine.filters import _storage_bound
+
+    abs_utc = dt.datetime(2024, 6, 1, 12, 0, tzinfo=dt.timezone.utc)
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time_mod.tzset()
+    try:
+        # what collect() would hand back on a NY driver: naive local
+        collected = dt.datetime.fromtimestamp(abs_utc.timestamp())
+        assert collected.hour == 8  # 12:00Z == 08:00 EDT
+        fixed = _session_aware(None, collected)
+        assert _storage_bound(fixed) == int(abs_utc.timestamp() * 1e6)
+        # the naive-as-UTC misread would have been 4 h off
+        assert _storage_bound(collected) != int(abs_utc.timestamp() * 1e6)
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time_mod.tzset()
+
+
+def test_topk_rows_timestamps_non_utc_session(spark, tmp_path_factory):
+    """Timestamp ordering end-to-end under a non-UTC SESSION timezone
+    (parse/render path; collect localization is pinned above)."""
+    import datetime as dt
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.range(3000).select(
+            F.col("id").alias("k"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(mins=F.col("id"))).alias("ts"))
+        base = tmp_path_factory.mktemp("topktz")
+        out, man = str(base / "b"), str(base / "m")
+        encode_table(df, out, man, key_cols=("k",), n_parts=2,
+                     block_bytes=16 << 10, resume=False)
+        got = topk_rows(spark, out, man, "ts", k=10, tiebreak=("k",))
+        exp = df.orderBy(F.col("ts").desc_nulls_last(), F.col("k")).limit(10)
+        assert _rows(got) == _rows(exp.select(got.columns))
+        assert isinstance(got.collect()[0]["ts"], dt.datetime)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_grouped_topk_rows_nan_group_raises(spark, tmp_path_factory):
+    from boltspark.engine.agg import grouped_topk_rows
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit(float("nan")))
+        .otherwise(F.lit(1.0)).alias("g"),
+        (F.col("id") % 7).alias("v"))
+    base = tmp_path_factory.mktemp("gtknan")
+    out, man = str(base / "b"), str(base / "m")
+    encode_table(df, out, man, key_cols=("k",), n_parts=2, resume=False)
+    with pytest.raises(NotImplementedError, match="NaN group keys"):
+        grouped_topk_rows(spark, out, man, "g", "v", k=2)
+
+
+def test_grouped_topk_rows_rnk_collision_raises(spark, tmp_path_factory):
+    from boltspark.engine.agg import grouped_topk_rows
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("rnk"),
+        (F.col("id") % 7).alias("v"))
+    base = tmp_path_factory.mktemp("gtkrnk")
+    out, man = str(base / "b"), str(base / "m")
+    encode_table(df, out, man, key_cols=("k",), n_parts=2, resume=False)
+    with pytest.raises(ValueError, match="'rnk' collides"):
+        grouped_topk_rows(spark, out, man, "v", "k", k=2)
