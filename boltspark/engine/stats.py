@@ -88,23 +88,24 @@ def validate_table(
                       f"run={r['run_id']} seq={r['seq']} x{r['n']}")
 
     if crc_sample and not errors:
-        # phase 1 (metadata-only, DISTRIBUTED): a seeded hash ranks
-        # every group identity and a top-n over the rank picks the
-        # sample, so the driver receives exactly ``crc_sample`` rows —
-        # never the group list (at 100 TB that list is ~25M rows for an
-        # 8-cell spot check).  Each sampled group checks one column,
-        # itself hash-picked from the seed, so the (group x column)
-        # cell universe is reachable: a different ``crc_seed`` rotates
-        # both the groups and the columns (deterministic regardless of
-        # scan partitioning — the rank is a pure function of identity).
+        # phase 1 (metadata-only, DISTRIBUTED): every (group, column)
+        # CELL gets a seeded hash rank and a top-n over the rank picks
+        # the sample, so the driver receives exactly ``crc_sample``
+        # rows — never the group list (at 100 TB that list is ~25M rows
+        # for an 8-cell spot check).  Ranking cells directly (not
+        # groups with one hash-picked column each) means crc_sample=8
+        # is 8 DISTINCT cells even on a tiny table whose group count is
+        # below the sample size — the earlier per-group column pick
+        # capped the sample at n_groups cells and systematically
+        # under-sampled small tables.  Deterministic regardless of scan
+        # partitioning: the rank is a pure function of cell identity.
         ranked = (
             blocks.select(PART_ID, "run_id", "seq")
+            .withColumn("__ci", F.explode(F.array(
+                *[F.lit(i) for i in range(len(cols))])))
             .withColumn("__rk", F.xxhash64(
                 F.col(PART_ID), F.col("run_id"), F.col("seq"),
-                F.lit(int(crc_seed))))
-            .withColumn("__ci", F.pmod(F.xxhash64(
-                F.col("run_id"), F.col("seq"), F.col(PART_ID),
-                F.lit(int(crc_seed) + 1)), F.lit(len(cols))))
+                F.col("__ci"), F.lit(int(crc_seed))))
             .orderBy("__rk")
             .limit(int(crc_sample))
             .collect()

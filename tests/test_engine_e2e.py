@@ -1089,10 +1089,19 @@ def test_validate_table_crc_sample_reaches_last_file(spark, tmp_path):
                             "." + os.path.basename(victim) + ".crc")
     if os.path.exists(crc_side):
         os.remove(crc_side)
-    hits = [s for s in range(10)
-            if not validate_table(spark, f"{d}/b", f"{d}/m", crc_sample=8,
-                                  crc_seed=s)["ok"]]
-    assert hits, "seeded uniform sample never reached the corrupted cell"
+    # the doctor ranks (group x column) CELLS, so each seed checks 8
+    # distinct cells of the ~24 here (p(hit) ~= 1/3 per seed); 24 seeds
+    # push the miss rate below 1e-4, short-circuiting on the first
+    # catch (~3 expected).  Before the cell-rank fix the sample was
+    # capped at n_groups cells/seed and missed ~5/6 of the time.
+    hit_seed = None
+    for s in range(24):
+        if not validate_table(spark, f"{d}/b", f"{d}/m", crc_sample=8,
+                              crc_seed=s)["ok"]:
+            hit_seed = s
+            break
+    assert hit_seed is not None, \
+        "seeded uniform sample never reached the corrupted cell"
     rep = validate_table(spark, f"{d}/b", f"{d}/m", crc_sample=8,
-                         crc_seed=hits[0])
+                         crc_seed=hit_seed)
     assert any("corrupt block" in e and "col=text" in e for e in rep["errors"])
