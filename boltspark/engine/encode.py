@@ -31,9 +31,10 @@ from .memutil import trimmed
 from .partitioner import (
     DEFAULT_TARGET_PARTITION_BYTES,
     PART_COL,
+    assign_partition_id,
+    cluster_partitions,
     estimate_bytes_fast,
     num_partitions,
-    with_partition_id,
     zorder_column,
 )
 from .schema import (PART_ID, blocks_arrow_schema, blocks_spark_schema,
@@ -535,17 +536,19 @@ def encode_table(
                 raise TypeError(f"zorder_cols are numeric-only; {c} is "
                                 f"{t.simpleString()} (use sort_cols)")
         sort_cols = (zorder_column(df_sel, tuple(zorder_cols)),)
-    keyed = with_partition_id(df_sel, key_cols, n_parts, sort_cols)
+    keyed = assign_partition_id(df_sel, key_cols, n_parts)
     if n_done:
         from pyspark.sql import functions as F
 
-        # broadcast anti-join against the manifest's completed partitions:
-        # no partition list ever rides through the driver (at 100 TB that
-        # list is millions of entries)
+        # broadcast anti-join against the manifest's completed partitions
+        # BEFORE the shuffle, so finished partitions' bytes never enter
+        # the exchange; no partition list ever rides through the driver
+        # (at 100 TB that list is millions of entries)
         keyed = keyed.join(
             F.broadcast(done_df.withColumnRenamed(PART_ID, PART_COL)),
             PART_COL, "left_anti",
         )
+    keyed = cluster_partitions(keyed, n_parts, key_cols, sort_cols)
     n_planned = n_parts - n_done
 
     # no partitions to encode (idempotent resume replay): skip the

@@ -148,13 +148,16 @@ def commit(
         [(-1, run_id, META_KEY, 0, 0, 0, 0.0, 0, "", "", meta)],
         _MANIFEST_SCHEMA,
     )
-    agg.unionByName(meta_row).write.mode("append").parquet(manifest_path)
-    totals = (
-        spark.read.parquet(manifest_path)
-        .filter((F.col("run_id") == run_id) & (F.col("column") != META_KEY))
-        .agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e"))
-        .collect()[0]
-    )
+    # persist the (tiny, one row per partition-column) aggregate so the
+    # byte totals fold from the cached rows instead of re-scanning the
+    # just-written manifest — one fewer job + parquet read per commit
+    agg = agg.persist()
+    try:
+        agg.unionByName(meta_row).write.mode("append").parquet(manifest_path)
+        totals = agg.agg(F.sum("raw_bytes").alias("r"),
+                         F.sum("enc_bytes").alias("e")).collect()[0]
+    finally:
+        agg.unpersist()
     return {"raw_bytes": int(totals["r"] or 0), "enc_bytes": int(totals["e"] or 0)}
 
 

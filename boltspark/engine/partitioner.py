@@ -11,10 +11,15 @@ columns mod P), so resume lineage is stable across runs.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 PART_COL = "__bsk_part"
+SHUF_COL = "__bsk_shuf"
 DEFAULT_TARGET_PARTITION_BYTES = 64 << 20
+# preimage tables up to this size ride as a literal array expression;
+# larger tables (100 TB-scale part counts) go through a broadcast join
+_PREIMAGE_LITERAL_MAX = 65536
 
 
 def estimate_bytes_fast(df: DataFrame, columns: list[str],
@@ -107,16 +112,87 @@ def num_partitions(total_bytes: int, target_bytes: int, min_parts: int = 1) -> i
     return max(min_parts, -(-total_bytes // max(target_bytes, 1)))
 
 
-def with_partition_id(df: DataFrame, key_cols: tuple[str, ...], n_parts: int,
-                      sort_cols: tuple[str, ...] | None = None) -> DataFrame:
-    """Add the deterministic salted partition id and co-locate rows.
+def _murmur3_long(v) -> np.ndarray:
+    """Spark's Murmur3Hash (seed 42) over int64 values, vectorized —
+    bit-exact with ``F.hash(longCol)`` (pinned in tests/test_partitioner
+    against Spark itself).  Used to precompute shuffle-bucket preimages
+    so the encode shuffle maps partitions to reduce tasks 1:1."""
+    x = np.asarray(v, dtype=np.int64).astype(np.uint64)
+    low = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    high = (x >> np.uint64(32)).astype(np.uint32)
+
+    def mix_k1(k1):
+        k1 = k1 * np.uint32(0xCC9E2D51)
+        k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+        return k1 * np.uint32(0x1B873593)
+
+    def mix_h1(h1, k1):
+        h1 = h1 ^ k1
+        h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+        return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+    h1 = mix_h1(np.full_like(low, 42, dtype=np.uint32), mix_k1(low))
+    h1 = mix_h1(h1, mix_k1(high))
+    h1 = h1 ^ np.uint32(8)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    return h1.view(np.int32).astype(np.int64)
+
+
+def shuffle_preimages(n_parts: int) -> np.ndarray:
+    """preimages[p] = smallest k >= 0 with pmod(murmur3(k), P) == p.
+
+    ``repartition(P, col)`` places rows by ``pmod(murmur3(col), P)``;
+    hashing the partition id itself throws 61 balls into 61 bins —
+    ~37% of reduce tasks sit idle while the unlucky ones encode 2-4
+    partitions (the straggler tail measured in bench/ab_r06.py).
+    Shuffling on ``preimages[part_id]`` instead makes the placement a
+    bijection: every partition gets its own reduce task, deterministic
+    and independent of the data.  Pure driver-side numpy, O(P) work."""
+    out = np.full(n_parts, -1, dtype=np.int64)
+    need = n_parts
+    start = 0
+    chunk = int(min(max(64 * n_parts, 1024), 1 << 24))
+    while need > 0:
+        cand = np.arange(start, start + chunk, dtype=np.int64)
+        b = np.mod(_murmur3_long(cand), n_parts)
+        uniq, idx = np.unique(b, return_index=True)
+        mask = out[uniq] < 0
+        out[uniq[mask]] = cand[idx[mask]]
+        need -= int(mask.sum())
+        start += chunk
+    return out
+
+
+def assign_partition_id(df: DataFrame, key_cols: tuple[str, ...],
+                        n_parts: int) -> DataFrame:
+    """Attach the deterministic salted partition id (NO shuffle).
 
     ``pmod(xxhash64(key), P)`` both salts giant repos across partitions
-    and keeps the id reproducible for checkpoint/resume.  The
-    repartition shuffles on exactly that id so every partition's rows
-    land in one task; ``sortWithinPartitions`` lengthens runs for the
-    RLE/dict codecs at no extra shuffle (the physical analog of the
-    reference's ``is_sorted`` dictionary flag).
+    and keeps the id reproducible for checkpoint/resume — this
+    assignment is the on-disk contract and never changes."""
+    return df.withColumn(
+        PART_COL, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_parts))
+    )
+
+
+def cluster_partitions(keyed: DataFrame, n_parts: int,
+                       key_cols: tuple[str, ...],
+                       sort_cols: tuple[str, ...] | None = None) -> DataFrame:
+    """Co-locate each partition's rows in exactly one reduce task and
+    order them for the codecs.
+
+    The shuffle key is ``preimages[part_id]`` (see shuffle_preimages):
+    partition -> reduce task is a bijection, so no task encodes two
+    partitions while a neighbor sits empty (with plain
+    ``repartition(P, part)`` ~37% of tasks are empty and the stragglers
+    carry 2-4 partitions — guide §2.5's synthetic-key collision trap).
+    ``sortWithinPartitions`` lengthens runs for the RLE/dict codecs at
+    no extra shuffle (the physical analog of the reference's
+    ``is_sorted`` dictionary flag).
 
     ``sort_cols`` overrides the within-partition order (CLUSTERING): a
     partition sorted by a hot filter column gives every block a narrow
@@ -124,17 +200,39 @@ def with_partition_id(df: DataFrame, key_cols: tuple[str, ...], n_parts: int,
     predicates — the Z-order-lite lever for read-heavy tables.  The
     point-query row order (row_range) follows the same columns.
     """
-    keyed = df.withColumn(
-        PART_COL, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_parts))
-    )
+    pre = shuffle_preimages(n_parts)
+    if n_parts <= _PREIMAGE_LITERAL_MAX:
+        # array<bigint> cast matters: hash(int) and hash(bigint) are
+        # different Murmur3 paths, and the preimages assume hashLong
+        shuf = F.element_at(F.lit([int(x) for x in pre]).cast("array<long>"),
+                            F.col(PART_COL).cast("int") + 1)
+        keyed = keyed.withColumn(SHUF_COL, shuf)
+    else:
+        # 100 TB-scale part counts: the table is too big for a plan
+        # literal — ship it as a broadcast-joined mapping instead
+        spark = keyed.sparkSession
+        map_df = spark.createDataFrame(
+            [(int(p), int(k)) for p, k in enumerate(pre)],
+            f"{PART_COL} long, {SHUF_COL} long")
+        keyed = keyed.join(F.broadcast(map_df), PART_COL, "inner")
     # sort by partition id FIRST so each partition is one contiguous
     # segment of its task's Arrow stream, then by sort/key columns
     # (entries may be Column expressions — the Z-order path passes one)
     order = list(sort_cols) if sort_cols else list(key_cols)
     order = [F.col(c) if isinstance(c, str) else c for c in order]
-    return keyed.repartition(n_parts, F.col(PART_COL)).sortWithinPartitions(
+    return keyed.repartition(n_parts, F.col(SHUF_COL)).sortWithinPartitions(
         PART_COL, *order
-    )
+    ).drop(SHUF_COL)
+
+
+def with_partition_id(df: DataFrame, key_cols: tuple[str, ...], n_parts: int,
+                      sort_cols: tuple[str, ...] | None = None) -> DataFrame:
+    """assign_partition_id + cluster_partitions (kept as the one-call
+    surface; encode_table calls the two halves so the resume anti-join
+    can drop completed partitions BEFORE their bytes enter the shuffle).
+    """
+    return cluster_partitions(assign_partition_id(df, key_cols, n_parts),
+                              n_parts, key_cols, sort_cols)
 
 
 def zorder_column(df: DataFrame, cols: tuple[str, ...], bits: int = 8):

@@ -35,6 +35,15 @@ def get_session(app: str = "boltspark", cpus: int | None = None,
         # the boltspark Python data source translates pushed filters into
         # engine predicates (sources/datasource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # scan split size: blocks-parquet rows are ~4 MB pre-compressed
+        # payloads that expand ~7x on decode, so a 16 MB split is
+        # ~100-120 MB of decoded working set per task — guide §6's
+        # 100 MB-1 GB guidance measured in DECODED bytes.  The default
+        # 128 MB packed a 61-file blocks dataset into ~6 scan tasks and
+        # left 26 of 32 cores idle for every decode (bench/ab_r06.py).
+        # Parameterised for real clusters via env.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("BOLTSPARK_MAX_PARTITION_BYTES", "16m"))
     )
     if os.path.isdir("/dev/shm"):
         # this host's disk contends badly under parallel shuffle I/O;
