@@ -354,9 +354,18 @@ def _make_encoder(columns: list[str], run_id: str, block_bytes: int,
 # ratio fsst wins over plain+zstd, never correctness)
 _FSST_SAMPLE_ROWS = 1024
 
+# below this estimated table size the driver-side FSST table prebuild is
+# skipped outright (fsst drops out of the selector trials): building the
+# tables costs ~0.4 s of pure-Python CPU per byte column, which dwarfs
+# the entire encode of a few-MB table, while the few % of ratio fsst can
+# win over plain+zstd is noise at that size.  codec_override='fsst'
+# columns always get a table regardless.
+_FSST_PREBUILD_MIN_BYTES = 64 << 20
+
 
 def _prebuild_fsst_tables(df_sel, columns: list[str],
-                          codec_override: dict[str, str] | None) -> dict:
+                          codec_override: dict[str, str] | None,
+                          total_bytes: int | None = None) -> dict:
     """Build FSST symbol tables ONCE on the driver from a bounded sample
     and ship them in the encoder closure — instead of once per task,
     where the pure-Python greedy construction measured 77% of encode
@@ -375,6 +384,11 @@ def _prebuild_fsst_tables(df_sel, columns: list[str],
     byte_cols = [f.name for f in df_sel.schema.fields
                  if f.name in set(columns)
                  and isinstance(f.dataType, (T.StringType, T.BinaryType))]
+    if total_bytes is not None and total_bytes < _FSST_PREBUILD_MIN_BYTES:
+        # small table: fsst can't pay for its table builds — keep only
+        # columns explicitly pinned to fsst
+        byte_cols = [c for c in byte_cols
+                     if codec_override and codec_override.get(c) == "fsst"]
     if not byte_cols:
         return {}
     rows = df_sel.select(*byte_cols).limit(_FSST_SAMPLE_ROWS).collect()
@@ -497,6 +511,7 @@ def encode_table(
             # partition assignment must be the pure function of the data
             # it was on the first run: reuse the recorded partition count
             n_parts = int(manifestmod.table_meta(spark, manifest_path)["n_parts"])
+    total_bytes = None
     if n_parts is None:
         total_bytes = estimate_bytes_fast(df, columns)
         n_parts = num_partitions(total_bytes, target_partition_bytes,
@@ -553,7 +568,8 @@ def encode_table(
 
     # no partitions to encode (idempotent resume replay): skip the
     # sample job + driver-side table builds outright
-    prebuilt_fsst = (_prebuild_fsst_tables(df_sel, columns, codec_override)
+    prebuilt_fsst = (_prebuild_fsst_tables(df_sel, columns, codec_override,
+                                           total_bytes)
                      if n_planned > 0 else {})
     blocks = keyed.mapInArrow(
         trimmed(_make_encoder(columns, run_id, block_bytes, outer,

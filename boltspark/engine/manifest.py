@@ -36,6 +36,13 @@ _MANIFEST_SCHEMA = (
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
+    local = _local_dir(path)
+    if local is not None:
+        import glob as _glob
+        import os as _os
+
+        return any(not _os.path.basename(p).startswith(("_", "."))
+                   for p in _glob.glob(f"{local}/*.parquet"))
     try:
         spark.read.parquet(path).limit(1).collect()
         return True
@@ -44,13 +51,13 @@ def _exists(spark: SparkSession, path: str) -> bool:
 
 
 def run_exists(spark: SparkSession, manifest_path: str, run_id: str) -> bool:
-    """True if this run id already committed (idempotent epoch replay)."""
+    """True if this run id already committed (idempotent epoch replay).
+    Every commit appends exactly one META row (commit() is the single
+    manifest writer), so run membership reads from the tiny META rows —
+    driver-side for local manifests, no Spark job."""
     if not _exists(spark, manifest_path):
         return False
-    return bool(
-        spark.read.parquet(manifest_path)
-        .filter(F.col("run_id") == run_id).limit(1).collect()
-    )
+    return any(rid == run_id for rid, _ in _meta_rows(spark, manifest_path))
 
 
 def completed_partitions_df(spark: SparkSession,
@@ -131,10 +138,8 @@ def commit(
     # commits epochs strictly in sequence.
     run_seq = 0
     if _exists(spark, manifest_path):
-        prev = (spark.read.parquet(manifest_path)
-                .filter(F.col("column") == META_KEY)
-                .select("table_meta").collect())
-        seqs = [json.loads(r["table_meta"]).get("run_seq") for r in prev]
+        seqs = [json.loads(tm).get("run_seq")
+                for _, tm in _meta_rows(spark, manifest_path)]
         run_seq = 1 + max((int(s) for s in seqs if s is not None), default=-1)
     meta = json.dumps({
         "columns": columns, "key_cols": list(key_cols), "n_parts": n_parts,
@@ -253,18 +258,52 @@ def merge_metas(metas: list[dict]) -> dict:
     }
 
 
-def table_meta(spark: SparkSession, manifest_path: str) -> dict:
-    """Collect ONLY the table-meta rows (one per run) and merge them —
-    appended runs may add columns (schema evolution)."""
+def _local_dir(path: str) -> str | None:
+    """Local filesystem directory for ``path``, or None (remote/absent)."""
+    import os
+
+    p = path
+    if p.startswith("file:"):
+        p = "/" + p.split(":", 1)[1].lstrip("/")
+    elif "://" in p:
+        return None
+    return p if os.path.isdir(p) else None
+
+
+def _meta_rows(spark: SparkSession, manifest_path: str) -> list[tuple]:
+    """(run_id, table_meta) for every META row — via a driver-side
+    pyarrow read when the manifest is on the local filesystem (no Spark
+    job: the META rows are one tiny row per commit, and every
+    decode/aggregate pays this lookup), falling back to a Spark read
+    for remote filesystems.  The pyarrow filter prunes row groups on
+    the ``column`` statistics, so only META-bearing groups are read."""
+    local = _local_dir(manifest_path)
+    if local is not None:
+        try:
+            import pyarrow.dataset as pads
+
+            ds = pads.dataset(local, format="parquet")
+            t = ds.to_table(columns=["run_id", "table_meta"],
+                            filter=pads.field("column") == META_KEY)
+            return list(zip(t.column("run_id").to_pylist(),
+                            t.column("table_meta").to_pylist()))
+        except Exception:
+            pass  # unreadable locally (permissions, odd layout): use Spark
     rows = (
         spark.read.parquet(manifest_path)
         .filter(F.col("column") == META_KEY)
         .select("run_id", "table_meta").collect()
     )
+    return [(r["run_id"], r["table_meta"]) for r in rows]
+
+
+def table_meta(spark: SparkSession, manifest_path: str) -> dict:
+    """Collect ONLY the table-meta rows (one per run) and merge them —
+    appended runs may add columns (schema evolution)."""
+    rows = _meta_rows(spark, manifest_path)
     if not rows:
         raise FileNotFoundError(f"no table meta in manifest at {manifest_path}")
-    metas = [json.loads(r["table_meta"])
-             for r in sorted(rows, key=lambda r: r["run_id"])]
+    metas = [json.loads(tm) for _, tm in sorted(rows)]
     return merge_metas(metas)
 
 
@@ -274,16 +313,11 @@ def run_order(spark: SparkSession, manifest_path: str) -> dict[str, tuple]:
     older manifests carry no run_seq and order FIRST, lexicographically
     — exactly the pre-round-4 behavior, so existing tables don't change
     meaning.  One tiny collect (one META row per run)."""
-    rows = (
-        spark.read.parquet(manifest_path)
-        .filter(F.col("column") == META_KEY)
-        .select("run_id", "table_meta").collect()
-    )
     out: dict[str, tuple] = {}
-    for r in rows:
-        seq = json.loads(r["table_meta"]).get("run_seq")
-        out[r["run_id"]] = ((0, 0, r["run_id"]) if seq is None
-                            else (1, int(seq), r["run_id"]))
+    for run_id, tm in _meta_rows(spark, manifest_path):
+        seq = json.loads(tm).get("run_seq")
+        out[run_id] = ((0, 0, run_id) if seq is None
+                       else (1, int(seq), run_id))
     return out
 
 

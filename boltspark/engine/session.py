@@ -35,15 +35,18 @@ def get_session(app: str = "boltspark", cpus: int | None = None,
         # the boltspark Python data source translates pushed filters into
         # engine predicates (sources/datasource.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        # scan split size: blocks-parquet rows are ~4 MB pre-compressed
-        # payloads that expand ~7x on decode, so a 16 MB split is
-        # ~100-120 MB of decoded working set per task — guide §6's
-        # 100 MB-1 GB guidance measured in DECODED bytes.  The default
-        # 128 MB packed a 61-file blocks dataset into ~6 scan tasks and
-        # left 26 of 32 cores idle for every decode (bench/ab_r06.py).
+        # file-packing cost: the default 4 MB open cost packed a
+        # 61-file blocks dataset (~10 MB/file of pre-compressed block
+        # payloads that expand ~7x on decode) into ~6 scan tasks,
+        # leaving 26 of 32 cores idle for every decode.  Charging each
+        # file 64 MB keeps one-or-two blocks FILES per task (~70-140 MB
+        # of decoded working set — guide §6's guidance measured in
+        # DECODED bytes) without touching how LARGE single files split
+        # (maxPartitionBytes stays at its 128 MB default, so plain
+        # parquet scans and the JVM write control are unaffected).
         # Parameterised for real clusters via env.
-        .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("BOLTSPARK_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("BOLTSPARK_OPEN_COST_BYTES", str(64 << 20)))
     )
     if os.path.isdir("/dev/shm"):
         # this host's disk contends badly under parallel shuffle I/O;

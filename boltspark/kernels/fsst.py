@@ -100,13 +100,16 @@ def build_symbol_table(sample: bytes, generations: int = _GENERATIONS) -> list[b
 
 
 def build_symbol_table_best(sample: bytes,
-                            candidates: tuple[int, ...] = (2, 3, 4)) -> list[bytes]:
+                            candidates: tuple[int, ...] = (3, 4)) -> list[bytes]:
     """The iterative builder oscillates with generation count (corpus
     dependent); trial-encode the sample under each candidate table and
     keep the smallest.  Built once per column ON THE DRIVER
     (engine/encode._prebuild_fsst_tables) and shipped in the encoder
     closure — the pure-Python greedy passes measured 77% of a task's
-    encode CPU when every task rebuilt them."""
+    encode CPU when every task rebuilt them.  Candidates (3, 4): the
+    g=2 candidate never won on the corpus columns (bench/ab_r06
+    measurements) and dropping it cuts the build's greedy passes from
+    9 to 7."""
     if not sample:
         return []
     best_table: list[bytes] = []
