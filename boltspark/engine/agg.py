@@ -38,7 +38,7 @@ from ..kernels import dictionary, lists, strings
 from . import manifest as manifestmod
 from .filters import Predicate
 from .memutil import trimmed
-from .schema import PART_ID
+from .schema import PART_ID, read_blocks as schema_read_blocks
 
 
 def _open_dense(blk: bytes):
@@ -239,7 +239,7 @@ def _blocks_proj(spark: SparkSession, blocks_path: str, manifest_path: str,
                     .alias(f"__blk_{pc_}"))
         proj.append(F.col("cols").getField(pc_).getField("stats")
                     .alias(f"__st_{pc_}"))
-    blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
+    blocks = (schema_read_blocks(spark, blocks_path, meta["columns"])
               .select(*proj))
     if run_ids is not None:
         # incremental scope (streaming aggregation): only these runs'
@@ -398,7 +398,7 @@ def column_sums(spark: SparkSession, blocks_path: str, manifest_path: str,
                     .alias(f"__blk_{pc_}"))
         proj.append(F.col("cols").getField(pc_).getField("stats")
                     .alias(f"__st_{pc_}"))
-    blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
+    blocks = (schema_read_blocks(spark, blocks_path, tmeta["columns"])
               .select(*proj))
     keeps = [k for k in (p.jvm_zone_keep_cols(lambda c: F.col(f"__st_{c}"))
                          for p in predicates) if k is not None]
@@ -2906,12 +2906,17 @@ def grouped_topk_rows(spark: SparkSession, blocks_path: str,
         raise KeyError(f"unknown column among ({group_column}, "
                        f"{value_column}); encoded: {list(fields)}")
     gdt, vdt = fields[group_column].dataType, fields[value_column].dataType
+    # limit(max_groups+1) BEFORE the collect: the guard must never
+    # materialize an unbounded group list on the driver just to refuse
+    # it — pointing this at a high-cardinality column now collects at
+    # most max_groups+1 rows before raising
     groups = [r["value"] for r in value_counts(
         spark, blocks_path, manifest_path, group_column,
-        predicate=predicate, run_ids=run_ids).collect()]
+        predicate=predicate, run_ids=run_ids)
+        .limit(int(max_groups) + 1).collect()]
     if len(groups) > max_groups:
         raise ValueError(
-            f"{len(groups)} groups exceed max_groups={max_groups}: the "
+            f"over {max_groups} groups (max_groups={max_groups}): the "
             "per-block disjunction scales with n_groups — decode + a "
             "window instead, or raise max_groups deliberately")
     ranked = grouped_topk(spark, blocks_path, manifest_path, group_column,

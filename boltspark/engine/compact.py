@@ -25,7 +25,7 @@ import uuid
 from pyspark.sql import SparkSession, Window, functions as F
 
 from . import manifest as manifestmod
-from .schema import PART_ID
+from .schema import PART_ID, read_blocks
 
 
 def compact_blocks(
@@ -43,10 +43,10 @@ def compact_blocks(
     meta = manifestmod.table_meta(spark, manifest_path)
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     blocks = (
-        # mergeSchema: runs may have evolved the column set; compaction
-        # must carry the UNION (older groups keep null leaves for the
-        # columns they predate)
-        spark.read.option("mergeSchema", "true").parquet(blocks_path)
+        # schema from the manifest union (read_blocks): runs may have
+        # evolved the column set; compaction must carry the UNION
+        # (older groups keep null leaves for the columns they predate)
+        read_blocks(spark, blocks_path, meta["columns"])
         .join(F.broadcast(valid), [PART_ID, "run_id"], "inner")
     )
     # the window's own exchange co-locates each partition's groups (no
@@ -109,7 +109,9 @@ def gc_orphans(
     valid = manifestmod.valid_pairs_df(spark, manifest_path).withColumn(
         "__ok", F.lit(True))
     per_file = (
-        spark.read.option("mergeSchema", "true").parquet(blocks_path)
+        # top-level fields only (identical across every run's files):
+        # single-footer schema inference suffices, no mergeSchema sweep
+        spark.read.parquet(blocks_path)
         .select(PART_ID, "run_id",
                 F.col("_metadata.file_path").alias("__fp"),
                 F.col("_metadata.file_size").alias("__sz"),

@@ -37,7 +37,7 @@ from ..kernels import bitpack, dictionary, lists, strings
 from . import manifest as manifestmod
 from .memutil import trimmed
 from .filters import ALL, NONE, Predicate, pred_columns
-from .schema import PART_ID
+from .schema import PART_ID, read_blocks as schema_read_blocks
 
 _FIXED_STRUCT = {
     "boolean": pa.bool_(), "integer": pa.int32(), "long": pa.int64(),
@@ -479,7 +479,7 @@ def decode_table(
         valid0 = manifestmod.valid_pairs_df(spark, manifest_path)
         if run_ids is not None:
             valid0 = valid0.filter(F.col("run_id").isin(list(run_ids)))
-        gmeta = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
+        gmeta = (schema_read_blocks(spark, blocks_path, all_cols)
                  .select(PART_ID, "run_id", "seq", "n_rows"))
         if part_ids is not None:
             gmeta = gmeta.filter(
@@ -532,10 +532,12 @@ def decode_table(
     for c in pred_columns(predicates):
         proj.append(
             F.col("cols").getField(c).getField("stats").alias(f"__st_{c}"))
-    # mergeSchema: appended runs may have added columns (schema
-    # evolution); groups from older runs carry null struct leaves that
-    # decode null-fills below
-    blocks = spark.read.option("mergeSchema", "true").parquet(blocks_path)
+    # schema from the manifest's merged column list (schema_read_blocks):
+    # appended runs may have added columns (schema evolution); groups
+    # from older runs read null struct leaves that decode null-fills
+    # below — same semantics as a mergeSchema footer sweep, without the
+    # per-call footer-merge job
+    blocks = schema_read_blocks(spark, blocks_path, all_cols)
     if part_ids is not None:
         # scan-level filter: pruning shows in PushedFilters and prunes
         # row groups via part_id min/max stats

@@ -104,10 +104,13 @@ def commit(
         )
         for c in columns
     ])).alias("m")
+    from .schema import read_blocks
+
     agg = (
-        # mergeSchema: appended runs may carry different column sets and
-        # parquet otherwise picks an arbitrary file's schema
-        spark.read.option("mergeSchema", "true").parquet(blocks_path)
+        # schema from THIS run's column list (read_blocks): other runs'
+        # files may carry different column sets, but their rows are
+        # filtered out by run_id and missing structs read as null
+        read_blocks(spark, blocks_path, columns)
         .filter(F.col("run_id") == run_id)
         .select(PART_ID, "run_id", "n_rows", melt)
         .select(PART_ID, "run_id", "n_rows", "m.*")

@@ -92,6 +92,28 @@ def blocks_arrow_schema(columns: list[str]) -> pa.Schema:
     ])
 
 
+def _as_nullable(dt):
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _as_nullable(f.dataType), True)
+            for f in dt.fields])
+    return dt
+
+
+def read_blocks(spark, blocks_path: str, columns: list[str]):
+    """Blocks scan with the schema DERIVED from the manifest's merged
+    column list instead of a ``mergeSchema`` footer sweep: mergeSchema
+    reads every file footer in a separate job before the real scan,
+    paid on EVERY decode/aggregate call, while the manifest already
+    knows the union schema (table_meta merges per-run column sets).
+    Files from runs that predate a column read its struct as null —
+    the same result the footer merge produced.  The schema is made
+    fully nullable because file-source nullability is advisory and
+    evolved files genuinely contain nulls."""
+    return spark.read.schema(
+        _as_nullable(blocks_spark_schema(columns))).parquet(blocks_path)
+
+
 def blocks_spark_schema(columns: list[str]) -> T.StructType:
     return T.StructType([
         T.StructField(PART_ID, T.LongType(), False),

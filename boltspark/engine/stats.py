@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import manifest as manifestmod
-from .schema import PART_ID
+from .schema import PART_ID, read_blocks as schema_read_blocks
 
 
 def validate_table(
@@ -56,7 +56,7 @@ def validate_table(
     cols = meta["columns"]
     errors: list[str] = []
 
-    blocks = spark.read.option("mergeSchema", "true").parquet(blocks_path)
+    blocks = schema_read_blocks(spark, blocks_path, cols)
     man = (spark.read.parquet(manifest_path)
            .filter(F.col("column") != manifestmod.META_KEY)
            .select(PART_ID, "run_id", "column",
@@ -157,7 +157,7 @@ def column_minmax(
     unknown = set(cols) - set(all_cols)
     if unknown:
         raise KeyError(f"unknown columns {unknown}; encoded: {all_cols}")
-    blocks = spark.read.option("mergeSchema", "true").parquet(blocks_path)
+    blocks = schema_read_blocks(spark, blocks_path, all_cols)
     valid = manifestmod.valid_pairs_df(spark, manifest_path)
     melt = F.explode(F.array(*[
         F.struct(
@@ -245,11 +245,11 @@ def explain_scan(spark: SparkSession, blocks_path: str, manifest_path: str,
     predicates = ([] if predicate is None
                   else predicate if isinstance(predicate, list)
                   else [predicate])
+    meta = manifestmod.table_meta(spark, manifest_path)
     if predicates:
         # dotted struct-leaf paths resolve to flat leaf names exactly as
         # decode_table resolves them — explain must accept every
         # predicate the decode it predicts accepts
-        meta = manifestmod.table_meta(spark, manifest_path)
         all_cols = set(meta["columns"])
         logical = T.StructType.fromJson(json.loads(
             meta.get("logical_schema_json") or meta["schema_json"]))
@@ -268,7 +268,7 @@ def explain_scan(spark: SparkSession, blocks_path: str, manifest_path: str,
     for c in cols:
         proj.append(F.col("cols").getField(c).getField("stats")
                     .alias(f"__st_{c}"))
-    blocks = (spark.read.option("mergeSchema", "true").parquet(blocks_path)
+    blocks = (schema_read_blocks(spark, blocks_path, meta["columns"])
               .select(*proj))
     if run_ids is not None:
         blocks = blocks.filter(F.col("run_id").isin(list(run_ids)))

@@ -186,6 +186,35 @@ def test_grouped_topk_rows_group_cap(spark, topk_table):
                           max_groups=2)
 
 
+def test_grouped_topk_rows_guard_collect_is_bounded(spark, topk_table,
+                                                    monkeypatch):
+    """The over-cap refusal must never materialize the full group list
+    on the driver: pointed at the high-cardinality key column (5000
+    distinct), every driver-side collect stays <= max_groups + 1 rows."""
+    # patch the CONCRETE class: in Spark 4 instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides collect
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older Spark: one DataFrame class
+        from pyspark.sql import DataFrame
+
+    from boltspark.engine.agg import grouped_topk_rows
+
+    _, out, man = topk_table
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_topk_rows(spark, out, man, "k", "stars", k=2, max_groups=8)
+    assert sizes and max(sizes) <= 9
+
+
 def test_grouped_topk_rows_projection_predicate(spark, topk_table):
     from boltspark.engine.agg import grouped_topk_rows
 
