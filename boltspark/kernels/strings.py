@@ -70,13 +70,18 @@ def from_arrow(arr: pa.Array) -> StringColumn:
         arr.offset : arr.offset + len(arr) + 1
     ]
     data_buf = buffers[2]
-    data = data_buf.to_pybytes() if data_buf is not None else b""
-    if offsets[0] != 0:
-        base = offsets[0]
-        data = data[base : offsets[-1]]
+    if data_buf is None:
+        data = b""
+        if len(offsets) and offsets[0] != 0:
+            offsets = offsets - offsets[0]
+    elif offsets[0] != 0:
+        # sliced array: copy ONLY the slice's bytes (a to_pybytes of the
+        # whole buffer followed by a slice would copy the data twice)
+        base = int(offsets[0])
+        data = bytes(memoryview(data_buf)[base : int(offsets[-1])])
         offsets = offsets - base
     else:
-        data = data[: offsets[-1]]
+        data = bytes(memoryview(data_buf)[: int(offsets[-1])])
     return StringColumn(np.ascontiguousarray(offsets), data)
 
 

@@ -399,6 +399,46 @@ def test_bloom_never_false_negative(rng):
     assert misses > 1000, f"fp rate too high: {(2000 - misses) / 2000}"
 
 
+def test_bloom_build_matches_reference_loop(rng):
+    """Round-6 vectorized build must stay BIT-identical to the original
+    per-value loop — the double-hash layout is an on-disk contract
+    (filters written by old encoders are probed by new readers and
+    vice versa)."""
+    import zlib
+
+    from boltspark.kernels import bloom
+
+    def reference_build(values):
+        bits = bytearray(bloom.M_BITS // 8)
+        for v in values:
+            h1 = zlib.crc32(v)
+            h2 = zlib.crc32(v, 0x9E3779B9 & 0xFFFFFFFF) | 1
+            for i in range(bloom.K):
+                p = (h1 + i * h2) % bloom.M_BITS
+                bits[p >> 3] |= 1 << (p & 7)
+        return bytes(bits)
+
+    for n in (0, 1, 7, 500):
+        vals = [rng.bytes(int(rng.integers(0, 40))) for _ in range(n)]
+        assert bloom.build(iter(vals)) == reference_build(vals), n
+
+
+def test_from_arrow_sliced_array_exact():
+    """from_arrow on a SLICED arrow array (non-zero offset) must return
+    exactly the slice's rows and bytes — the encode path slices record
+    batches at block boundaries."""
+    import pyarrow as pa
+
+    vals = [b"alpha", b"", b"bravo-longer", b"c", b"dd", b"eee"]
+    arr = pa.array(vals, pa.large_binary())
+    for lo, hi in ((0, 6), (1, 5), (2, 6), (3, 3)):
+        sl = arr.slice(lo, hi - lo)
+        col = strings.from_arrow(sl)
+        assert col.to_pylist() == vals[lo:hi], (lo, hi)
+        assert int(col.offsets[0]) == 0
+        assert len(col.data) == sum(len(v) for v in vals[lo:hi])
+
+
 def test_split_codec_roundtrip_bit_exact(rng):
     """Byte-stream split (the BYTE_STREAM_SPLIT the reference's Thrift
     model names but its readers reject) round-trips bit-exact."""
