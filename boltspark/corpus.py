@@ -159,10 +159,35 @@ def generate(n_rows: int, seed: int = SEED,
 
 
 def write_parquet(path: str, n_rows: int, seed: int = SEED,
-                  row_group_rows: int = 2048, **kw) -> pa.Table:
-    """Small row groups so Spark's scan parallelizes (one task per group)."""
+                  row_group_rows: int = 2048, chunk_rows: int = 2_000_000,
+                  **kw) -> pa.Table | None:
+    """Small row groups so Spark's scan parallelizes (one task per group).
+
+    Above ``chunk_rows`` the table streams to the file in deterministic
+    per-chunk pieces (seed + 100003*chunk): generate() materializes the
+    whole corpus in driver memory (~2.6 KB/row plus a decoded copy), and
+    a 40 GB-content scale factor OOM-killed the process when built in
+    one shot.  At or below ``chunk_rows`` — every scale any previous
+    round used — output is byte-identical to the unchunked writer.
+    Returns the table for the single-shot path, None when chunked."""
     import pyarrow.parquet as pq
 
-    t = generate(n_rows, seed, **kw)
-    pq.write_table(t, path, row_group_size=row_group_rows)
-    return t
+    if n_rows <= chunk_rows:
+        t = generate(n_rows, seed, **kw)
+        pq.write_table(t, path, row_group_size=row_group_rows)
+        return t
+    writer = None
+    try:
+        off = 0
+        while off < n_rows:
+            n = min(chunk_rows, n_rows - off)
+            t = generate(n, seed + 100003 * (off // chunk_rows), **kw)
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema)
+            writer.write_table(t, row_group_size=row_group_rows)
+            del t
+            off += n
+    finally:
+        if writer is not None:
+            writer.close()
+    return None

@@ -493,6 +493,12 @@ def encode_table(
     if any(nest.SEP in c for c in list(columns) + list(key_cols)):
         raise ValueError(r"column names may not contain \x1f (reserved for"
                          " struct-leaf flattening)")
+    from .partitioner import SHUF_COL
+
+    reserved = {PART_COL, SHUF_COL} & set(list(columns) + list(key_cols))
+    if reserved:
+        raise ValueError(f"column names {sorted(reserved)} are reserved for "
+                         "the partitioner (engine/partitioner.py)")
     if manifestmod.run_exists(spark, manifest_path, run_id):
         # idempotent replay (streaming epoch retried after a successful
         # commit): the data is already fully manifested — do nothing

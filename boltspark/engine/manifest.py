@@ -36,13 +36,17 @@ _MANIFEST_SCHEMA = (
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
-    local = _local_dir(path)
+    local = _local_dir(path, spark)
     if local is not None:
-        import glob as _glob
         import os as _os
 
-        return any(not _os.path.basename(p).startswith(("_", "."))
-                   for p in _glob.glob(f"{local}/*.parquet"))
+        # listdir, not glob: the path may contain glob metacharacters
+        try:
+            names = _os.listdir(local)
+        except OSError:
+            return False
+        return any(n.endswith(".parquet") and not n.startswith(("_", "."))
+                   for n in names)
     try:
         spark.read.parquet(path).limit(1).collect()
         return True
@@ -261,7 +265,22 @@ def merge_metas(metas: list[dict]) -> dict:
     }
 
 
-def _local_dir(path: str) -> str | None:
+def _default_fs_is_local(spark: SparkSession | None) -> bool:
+    """True when scheme-less paths resolve to the driver's local disk.
+    On a cluster with fs.defaultFS=hdfs://... a bare '/warehouse/t'
+    path is HDFS — the driver-side fast path must NOT shadow it with a
+    same-named local directory."""
+    if spark is None:
+        return True
+    try:
+        fs = (spark.sparkContext._jsc.hadoopConfiguration()
+              .get("fs.defaultFS", "file:///"))
+    except Exception:
+        return True  # no JVM conf reachable: local-mode assumption
+    return fs.startswith("file:")
+
+
+def _local_dir(path: str, spark: SparkSession | None = None) -> str | None:
     """Local filesystem directory for ``path``, or None (remote/absent)."""
     import os
 
@@ -270,6 +289,8 @@ def _local_dir(path: str) -> str | None:
         p = "/" + p.split(":", 1)[1].lstrip("/")
     elif "://" in p:
         return None
+    elif not _default_fs_is_local(spark):
+        return None  # scheme-less path on a non-local default FS
     return p if os.path.isdir(p) else None
 
 
@@ -280,7 +301,7 @@ def _meta_rows(spark: SparkSession, manifest_path: str) -> list[tuple]:
     decode/aggregate pays this lookup), falling back to a Spark read
     for remote filesystems.  The pyarrow filter prunes row groups on
     the ``column`` statistics, so only META-bearing groups are read."""
-    local = _local_dir(manifest_path)
+    local = _local_dir(manifest_path, spark)
     if local is not None:
         try:
             import pyarrow.dataset as pads

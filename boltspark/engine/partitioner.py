@@ -209,11 +209,14 @@ def cluster_partitions(keyed: DataFrame, n_parts: int,
         keyed = keyed.withColumn(SHUF_COL, shuf)
     else:
         # 100 TB-scale part counts: the table is too big for a plan
-        # literal — ship it as a broadcast-joined mapping instead
+        # literal — ship it as a broadcast-joined mapping instead.
+        # Built via Arrow (near zero-copy), never one Python tuple per
+        # partition through Py4J.
+        import pandas as pd
+
         spark = keyed.sparkSession
-        map_df = spark.createDataFrame(
-            [(int(p), int(k)) for p, k in enumerate(pre)],
-            f"{PART_COL} long, {SHUF_COL} long")
+        map_df = spark.createDataFrame(pd.DataFrame(
+            {PART_COL: np.arange(n_parts, dtype=np.int64), SHUF_COL: pre}))
         keyed = keyed.join(F.broadcast(map_df), PART_COL, "inner")
     # sort by partition id FIRST so each partition is one contiguous
     # segment of its task's Arrow stream, then by sort/key columns

@@ -56,3 +56,33 @@ def test_with_partition_id_one_partition_per_task(spark):
     got = {r["k"]: r[PART_COL]
            for r in keyed.select("k", PART_COL).collect()}
     assert all(got[r["k"]] == r["p"] for r in expect)
+
+
+def test_manifest_driver_reads_tolerate_glob_metacharacters(spark, tmp_path):
+    """[, ], * are valid filename characters.  Spark's file source
+    glob-interprets READ paths (Hadoop semantics) so such table paths
+    were never fully readable — but the round-6 driver-side fast paths
+    (_exists / run_exists / table_meta via pyarrow+listdir) must not
+    make it worse by glob-matching to nothing (review fix: a False
+    run_exists re-encodes a committed streaming epoch).  Create the
+    manifest at a plain path, rename the directory, and pin the
+    driver-side answers."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from boltspark.engine import encode_table
+    from boltspark.engine import manifest as manifestmod
+
+    plain = tmp_path / "plain"
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    res = encode_table(df, str(plain / "blocks"), str(plain / "manifest"),
+                       key_cols=("k",), n_parts=4, resume=False)
+    weird = tmp_path / "t[1] x*"
+    shutil.move(str(plain), str(weird))
+    man = str(weird / "manifest")
+    assert manifestmod._exists(spark, man)
+    assert manifestmod.run_exists(spark, man, res.run_id)
+    assert not manifestmod.run_exists(spark, man, "nope")
+    assert manifestmod.table_meta(spark, man)["columns"] == ["k", "v"]
